@@ -1,0 +1,259 @@
+package graft
+
+import graft.text.{Hashing, Text}
+
+/** DuckDB oracle SQL twins for every query in [[Queries.all]].
+  *
+  * Each SQL statement is runnable by DuckDB over views named after the
+  * testdata tables and must produce the same column names, compatible types,
+  * and the same row order as the Spark query. The heavier hash/similarity
+  * oracles are generated from the exact integer constants in
+  * [[graft.text.Hashing]] so both engines compute identical 64-bit values.
+  */
+object Oracles {
+  import Hashing._
+
+  // -- shared expression fragments -------------------------------------------
+
+  /** Whitespace tokens of the documents.text column. */
+  private val tokensE = "string_split(text, ' ')"
+
+  /** Integer word codes: length(w)*WordBase + ascii(first char). */
+  private val codesE =
+    s"list_transform($tokensE, w -> length(w)*$WordBase + ascii(w))"
+
+  /** 3-word shingle hashes over a `codes` list column. */
+  private val shinglesE =
+    s"list_transform(range(1, len(codes)-1), i -> " +
+      s"(codes[i]*$ShingleS1 + codes[i+1]*$ShingleS2 + codes[i+2]) % $ShingleM)"
+
+  /** j-th minhash over a `sh` shingle-list column. */
+  private def minhashE(j: Int): String =
+    s"coalesce(list_min(list_transform(sh, x -> ((x % $P) * ${A(j)} + ${B(j)}) % $P)), ${P - 1})"
+
+  /** CTE chain documents -> codes -> shingles -> 16 minhash columns. */
+  private val minhashCtes: String = {
+    val ms = (0 until K).map(j => s"${minhashE(j)} AS m$j").mkString(", ")
+    s"WITH c AS (SELECT doc_id, $codesE AS codes FROM documents), " +
+      s"s AS (SELECT doc_id, $shinglesE AS sh FROM c), " +
+      s"m AS (SELECT doc_id, $ms FROM s)"
+  }
+
+  private def bandE(b: Int): String =
+    s"concat_ws('_', " + (b * RowsPerBand until (b + 1) * RowsPerBand)
+      .map(j => s"m$j").mkString(", ") + ")"
+
+  /** Quantized embedding vector. */
+  private val quantE =
+    s"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))"
+
+  /** Exact integer dot product of two BIGINT list columns. */
+  private def dotE(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS BIGINT)"
+
+  /** SRP bucket id from the deterministic +-1 hyperplane matrix. */
+  private val srpBucketE: String =
+    SrpMatrix.zipWithIndex.map { case (plane, p) =>
+      val lits = plane.mkString("[", ",", "]") + "::BIGINT[]"
+      s"(CASE WHEN ${dotE("v", s"($lits)")} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val stopIn = inList(Queries.Stopwords)
+
+  // -- the oracle catalog ----------------------------------------------------
+
+  val all: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         | COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey,
+         | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM lineitem GROUP BY l_orderkey
+         |ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_region_join" ->
+      s"""SELECT r_name, c_mktsegment, COUNT(*) AS n_orders,
+         | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, c_mktsegment ORDER BY r_name, c_mktsegment""".stripMargin,
+
+    "semi_join_big_spenders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "time_bin_hourly" ->
+      """SELECT strftime(ts, '%Y%m%d_%H00') AS bin, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY bin, event_type""".stripMargin,
+
+    "dedup_keeplast" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        | SELECT event_id, user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "dedup_keepfirst" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        | SELECT event_id, user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type, value ORDER BY event_id ASC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "intervals_islands" ->
+      """SELECT user_id, MIN(event_id) AS range_from, MAX(event_id) AS range_to,
+        | COUNT(*) AS n_offsets
+        |FROM (SELECT user_id, event_id,
+        |  event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS isl
+        | FROM events)
+        |GROUP BY user_id, isl ORDER BY user_id, range_from""".stripMargin,
+
+    "anti_join_unseen" ->
+      """SELECT event_id, user_id, event_type FROM events e
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM (
+        |  SELECT user_id, MIN(event_id) AS range_from, MAX(event_id) AS range_to
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id) s
+        | WHERE s.user_id = e.user_id
+        |  AND e.event_id >= s.range_from AND e.event_id <= s.range_to)
+        |ORDER BY event_id""".stripMargin,
+
+    "sanitize_ids" ->
+      """SELECT event_id,
+        | CASE WHEN regexp_replace(coalesce(props, ''), '[^a-zA-Z0-9_-]+', '', 'g') = ''
+        |  THEN 'unknown'
+        |  ELSE regexp_replace(coalesce(props, ''), '[^a-zA-Z0-9_-]+', '', 'g') END AS clean_props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "filename_meta" -> {
+      val fname = "event_type || '+' || CAST(user_id % 4 AS VARCHAR) || '+' || " +
+        "lpad(CAST(event_id*1000 + 37 AS VARCHAR), 10, '0') || '.avro'"
+      val re = """([^/+]+)\+(\d+)\+(\d+)(?:\+(\d+))?\.avro$"""
+      s"""SELECT event_id,
+         | regexp_extract(fname, '$re', 1) AS topic,
+         | CAST(regexp_extract(fname, '$re', 2) AS INTEGER) AS partition,
+         | CAST(regexp_extract(fname, '$re', 3) AS BIGINT) AS start_offset
+         |FROM (SELECT event_id, $fname AS fname FROM events) ORDER BY event_id""".stripMargin
+    },
+
+    "json_flatten" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "base64_unpadded" ->
+      """SELECT doc_id, rtrim(to_base64(CAST(substr(text, 1, 32) AS BLOB)), '=') AS b64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id, len($tokensE) AS n_tokens, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens, n_stop,
+         | CAST(floor(n_stop * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_bp,
+         | CAST(floor(sum_len * 10000.0 / n_tokens) AS BIGINT) AS mean_token_len_bp
+         |FROM (SELECT doc_id,
+         |  len($tokensE) AS n_tokens,
+         |  len(list_filter($tokensE, w -> w IN $stopIn)) AS n_stop,
+         |  CAST(coalesce(list_sum(list_transform($tokensE, w -> length(w))), 0) AS BIGINT) AS sum_len
+         | FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val scores = Text.LangMarkers.zipWithIndex.map { case ((_, ws), i) =>
+        s"len(list_filter($tokensE, w -> w IN ${inList(ws)})) AS s$i"
+      }.mkString(", ")
+      val g = Text.LangMarkers.indices.map(i => s"s$i").mkString("greatest(", ", ", ")")
+      val cases = Text.LangMarkers.zipWithIndex
+        .map { case ((lang, _), i) => s"WHEN s$i = g THEN '$lang'" }.mkString(" ")
+      s"""SELECT doc_id, lang,
+         | CASE WHEN g <= 0 THEN 'und' $cases END AS pred_lang
+         |FROM (SELECT doc_id, lang, $g AS g, * FROM
+         | (SELECT doc_id, lang, $scores FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "fingerprint" ->
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT), $codesE),
+         |  (h, c) -> (h*$FpB + c) % $FpM) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "simhash16" -> {
+      val bitTerms = (0 until SimHashBits).map { i =>
+        s"(CASE WHEN 2*coalesce(CAST(list_sum(list_transform(codes, " +
+          s"c -> ((c*$TokenHashA) % $P >> $i) & 1)) AS BIGINT), 0) > len(codes) " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT doc_id, $bitTerms AS simhash
+         |FROM (SELECT doc_id, $codesE AS codes FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "minhash_signature" -> {
+      val bands = (0 until Bands).map(b => s"${bandE(b)} AS band_$b").mkString(", ")
+      s"""$minhashCtes
+         |SELECT doc_id, $bands FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "minhash_pairs" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m"
+      }.mkString(" UNION ALL ")
+      s"""$minhashCtes, bands AS ($bandSelects)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_bands
+         |FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY id_1, id_2""".stripMargin
+    },
+
+    "ngram_jaccard_pairs" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
+         |ex AS (SELECT doc_id, unnest(sh) AS x FROM sets),
+         |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+         |pairs AS (
+         | SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS inter
+         | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_1, id_2,
+         | CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) AS jaccard_bp
+         |FROM pairs JOIN sizes na ON id_1 = na.doc_id JOIN sizes nb ON id_2 = nb.doc_id
+         |WHERE CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) >= 8000
+         |ORDER BY id_1, id_2""".stripMargin,
+
+    "cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, $quantE AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, $quantE AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, ${dotE("qv", "cv")} AS dot
+         | FROM c, q WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, dot,
+         | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS "rank"
+         | FROM s)
+         |SELECT query_id, neighbor_id, dot, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id AS id, $quantE AS v FROM embeddings),
+         |b AS (SELECT id, v, $srpBucketE AS bucket FROM e),
+         |p AS (SELECT l.id AS id_1, r.id AS id_2, ${dotE("l.v", "r.v")} AS dot
+         | FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+         |SELECT id_1, id_2, dot FROM p WHERE dot >= 400000
+         |ORDER BY id_1, id_2""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Strings, Times}
+import graft.operators.{Dedup, Intervals}
+import graft.dedup.{MinHash, SimHash}
+import graft.similarity.Similarity
+import graft.text.{Hashing, Text}
+
+/** The operator catalog as runnable queries over the driver's testdata
+  * tables (TESTDATA.md). Each query has a DuckDB oracle twin in
+  * [[graft.Oracles]] — column names, types, and row order match exactly, and
+  * every aggregate uses integer-exact arithmetic (cents / basis points /
+  * quantized vectors) so result hashes are reproducible across engines and
+  * partitionings.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Stopword set shared with the oracle SQL. */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  // ---------------------------------------------------------------- TPC-H-ish
+
+  /** Pricing summary (scan + hash aggregate; TPC-H Q1 shape). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast(LongType)).as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast(LongType)).as("sum_disc_cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k revenue orders (aggregate + global top-k with deterministic
+    * tie-break). */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast(LongType)).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** Star join: orders x customer x nation x region rollup. The two
+    * dimension tables are tiny at any scale factor -> broadcast; customer
+    * joins via hash exchange (AQE re-plans to broadcast when it fits). */
+  def q5RegionJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("sum_total_cents"))
+      .orderBy(col("r_name"), col("c_mktsegment"))
+
+  /** Left-semi join (EXISTS): customers having a big order. */
+  def semiJoinBigSpenders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ------------------------------------------------- reference operators (§2)
+
+  /** F2/W1 — hourly tumbling-window binning with the reference's
+    * yyyyMMdd_HH'00' label. */
+  def timeBinHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        Times.timeBin(col("ts")).as("bin"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("sum_value_cents"))
+      .orderBy(col("bin"), col("event_type"))
+
+  /** D1 — keep-LAST per key in original order (key = user_id, event_type;
+    * order = event_id). */
+  def dedupKeepLast(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepLast(
+      t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+      Seq("user_id", "event_type"), "event_id")
+      .orderBy(col("event_id"))
+
+  /** D2 — keep-FIRST whole-row distinct in original order. */
+  def dedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirstDistinct(
+      t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+      "event_id")
+      .orderBy(col("event_id"))
+
+  /** Exact dedup groups over document text (hash-groupBy). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), Seq("text"), "doc_id")
+      .select("keep_id", "n_dups")
+      .orderBy(col("keep_id"))
+
+  /** A1 — gaps-and-islands: coalesce each user's event_ids into disjoint
+    * consecutive ranges. */
+  def intervalsIslands(s: SparkSession, dir: String): DataFrame =
+    Intervals.toRanges(t(s, dir, "events"), Seq("user_id"), "event_id")
+      .orderBy(col("user_id"), col("range_from"))
+
+  /** J1/J2/P6/P7 — anti-join of records against processed offset ranges
+    * (ranges derived from each user's 'view' span; broadcast
+    * nested-loop anti-join on the tiny build side). */
+  def antiJoinUnseen(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val seen = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("range_from"), max(col("event_id")).as("range_to"))
+    Intervals.unseen(events, seen, Seq("user_id"), "event_id")
+      .select("event_id", "user_id", "event_type")
+      .orderBy(col("event_id"))
+  }
+
+  /** P10 — ID sanitization with default substitution. */
+  def sanitizeIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        Strings.sanitizeId(col("props"), "unknown").as("clean_props"))
+      .orderBy(col("event_id"))
+
+  /** F6 — filename-metadata extraction: build sink filenames from event
+    * columns, parse (topic, partition, offset) back out. */
+  def filenameMeta(s: SparkSession, dir: String): DataFrame = {
+    val fname = concat(
+      col("event_type"), lit("+"),
+      (col("user_id") % 4).cast(StringType), lit("+"),
+      lpad((col("event_id") * 1000 + 37).cast(StringType), 10, "0"),
+      lit(".avro"))
+    t(s, dir, "events")
+      .select(col("event_id"), fname.as("fname"))
+      .select(
+        col("event_id"),
+        Strings.filenameTopic(col("fname")).as("topic"),
+        Strings.filenamePartition(col("fname")).as("partition"),
+        Strings.filenameStartOffset(col("fname")).as("start_offset"))
+      .orderBy(col("event_id"))
+  }
+
+  /** P2 — flatten of a semi-structured column (JSON props -> typed column). */
+  def jsonFlatten(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("props_k"))
+      .orderBy(col("event_id"))
+
+  /** F8 — unpadded base64 of a binary value. */
+  def base64Unpadded(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Strings.base64Unpadded(substring(col("text"), 1, 32).cast(BinaryType))
+          .as("b64"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------ text analysis pack
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        Text.stopwordCount(col("text"), Stopwords).cast(LongType).as("n_stop"),
+        Text.stopRatioBp(col("text"), Stopwords).as("stop_ratio_bp"),
+        Text.meanTokenLenBp(col("text")).as("mean_token_len_bp"))
+      .orderBy(col("doc_id"))
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        Text.langIdHeuristic(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------------------- near-dup / ANN
+
+  def simhash16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  def minhashSignature(s: SparkSession, dir: String): DataFrame =
+    MinHash.bands(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    MinHash.candidatePairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_1"), col("id_2"))
+
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sets = MinHash.withShingles(d, "doc_id", "text")
+      .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
+    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
+    // set sizes from the exploded rows (sh is already distinct), NOT
+    // size(sh): an aggregate attribute can't be inlined by constraint
+    // inference into a quadratic interpreted filter over the shingle tree
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_1"), col("b.doc_id").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("na"), col("id_1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_2") === col("nb.doc_id"))
+      .withColumn("jaccard_bp",
+        floor(col("inter").cast(DoubleType) * 10000d /
+          (col("na.n") + col("nb.n") - col("inter")).cast(DoubleType)).cast(LongType))
+      .filter(col("jaccard_bp") >= 8000)
+      .select("id_1", "id_2", "jaccard_bp")
+      .orderBy(col("id_1"), col("id_2"))
+  }
+
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "dot", "rank")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", 400000L)
+      .orderBy(col("id_1"), col("id_2"))
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Binary-column plumbing: byte length + content hash of an opaque binary
+    * payload (the decode step itself is the stubbed part — see
+    * graft.multimodal). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"),
+        sha2(col("text"), 256).as("sha"))
+      .orderBy(col("doc_id"))
+
+  /** The catalog: name -> query. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_top_orders" -> q3TopOrders _,
+    "q5_region_join" -> q5RegionJoin _,
+    "semi_join_big_spenders" -> semiJoinBigSpenders _,
+    "time_bin_hourly" -> timeBinHourly _,
+    "dedup_keeplast" -> dedupKeepLast _,
+    "dedup_keepfirst" -> dedupKeepFirst _,
+    "dedup_exact" -> dedupExact _,
+    "intervals_islands" -> intervalsIslands _,
+    "anti_join_unseen" -> antiJoinUnseen _,
+    "sanitize_ids" -> sanitizeIds _,
+    "filename_meta" -> filenameMeta _,
+    "json_flatten" -> jsonFlatten _,
+    "base64_unpadded" -> base64Unpadded _,
+    "text_tokens" -> textTokens _,
+    "text_quality" -> textQuality _,
+    "lang_id" -> langId _,
+    "fingerprint" -> fingerprint _,
+    "simhash16" -> simhash16 _,
+    "minhash_signature" -> minhashSignature _,
+    "minhash_pairs" -> minhashPairs _,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs _,
+    "cosine_topk" -> cosineTopK _,
+    "embedding_neardup" -> embeddingNearDup _,
+    "multimodal_meta" -> multimodalMeta _)
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.5).
+  *
+  * The reference dedups within one output file; here each is a distributed
+  * operator over an arbitrary DataFrame. Both are single-shuffle window
+  * formulations (hash exchange on the key, no sort of the full data), so they
+  * scale with the number of distinct keys rather than file sizes.
+  */
+object Dedup {
+
+  /** D1 — keep-LAST occurrence per key, output in original order
+    * (reference: format/CsvAvroConverterFactory.kt:22-56). `orderCol` stands
+    * in for the original line number: the row with the greatest `orderCol`
+    * per key survives.
+    *
+    * Note `dropDuplicates` keeps an arbitrary FIRST row and does not
+    * preserve order, so it is not semantics-equivalent.
+    */
+  def keepLast(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D1 with `ignoreFields` semantics: key = all columns minus the ignored
+    * ones (reference: format/CsvAvroConverterFactory.kt:158-171 —
+    * `distinctFields` wins over `ignoreFields` when both are set). */
+  def keepLastIgnoring(df: DataFrame, ignore: Seq[String], orderCol: String): DataFrame =
+    keepLast(df, df.columns.filterNot(c => ignore.contains(c) || c == orderCol).toSeq, orderCol)
+
+  /** D2 — keep-FIRST whole-row distinct, preserving first-occurrence order
+    * (reference: format/RecordConverterFactory.kt:62-84; JSON format).
+    * Key = all columns except `orderCol`; the row with the least `orderCol`
+    * per distinct content survives. */
+  def keepFirstDistinct(df: DataFrame, orderCol: String): DataFrame = {
+    val keys = df.columns.filterNot(_ == orderCol).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact whole-row dedup at scale: groupBy the content hash first so the
+    * shuffle carries (hash, min-order) pairs instead of full rows when the
+    * caller only needs the surviving keys. Returns one representative id per
+    * distinct `contentCols` combination (the minimum of `idCol`), plus the
+    * duplicate count. */
+  def exactGroups(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(contentCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+}

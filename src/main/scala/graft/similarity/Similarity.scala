@@ -1,0 +1,97 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.Hashing._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Two paths:
+  *  - brute-force top-k: broadcast the (small) query set, score every
+  *    corpus row against each query inside one codegen'd projection, then a
+  *    per-query top-k window. Scales linearly in corpus size with zero
+  *    shuffle of the corpus (only the k winners per query shuffle).
+  *  - signed-random-projection LSH: deterministic ±1 hyperplanes bucket the
+  *    corpus; candidates come from an equi-join on the bucket id, so the
+  *    cross product never materializes. The scale path for pairwise
+  *    near-duplicate detection.
+  *
+  * All scoring used by the DuckDB-checked queries is exact integer math on
+  * quantized vectors (round(x*QuantScale) as long); float cosine is also
+  * provided for library use.
+  */
+object Similarity {
+
+  /** Quantized copy of an embedding: Array[Long] of round(x * QuantScale). */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast(DoubleType) * QuantScale).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Float cosine similarity (library path; not oracle-checked because float
+    * summation order is engine-specific). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0d), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    val nb = sqrt(aggregate(b, lit(0d), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k neighbors for each row of `queries` against `corpus`.
+    * Output: (query_id, neighbor_id, dot, rank). The query side is
+    * broadcast; ranking ties break on neighbor id for determinism. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        intDot(col("__qv"), col("__cv")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** Signed-random-projection bucket id in [0, 2^SrpPlanes) over an already
+    * quantized vector column: bit p is set iff dot(vec, hyperplane_p) > 0.
+    * Deterministic (Hashing.SrpMatrix). Pass a materialized attribute column
+    * so the quantization isn't re-evaluated per plane. */
+  def srpBucketFromQuant(q: Column): Column =
+    SrpMatrix.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(x => lit(x.toLong)): _*)
+      when(intDot(q, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SRP bucket id from a raw (float) embedding column. */
+  def srpBucket(v: Column): Column = srpBucketFromQuant(quantize(v))
+
+  /** LSH near-duplicate pairs: same SRP bucket AND integer dot product above
+    * `minDot` (for unit vectors, cosine ~= dot / QuantScale^2). */
+  def lshNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minDot: Long): DataFrame = {
+    val b = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__v"))
+      .select(col("__id"), col("__v"), srpBucketFromQuant(col("__v")).as("__bucket"))
+    val l = b.as("l")
+    val r = b.as("r")
+    l.join(r, col("l.__bucket") === col("r.__bucket") && col("l.__id") < col("r.__id"))
+      .select(
+        col("l.__id").as("id_1"),
+        col("r.__id").as("id_2"),
+        intDot(col("l.__v"), col("r.__v")).as("dot"))
+      .filter(col("dot") >= minDot)
+  }
+}

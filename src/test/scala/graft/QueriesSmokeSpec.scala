@@ -1,0 +1,24 @@
+package graft
+
+/** Every catalog query runs end-to-end on the sf0.001 testdata and returns a
+  * well-formed result; every query has an oracle twin.
+  */
+class QueriesSmokeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every query has a DuckDB oracle") {
+    assert(Queries.all.keySet == Oracles.all.keySet)
+  }
+
+  Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

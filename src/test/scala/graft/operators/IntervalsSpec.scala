@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Distributed gaps-and-islands + anti-join pruning (SURVEY §2.4 A1,
+  * §2.6 J1/J2).
+  */
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toRanges coalesces consecutive offsets into islands per group") {
+    val df = Seq(
+      ("t", 0, 0L), ("t", 0, 1L), ("t", 0, 2L), ("t", 0, 5L), ("t", 0, 6L),
+      ("t", 1, 10L), ("u", 0, 2L), ("u", 0, 4L))
+      .toDF("topic", "partition", "offset")
+    val out = Intervals.toRanges(df, Seq("topic", "partition"), "offset")
+      .orderBy("topic", "partition", "range_from")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      ("t", 0, 0L, 2L, 3L), ("t", 0, 5L, 6L, 2L),
+      ("t", 1, 10L, 10L, 1L),
+      ("u", 0, 2L, 2L, 1L), ("u", 0, 4L, 4L, 1L)))
+  }
+
+  test("unseen drops rows covered by a range, even with shared lineage") {
+    val records = Seq(("t", 1L), ("t", 5L), ("t", 9L), ("u", 5L))
+      .toDF("topic", "offset")
+    val ranges = records
+      .filter(col("topic") === "t" && col("offset") <= 5)
+      .groupBy("topic")
+      .agg(min("offset").as("range_from"), max("offset").as("range_to"))
+    val out = Intervals.unseen(records, ranges, Seq("topic"), "offset")
+      .orderBy("topic", "offset")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // t:[1..5] covered; t:9 outside; u untouched (no range for u)
+    assert(out == Seq(("t", 9L), ("u", 5L)))
+  }
+
+  test("toRanges round-trips through the driver state set") {
+    val df = Seq(("t", 0, 3L), ("t", 0, 4L), ("t", 0, 9L))
+      .toDF("topic", "partition", "offset")
+      .withColumn("mtime", lit(java.sql.Timestamp.from(java.time.Instant.EPOCH)))
+    val ranges = Intervals.toRanges(df, Seq("topic", "partition"), "offset", Some("mtime"))
+    val state = Intervals.collectRanges(ranges)
+    import graft.state.TopicPartition
+    assert(state.contains(TopicPartition("t", 0), 3, java.time.Instant.EPOCH))
+    assert(state.contains(TopicPartition("t", 0), 9, java.time.Instant.EPOCH))
+    assert(!state.contains(TopicPartition("t", 0), 5, java.time.Instant.EPOCH))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.dedup.{MinHash, SimHash}
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Text-analysis, near-dup, and similarity operator sanity. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and stopword counters") {
+    val d = Seq("the quick a fox").toDF("text")
+    val out = d.select(
+      Text.tokenCount(col("text")),
+      Text.stopwordCount(col("text"), Seq("the", "a"))).head
+    assert(out.getInt(0) == 4)
+    assert(out.getInt(1) == 2)
+  }
+
+  test("langId picks argmax language, und when no markers hit") {
+    val d = Seq("the cat is of and", "el que de la y", "zzz qqq").toDF("text")
+    val out = d.select(Text.langIdHeuristic(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val d = Seq("a b c", "c b a", "a b c").toDF("text")
+    val out = d.select(Text.fingerprint(col("text"))).as[Long].collect().toSeq
+    assert(out(0) == out(2))
+    assert(out(0) != out(1))
+  }
+
+  test("identical docs share simhash; hamming(identical)=0") {
+    val d = Seq(("x", "spark query engine test"), ("y", "spark query engine test"))
+      .toDF("id", "text")
+    val sigs = d.select(SimHash.simhash(col("text"))).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    val h = Seq((sigs(0), sigs(1)), (sigs(0), sigs(0) ^ 5L)).toDF("a", "b")
+      .select(SimHash.hamming(col("a"), col("b")).cast("long")).as[Long].collect().toSeq
+    assert(h == Seq(0L, 2L))
+  }
+
+  test("minhash candidatePairs finds exact duplicates across all bands") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words appear in this document instead"))
+      .toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, Hashing.Bands.toLong)))
+  }
+
+  test("shingles need at least 3 tokens") {
+    val d = Seq((1L, "one two"), (2L, "one two three four")).toDF("id", "text")
+    val out = MinHash.withShingles(d, "id", "text")
+      .orderBy("id").select(size(col("__sh"))).as[Int].collect().toSeq
+    assert(out == Seq(0, 2))
+  }
+
+  test("brute-force topk ranks by exact integer dot, ties by id") {
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(d, d.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("dot"))).toSeq
+    assert(out == Seq((1L, 1000000L), (2L, 500000L), (3L, -1000000L)))
+  }
+
+  test("srp bucket groups identical vectors; lsh near-dups find the pair") {
+    val d = Seq(
+      (0L, Array.fill(Hashing.Dim)(0.1f)),
+      (1L, Array.fill(Hashing.Dim)(0.1f)),
+      (2L, Array.fill(Hashing.Dim)(-0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshNearDuplicates(d, "vec_id", "embedding", 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L)))
+  }
+}
