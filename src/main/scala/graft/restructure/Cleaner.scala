@@ -1,0 +1,115 @@
+package graft.restructure
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.state.{OffsetRangeSet, TopicPartition}
+
+import java.time.Instant
+
+/** The cleaner job (SURVEY §3.2): safely delete source Avro files whose
+  * every record is verifiably present in the restructured output.
+  *
+  * - candidates: mtime older than `ageMs` AND offset range (+1) recorded in
+  *   state, so the newest offset of a partition is never deleted (P9,
+  *   cleaner/SourceDataCleaner.kt:83-92);
+  * - verification: one distributed anti-join per topic of candidate-file
+  *   records against the output's distinct (project, user, bin, time) set
+  *   (J3/A5, cleaner/TimestampExtractionCheck.kt:50-78) — no per-file
+  *   driver loops, one Spark job regardless of candidate count;
+  * - verified files are deleted (S11); unverified files have their range
+  *   removed from state so the next restructure pass reprocesses them
+  *   (cleaner/SourceDataCleaner.kt:103-106).
+  */
+final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long = 7L * 24 * 3600 * 1000) {
+
+  private val job = new Restructure(spark, config)
+
+  def candidates(topic: String, state: OffsetRangeSet, now: Long = System.currentTimeMillis): Seq[TopicFile] =
+    job.listFiles(topic)
+      .filter(_.length > 0)
+      .filter(_.lastModified < now - ageMs)
+      .filter { f =>
+        state.contains(
+          TopicPartition(f.topic, f.partition),
+          f.startOffset, f.endOffset.getOrElse(f.startOffset) + 1,
+          Instant.ofEpochMilli(f.lastModified))
+      }
+
+  /** Distinct (project, user, bin, time) present in the topic's output.
+    * Times pass through timestamp_seconds on BOTH sides of the join so
+    * source and output compare at the same (microsecond) precision. */
+  def extractedTimes(topic: String): DataFrame = {
+    val dir = s"${config.outputDir}/$topic"
+    // pathGlobFilter: skip the schema sidecar; partition dirs still resolve
+    val reader = spark.read
+      .option("header", "true")
+      .option("pathGlobFilter", "part-*")
+    val df =
+      try {
+        config.format match {
+          case "csv"  => reader.csv(dir)
+          case "json" => reader.json(dir)
+          case other  => throw new IllegalArgumentException(s"unknown format: $other")
+        }
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // missing/empty output: nothing is extracted
+          return spark.emptyDataFrame
+            .withColumn("p", lit(null).cast("string"))
+            .withColumn("u", lit(null).cast("string"))
+            .withColumn("b", lit(null).cast("string"))
+            .withColumn("t", lit(null).cast("double"))
+      }
+    df.select(
+      col("_project").as("p"), col("_user").as("u"), col("_bin").as("b"),
+      timestamp_seconds(col("`value.time`").cast("double")).cast("double").as("t"))
+      .distinct()
+  }
+
+  /** Per-file count of source records NOT found in the output. Records with
+    * no event time count as present (reference fallback,
+    * cleaner/TimestampFileCache.kt:62-66). */
+  def unmatchedCounts(topic: String, files: Seq[TopicFile]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val extracted = extractedTimes(topic)
+    job.readTopic(topic, files).flatMap { df =>
+      val src = df.select(
+        col("_file"), col("_project").as("p"), col("_user").as("u"),
+        col("_bin").as("b"), col("_time").cast("double").as("t"))
+        .filter(col("t").isNotNull)
+      src.join(extracted, Seq("p", "u", "b", "t"), "left_anti")
+        .groupBy("_file").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+    }.toMap
+  }
+
+  /** One cleaning pass. Returns (deleted paths, reprocess paths). */
+  def run(now: Long = System.currentTimeMillis): (Seq[String], Seq[String]) = {
+    val state = job.loadState()
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reprocess = scala.collection.mutable.ArrayBuffer.empty[String]
+    job.listTopics().foreach { topic =>
+      val cand = candidates(topic, state, now)
+      if (cand.nonEmpty) {
+        val unmatched = unmatchedCounts(topic, cand)
+        cand.foreach { f =>
+          if (unmatched.getOrElse(f.path, 0L) == 0L) {
+            val p = new Path(f.path)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+            deleted += f.path
+          } else {
+            f.endOffset.foreach { end =>
+              state.remove(TopicPartition(f.topic, f.partition), f.startOffset, end)
+            }
+            reprocess += f.path
+          }
+        }
+        job.saveState(state)
+      }
+    }
+    (deleted.toSeq, reprocess.toSeq)
+  }
+}

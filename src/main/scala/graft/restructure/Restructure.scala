@@ -1,0 +1,281 @@
+package graft.restructure
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.avro.AvroSource
+import graft.functions.{Strings, Times}
+import graft.operators.{Dedup, Flatten, Intervals}
+import graft.state.{OffsetRangeSet, TopicPartition}
+
+import java.time.Instant
+
+/** Per-topic deduplication settings (reference: config/RestructureConfig.kt:233-265). */
+final case class DedupConfig(
+    enable: Boolean = false,
+    distinctFields: Seq[String] = Seq.empty,
+    ignoreFields: Seq[String] = Seq.empty)
+
+/** Engine configuration (the subset of the reference's RestructureConfig
+  * that affects dataflow; storage endpoints are Hadoop FS URIs).
+  */
+final case class RestructureConfig(
+    inputDir: String,
+    outputDir: String,
+    stateFile: String,
+    format: String = "csv", // csv | json
+    compression: Option[String] = Some("gzip"),
+    timeBinFormat: String = Times.DefaultBinFormat,
+    excludeTopics: Set[String] = Set.empty,
+    maxFilesPerTopic: Option[Int] = None,
+    minimumFileAgeMs: Long = 60000L,
+    dedup: Map[String, DedupConfig] = Map.empty,
+    dedupDefault: DedupConfig = DedupConfig())
+
+/** One source file of one topic: a contiguous offset range of a
+  * topic-partition, metadata parsed from the filename
+  * (reference: source/SourceStorage.kt:18-22). */
+final case class TopicFile(
+    topic: String,
+    path: String,
+    partition: Int,
+    startOffset: Long,
+    endOffset: Option[Long],
+    lastModified: Long,
+    length: Long)
+
+/** The restructure job: incremental Avro -> partitioned flat CSV/JSON with
+  * offset-range accounting (SURVEY §3.1 end to end, re-expressed
+  * Spark-first).
+  *
+  * Scale design: listing, pruning, and offset accounting are driver-side
+  * (state is O(gaps), file lists are O(files) metadata only); every
+  * per-record step — decode, derive, flatten, dedup, write — is a narrow or
+  * single-shuffle Spark stage over file-granular tasks. Nothing per-record
+  * ever lands on the driver.
+  */
+final class Restructure(spark: SparkSession, config: RestructureConfig) {
+
+  private val fs = new Path(config.inputDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------ planning
+
+  /** S1 — topic discovery: a directory containing `*.avro` files two levels
+    * down is a topic root (`<topic>/partition=<p>/<file>.avro`);
+    * `+tmp` dirs skipped; exclude filter applied (P4). */
+  def listTopics(): Seq[String] = {
+    val root = new Path(config.inputDir)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.contains("+tmp"))
+      .map(_.getPath.getName)
+      .filterNot(config.excludeTopics)
+      .sorted
+  }
+
+  /** S2 — file listing for one topic with filename metadata (F6). */
+  def listFiles(topic: String): Seq[TopicFile] = {
+    val dir = new Path(config.inputDir, topic)
+    val it = fs.listFiles(dir, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[TopicFile]
+    val re = "([^/+]+)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$".r
+    while (it.hasNext) {
+      val s: FileStatus = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".avro")) {
+        re.findFirstMatchIn(s.getPath.getName).foreach { m =>
+          out += TopicFile(
+            topic = topic,
+            path = s.getPath.toString,
+            partition = m.group(2).toInt,
+            startOffset = m.group(3).toLong,
+            endOffset = Option(m.group(4)).map(_.toLong),
+            lastModified = s.getModificationTime,
+            length = s.getLen)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** P5/P6/P8/O1 — prune the file list against age, zero length, and the
+    * processed-offset state; apply the per-pass limit. */
+  def plan(topic: String, state: OffsetRangeSet, now: Long = System.currentTimeMillis): Seq[TopicFile] = {
+    val pruned = listFiles(topic)
+      .filter(_.length > 0)
+      .filter(_.lastModified <= now - config.minimumFileAgeMs)
+      .filterNot { f =>
+        // files without an end offset in the filename check [start, start]:
+        // if the file was fully processed its whole range (start..lastRecord)
+        // is in state, so containment of the start is sufficient; the mtime
+        // check still forces reprocessing of rewritten files (W5)
+        state.contains(
+          TopicPartition(f.topic, f.partition),
+          f.startOffset, f.endOffset.getOrElse(f.startOffset),
+          Instant.ofEpochMilli(f.lastModified))
+      }
+      .sortBy(f => (f.partition, f.startOffset))
+    config.maxFilesPerTopic.fold(pruned)(pruned.take)
+  }
+
+  // ------------------------------------------------------------ dataflow
+
+  /** Read one topic's planned files (grouped by writer schema — the
+    * plan-time analog of the reference's schema-drift attempt suffix) and
+    * derive the standard columns:
+    * `_topic _partition _offset _mtime _project _user _source _time _bin`.
+    */
+  def readTopic(topic: String, files: Seq[TopicFile]): Seq[DataFrame] = {
+    val byPath = files.map(f => f.path -> f).toMap
+    AvroSource.schemaGroups(spark, files.map(_.path)).map { case (schema, paths) =>
+      val df = AvroSource.read(spark, paths, schema)
+      val meta = spark.createDataFrame(
+        paths.map { p =>
+          val f = byPath(p)
+          (p, f.partition, f.startOffset, new java.sql.Timestamp(f.lastModified))
+        })
+        .toDF("_file", "_partition", "_start_offset", "_mtime")
+      val withMeta = df.join(broadcast(meta), "_file")
+      val time = Times.eventTime(withMeta)
+      withMeta
+        .withColumn("_topic", lit(topic))
+        .withColumn("_offset", col("_start_offset") + col("_row_index"))
+        .withColumn("_project", sanitized(withMeta, "key.projectId", "unknown-project"))
+        .withColumn("_user", sanitized(withMeta, "key.userId", "unknown-user"))
+        .withColumn("_source", sanitized(withMeta, "key.sourceId", "unknown-source"))
+        .withColumn("_time", time)
+        .withColumn("_bin", Times.timeBin(col("_time"), config.timeBinFormat))
+        .drop("_start_offset")
+    }
+  }
+
+  private def sanitized(df: DataFrame, path: String, default: String): Column = {
+    val exists = {
+      val parts = path.split("\\.")
+      df.schema.fields.find(_.name == parts(0)).map(_.dataType) match {
+        case Some(s: StructType) => s.fields.exists(_.name == parts(1))
+        case _                   => false
+      }
+    }
+    if (exists) Strings.sanitizeId(col(path), default) else lit(default)
+  }
+
+  /** P7 — drop records whose offset is already covered by state (file
+    * partially processed in a crashed run). Broadcast predicate, no join. */
+  def filterSeen(df: DataFrame, state: OffsetRangeSet): DataFrame =
+    if (state.isEmpty) df
+    else Intervals.unseenByState(
+      spark, df, state, "_topic", "_partition", "_offset", Some("_mtime"))
+
+  /** D1/D2/D3 — per-topic dedup config applied over the flat record,
+    * ordered by offset. */
+  def dedup(topic: String, df: DataFrame): DataFrame = {
+    val cfg = config.dedup.getOrElse(topic, config.dedupDefault)
+    if (!cfg.enable) df
+    else if (cfg.distinctFields.nonEmpty) Dedup.keepLast(df, cfg.distinctFields, "_offset")
+    else if (cfg.ignoreFields.nonEmpty)
+      Dedup.keepLastIgnoring(df, cfg.ignoreFields ++ metaCols, "_offset")
+    else Dedup.keepLastIgnoring(df, metaCols, "_offset")
+  }
+
+  private val metaCols = Seq(
+    "_file", "_row_index", "_topic", "_partition", "_offset", "_mtime",
+    "_project", "_user", "_source", "_time", "_bin")
+
+  /** S7/S9 — write one topic batch: flatten the payload, partition by
+    * (project, user, bin), CSV-with-header or JSON lines, optional gzip;
+    * schema sidecar once per topic. Returns the offset ranges written.
+    */
+  def write(topic: String, df: DataFrame): Unit = {
+    val payload = df.schema.fields.map(_.name).filterNot(metaCols.contains)
+    val flatCols = Flatten.flattenColumns(
+      StructType(df.schema.fields.filter(f => payload.contains(f.name))))
+    val out = df.select(
+      (Seq(col("_project"), col("_user"), col("_bin"), col("_offset"), col("_partition"), col("_mtime")) ++
+        flatCols): _*)
+    val dir = s"${config.outputDir}/$topic"
+    val writer = out
+      .drop("_offset", "_partition", "_mtime")
+      .write
+      .partitionBy("_project", "_user", "_bin")
+      .mode(SaveMode.Append)
+    val withCompression = config.compression match {
+      case Some(c) => writer.option("compression", c)
+      case None    => writer
+    }
+    config.format match {
+      case "csv"  => withCompression.option("header", "true").csv(dir)
+      case "json" => withCompression.json(dir)
+      case other  => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+  }
+
+  /** A2 — offset ranges of a processed batch (computed over the PRE-dedup
+    * records: the reference ledgers every record it read, including ones the
+    * dedup pass later drops — worker/RestructureWorker.kt:127-135). */
+  def processedRanges(df: DataFrame): DataFrame =
+    Intervals.toRanges(
+      df.select(col("_topic").as("topic"), col("_partition").as("partition"),
+        col("_offset").as("offset"), col("_mtime").as("mtime")),
+      Seq("topic", "partition"), "offset", Some("mtime"))
+
+  /** Schema sidecar (S9): Spark schema JSON written once per topic dir. */
+  def writeSidecar(topic: String, df: DataFrame): Unit = {
+    val p = new Path(s"${config.outputDir}/$topic", s"schema-$topic.json")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!out.exists(p)) {
+      val os = out.create(p, true)
+      try os.write(df.schema.prettyJson.getBytes("UTF-8")) finally os.close()
+    }
+  }
+
+  // ------------------------------------------------------------ lifecycle
+
+  /** Full incremental pass: plan, read, filter, dedup, write, commit —
+    * write-then-commit ordering per topic (W3: a crash before the state
+    * write reprocesses the batch; dedup keeps the output idempotent). */
+  def run(): RestructureResult = {
+    val state = loadState()
+    var filesProcessed = 0L
+    val topics = listTopics()
+    topics.foreach { topic =>
+      val files = plan(topic, state)
+      if (files.nonEmpty) {
+        filesProcessed += files.size
+        readTopic(topic, files).foreach { df =>
+          val unseen = filterSeen(df, state)
+          val deduped = dedup(topic, unseen)
+          writeSidecar(topic, df)
+          write(topic, deduped)
+          Intervals.collectRanges(processedRanges(unseen)).entries.foreach {
+            case (tp, r) => state.add(tp, r.from, r.to, r.lastProcessed)
+          }
+          saveState(state) // S10 — commit after write
+        }
+      }
+    }
+    RestructureResult(topics.size, filesProcessed)
+  }
+
+  def loadState(): OffsetRangeSet = {
+    val p = new Path(config.stateFile)
+    val sfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sfs.exists(p)) new OffsetRangeSet
+    else {
+      val in = sfs.open(p)
+      try OffsetRangeSet.fromJson(
+        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  def saveState(state: OffsetRangeSet): Unit = {
+    val p = new Path(config.stateFile)
+    val sfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = sfs.create(p, true)
+    try os.write(state.toJson.getBytes("UTF-8")) finally os.close()
+  }
+}
+
+final case class RestructureResult(topics: Int, files: Long)

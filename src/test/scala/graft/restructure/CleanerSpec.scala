@@ -1,0 +1,108 @@
+package graft.restructure
+
+import graft.SparkSpec
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import java.io.File
+import java.nio.file.Files
+
+/** Cleaner semantics: extracted files are deleted, tampered output forces
+  * reprocessing via state removal (SURVEY §3.2 / reference
+  * cleaner/SourceDataCleaner.kt).
+  */
+class CleanerSpec extends SparkSpec {
+
+  private val schemaJson =
+    """{"type":"record","name":"Envelope","fields":[
+      | {"name":"key","type":{"type":"record","name":"ObservationKey","fields":[
+      |   {"name":"projectId","type":["null","string"],"default":null},
+      |   {"name":"userId","type":"string"},
+      |   {"name":"sourceId","type":"string"}]}},
+      | {"name":"value","type":{"type":"record","name":"Light","fields":[
+      |   {"name":"time","type":"double"},
+      |   {"name":"light","type":"float"}]}}
+      |]}""".stripMargin
+
+  private val schema = new Schema.Parser().parse(schemaJson)
+
+  private def record(time: Double, light: Float): GenericRecord = {
+    val key = new GenericData.Record(schema.getField("key").schema())
+    key.put("projectId", "p"); key.put("userId", "u"); key.put("sourceId", "s")
+    val value = new GenericData.Record(schema.getField("value").schema())
+    value.put("time", time); value.put("light", light)
+    val rec = new GenericData.Record(schema)
+    rec.put("key", key); rec.put("value", value)
+    rec
+  }
+
+  private def writeAvro(file: File, records: Seq[GenericRecord]): Unit = {
+    file.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, file)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  test("cleaner deletes extracted files, keeps the newest offset, reprocesses tampered output") {
+    val dir = Files.createTempDirectory("graft-cleaner").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000+0000000001.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000002+0000000003.avro")
+    val f3 = new File(topicDir, "phone_light+0+0000000004.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219950.0, 3f), record(1580219951.0, 4f)))
+    writeAvro(f3, Seq(record(1580219960.0, 5f)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      compression = None,
+      minimumFileAgeMs = 0L)
+    new Restructure(spark, cfg).run()
+
+    // age=0 makes every processed file an age-eligible candidate
+    val cleaner = new Cleaner(spark, cfg, ageMs = 0L)
+    val future = System.currentTimeMillis + 60000
+    val (deleted, reprocess) = cleaner.run(now = future)
+    // f1, f2 fully extracted -> deleted; f3 holds the newest offset (range+1
+    // not in state) -> never a candidate
+    assert(deleted.map(_.stripPrefix("file:")).toSet == Set(f1.toString, f2.toString))
+    assert(reprocess.isEmpty)
+    assert(!f1.exists() && !f2.exists() && f3.exists())
+  }
+
+  test("cleaner reprocesses when output is missing records") {
+    val dir = Files.createTempDirectory("graft-cleaner2").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000+0000000001.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000002.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219950.0, 3f)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      compression = None,
+      minimumFileAgeMs = 0L)
+    val job = new Restructure(spark, cfg)
+    job.run()
+
+    // tamper: wipe the topic output entirely
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new File(cfg.outputDir, "phone_light"))
+    new File(cfg.outputDir, "phone_light").mkdirs()
+
+    val cleaner = new Cleaner(spark, cfg, ageMs = 0L)
+    val (deleted, reprocess) = cleaner.run(now = System.currentTimeMillis + 60000)
+    assert(deleted.isEmpty)
+    assert(reprocess.map(_.stripPrefix("file:")) == Seq(f1.toString))
+    // state range removed -> next restructure pass picks f1 up again
+    val r = job.run()
+    assert(r.files == 1)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.restructure
+
+import graft.SparkSpec
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import java.io.File
+import java.nio.file.Files
+
+/** End-to-end restructure pipeline test mirroring the reference's
+  * integration golden (RestructureS3IntegrationTest.kt:40-98, FIXTURES.md
+  * §3.2): Avro sink files -> per-(project,user,hour) flattened CSV with
+  * dedup, schema sidecar, offset state, and incremental re-run.
+  */
+class RestructureSpec extends SparkSpec {
+
+  private val schemaJson =
+    """{"type":"record","name":"Envelope","fields":[
+      | {"name":"key","type":{"type":"record","name":"ObservationKey","fields":[
+      |   {"name":"projectId","type":["null","string"],"default":null},
+      |   {"name":"userId","type":"string"},
+      |   {"name":"sourceId","type":"string"}]}},
+      | {"name":"value","type":{"type":"record","name":"ServerStatus","fields":[
+      |   {"name":"time","type":"double"},
+      |   {"name":"serverStatus","type":"string"},
+      |   {"name":"ipAddress","type":["null","string"],"default":null}]}}
+      |]}""".stripMargin
+
+  private val schema = new Schema.Parser().parse(schemaJson)
+
+  private def record(time: Double, status: String): GenericRecord = {
+    val key = new GenericData.Record(schema.getField("key").schema())
+    key.put("projectId", "STAGING_PROJECT")
+    key.put("userId", "user1")
+    key.put("sourceId", "source1")
+    val value = new GenericData.Record(schema.getField("value").schema())
+    value.put("time", time)
+    value.put("serverStatus", status)
+    value.put("ipAddress", null)
+    val rec = new GenericData.Record(schema)
+    rec.put("key", key)
+    rec.put("value", value)
+    rec
+  }
+
+  private def writeAvro(file: File, records: Seq[GenericRecord]): Unit = {
+    file.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, file)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  // 2020-01-28T13:59 and 14:01 UTC — the two hour bins of the reference test
+  private val t1 = 1580219940.0
+  private val t2 = 1580220060.0
+
+  private def setup(): (File, RestructureConfig) = {
+    val dir = Files.createTempDirectory("graft-restructure").toFile
+    val topicDir = new File(dir, "in/application_server_status/partition=1")
+    // offsets 18-20: two records in bin 13:00 (one duplicated), one in 14:00
+    writeAvro(
+      new File(topicDir, "application_server_status+1+0000000018+0000000020.avro"),
+      Seq(record(t1, "CONNECTED"), record(t1, "CONNECTED"), record(t2, "DISCONNECTED")))
+    // offset 21: one more record, 14:00 bin
+    writeAvro(
+      new File(topicDir, "application_server_status+1+0000000021.avro"),
+      Seq(record(t2, "CONNECTED")))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      compression = None,
+      minimumFileAgeMs = 0L,
+      dedupDefault = DedupConfig(enable = true))
+    (dir, cfg)
+  }
+
+  test("restructure: topic discovery, hourly bins, flatten, dedup, state, incremental") {
+    val (dir, cfg) = setup()
+    val job = new Restructure(spark, cfg)
+
+    assert(job.listTopics() == Seq("application_server_status"))
+    val files = job.plan("application_server_status", new graft.state.OffsetRangeSet)
+    assert(files.map(_.startOffset) == Seq(18L, 21L))
+    assert(files.head.endOffset.contains(20L))
+
+    val r1 = job.run()
+    assert(r1.files == 2)
+
+    // output layout: per (project, user, bin) partitions
+    val out = new File(cfg.outputDir, "application_server_status")
+    def binDir(bin: String) =
+      new File(out, s"_project=STAGING_PROJECT/_user=user1/_bin=$bin")
+    assert(binDir("20200128_1300").exists())
+    assert(binDir("20200128_1400").exists())
+    assert(new File(out, "schema-application_server_status.json").exists())
+
+    // flattened dotted columns + dedup (duplicate record removed)
+    val bin13 = spark.read.option("header", "true")
+      .csv(binDir("20200128_1300").toString)
+    assert(bin13.columns.toSeq == Seq(
+      "key.projectId", "key.userId", "key.sourceId",
+      "value.time", "value.serverStatus", "value.ipAddress"))
+    assert(bin13.count() == 1) // two identical records deduped to one
+    val row = bin13.head
+    assert(row.getAs[String]("key.projectId") == "STAGING_PROJECT")
+    assert(row.getAs[String]("value.serverStatus") == "CONNECTED")
+
+    val bin14 = spark.read.option("header", "true")
+      .csv(binDir("20200128_1400").toString)
+    assert(bin14.count() == 2)
+
+    // state: offsets 18..21 of partition 1 recorded as one coalesced range
+    val state = job.loadState()
+    val ranges = state.entries
+    assert(ranges.map { case (tp, r) => (tp.topic, tp.partition, r.from, r.to) } ==
+      Seq(("application_server_status", 1, 18L, 21L)))
+
+    // incremental: second pass plans nothing and processes nothing
+    val r2 = job.run()
+    assert(r2.files == 0)
+  }
+
+  test("restructure: late file appends to an existing bin") {
+    val (dir, cfg) = setup()
+    val job = new Restructure(spark, cfg)
+    job.run()
+    // a late record for the 13:00 bin arrives in a new file (offset 22)
+    writeAvro(
+      new File(dir, "in/application_server_status/partition=1/application_server_status+1+0000000022.avro"),
+      Seq(record(t1 + 30, "DEGRADED"))) // 13:59:30 — still the 13:00 bin
+    val r = job.run()
+    assert(r.files == 1)
+    val bin13 = spark.read.option("header", "true").csv(
+      new File(cfg.outputDir,
+        "application_server_status/_project=STAGING_PROJECT/_user=user1/_bin=20200128_1300").toString)
+    assert(bin13.count() == 2) // original + late append
+    assert(job.loadState().entries.map(_._2.to) == Seq(22L))
+  }
+}
