@@ -151,6 +151,49 @@ object Oracles {
          |FROM (SELECT event_id, $fname AS fname FROM events) ORDER BY event_id""".stripMargin
     },
 
+    "flatten_nested" ->
+      """SELECT event_id, user_id AS "k.user_id", event_type AS "k.event_type",
+        | value AS "v.value", props AS "v.props"
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "time_cascade" ->
+      """SELECT event_id,
+        | strftime(make_timestamp(CAST(
+        |  (CASE WHEN event_id % 3 = 0 THEN event_id*97 + 3600 ELSE event_id*97 END)
+        |   * 1000000 AS BIGINT)), '%Y%m%d_%H00') AS bin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "dedup_ignorefields" ->
+      """SELECT event_id, user_id, event_type FROM (
+        | SELECT event_id, user_id, event_type,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "extraction_semijoin" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y%m%d_%H00') AS bin
+        |FROM events e
+        |WHERE EXISTS (SELECT 1 FROM events v
+        | WHERE v.event_type = 'view' AND v.user_id = e.user_id
+        |  AND strftime(v.ts, '%Y%m%d_%H00') = strftime(e.ts, '%Y%m%d_%H00'))
+        |ORDER BY event_id""".stripMargin,
+
+    "limit_per_group" ->
+      """SELECT event_id, user_id, rn FROM (
+        | SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        | FROM events) WHERE rn <= 3 ORDER BY event_id""".stripMargin,
+
+    "offset_assign" ->
+      """SELECT event_id, user_id,
+        | (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+        |  + user_id * 1000000 AS offset
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "timestamp_sets" ->
+      """SELECT user_id, strftime(ts, '%Y%m%d_%H00') AS bin,
+        | COUNT(DISTINCT ts) AS n_times
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bin""".stripMargin,
+
     "json_flatten" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
         |FROM events ORDER BY event_id""".stripMargin,

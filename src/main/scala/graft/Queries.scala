@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
-import graft.operators.{Dedup, Intervals}
+import graft.operators.{Dedup, Flatten, Intervals}
 import graft.dedup.{MinHash, SimHash}
 import graft.similarity.Similarity
 import graft.text.{Hashing, Text}
@@ -170,6 +170,86 @@ object Queries {
           .as("b64"))
       .orderBy(col("doc_id"))
 
+  /** P2 — recursive struct flatten with dotted column names (built from a
+    * nested projection of events, flattened by the library operator). */
+  def flattenNested(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events").select(
+      col("event_id"),
+      struct(col("user_id"), col("event_type")).as("k"),
+      struct(col("value"), col("props")).as("v"))
+    Flatten.flatten(d).orderBy(col("event_id"))
+  }
+
+  /** F1 — schema-gated event-time cascade: value.time (synthetic, nulled for
+    * every third record) falls back to value.timeReceived; exact integer
+    * seconds so the bin label is engine-independent. */
+  def timeCascade(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select(
+      col("event_id"),
+      struct(
+        when(col("event_id") % 3 === 0, lit(null).cast(DoubleType))
+          .otherwise((col("event_id") * 97).cast(DoubleType)).as("time"),
+        (col("event_id") * 97 + 3600).cast(DoubleType).as("timeReceived"))
+        .as("value"))
+    base
+      .select(
+        col("event_id"),
+        Times.timeBin(Times.eventTime(base)).as("bin"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D1 ignoreFields variant — key = all columns minus ignored minus order:
+    * keeps the last event per event_type. */
+  def dedupIgnoreFields(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepLastIgnoring(
+      t(s, dir, "events").select("event_id", "user_id", "event_type"),
+      Seq("user_id"), "event_id")
+      .orderBy(col("event_id"))
+
+  /** J3/A5 — extraction check as a semi-join: records whose (user, hour-bin)
+    * appears in the 'view' events' distinct time set. */
+  def extractionSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val seen = events.filter(col("event_type") === "view")
+      .select(col("user_id"), Times.timeBin(col("ts")).as("bin"))
+      .distinct()
+    events
+      .select(col("event_id"), col("user_id"), Times.timeBin(col("ts")).as("bin"))
+      .join(seen, Seq("user_id", "bin"), "left_semi")
+      .select("event_id", "user_id", "bin")
+      .orderBy(col("event_id"))
+  }
+
+  /** O1 — per-group limit: first 3 events of every user (maxFilesPerTopic
+    * shape: bounded take per group, not a global limit). */
+  def limitPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy(col("event_id"))
+  }
+
+  /** F7 — per-partition offset assignment: kafkaOffset = startOffset + row
+    * index within the partition, in stable (event_id) order. */
+  def offsetAssign(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("offset",
+        (row_number().over(w).cast(LongType) - 1) + col("user_id") * 1000000)
+      .orderBy(col("event_id"))
+  }
+
+  /** A5 — distinct timestamp set per output bin (cardinality form: the
+    * membership set the cleaner checks against). */
+  def timestampSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), Times.timeBin(col("ts")).as("bin"))
+      .agg(count_distinct(col("ts")).as("n_times"))
+      .orderBy(col("user_id"), col("bin"))
+
   // ------------------------------------------------------ text analysis pack
 
   def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -281,6 +361,13 @@ object Queries {
     "intervals_islands" -> intervalsIslands _,
     "anti_join_unseen" -> antiJoinUnseen _,
     "sanitize_ids" -> sanitizeIds _,
+    "flatten_nested" -> flattenNested _,
+    "time_cascade" -> timeCascade _,
+    "dedup_ignorefields" -> dedupIgnoreFields _,
+    "extraction_semijoin" -> extractionSemiJoin _,
+    "limit_per_group" -> limitPerGroup _,
+    "offset_assign" -> offsetAssign _,
+    "timestamp_sets" -> timestampSets _,
     "filename_meta" -> filenameMeta _,
     "json_flatten" -> jsonFlatten _,
     "base64_unpadded" -> base64Unpadded _,

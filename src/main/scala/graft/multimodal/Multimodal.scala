@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: payloads are opaque `binary` columns with typed metadata; the
+  * decode step itself is STUBBED (no media libraries in this environment)
+  * behind a deterministic fake codec, while everything Spark-side — schema,
+  * batch shape, partition sizing, column plumbing — is real.
+  *
+  * The fake codec: a payload is `[w:int16][h:int16][c:int8][pixels...]`
+  * (big-endian), one byte per sample. `decodeMeta`/`resize`/`frameSample`/
+  * `featurize` operate on that layout exactly as a real codec integration
+  * would (replace `FakeCodec` with an actual decoder to go live).
+  *
+  * Scale notes: all operators are `mapPartitions` over the binary payloads —
+  * narrow, no shuffle; `repartitionBySize` rebalances skewed media sizes
+  * BEFORE the expensive decode so one task doesn't serialize a partition of
+  * 4K videos while others hold thumbnails.
+  */
+object Multimodal {
+
+  val metaType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("valid", BooleanType)))
+
+  /** The stub decoder. A real integration replaces this object only. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (payload == null || payload.length < 5) return None
+      val w = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      val h = ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+      val c = payload(4) & 0xff
+      val n = w.toLong * h * c
+      if (n != payload.length - 5L || c < 1) None
+      else Some((w, h, c, java.util.Arrays.copyOfRange(payload, 5, payload.length)))
+    }
+
+    def encode(w: Int, h: Int, c: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == w * h * c)
+      val out = new Array[Byte](5 + pixels.length)
+      out(0) = (w >> 8).toByte; out(1) = w.toByte
+      out(2) = (h >> 8).toByte; out(3) = h.toByte
+      out(4) = c.toByte
+      System.arraycopy(pixels, 0, out, 5, pixels.length)
+      out
+    }
+  }
+
+  /** Decode metadata for a binary column: adds a `meta` struct column.
+    * mapPartitions batch shape: one decoded payload at a time, nothing
+    * buffered — bounded memory however large individual payloads are. */
+  def withMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("meta", metaType))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val meta = FakeCodec.decode(payload) match {
+          case Some((w, h, c, _)) =>
+            Row(w, h, c, if (payload == null) 0L else payload.length.toLong, true)
+          case None =>
+            Row(null, null, null, if (payload == null) 0L else payload.length.toLong, false)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Nearest-neighbor resize of the fake-codec payloads to (tw x th).
+    * Invalid payloads pass through as null. */
+  def resize(df: DataFrame, binCol: String, tw: Int, th: Int): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out = FakeCodec.decode(r.getAs[Array[Byte]](idx)).map { case (w, h, c, px) =>
+          val resized = new Array[Byte](tw * th * c)
+          var y = 0
+          while (y < th) {
+            val sy = y * h / th
+            var x = 0
+            while (x < tw) {
+              val sx = x * w / tw
+              var ch = 0
+              while (ch < c) {
+                resized((y * tw + x) * c + ch) = px((sy * w + sx) * c + ch)
+                ch += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          FakeCodec.encode(tw, th, c, resized)
+        }.orNull
+        Row.fromSeq(r.toSeq.updated(idx, out))
+      }
+    }(enc)
+  }
+
+  /** Deterministic feature vector from a payload: `dim` floats folded from a
+    * rolling hash of the pixel bytes (stands in for a real embedding model;
+    * the column type Array[Float] matches graft.similarity's input). */
+  def featurize(df: DataFrame, binCol: String, dim: Int = 64): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats =
+          if (payload == null) null
+          else {
+            val acc = new Array[Long](dim)
+            var i = 0
+            while (i < payload.length) {
+              acc(i % dim) = (acc(i % dim) * 31 + (payload(i) & 0xff)) % 1000003L
+              i += 1
+            }
+            acc.map(v => (v.toDouble / 1000003d).toFloat)
+          }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Rebalance by payload size before expensive per-byte work: targets
+    * `bytesPerPartition` per task, so mixed thumbnail/4K corpora decode with
+    * even task durations instead of long-tail stragglers. */
+  def repartitionBySize(df: DataFrame, binCol: String, bytesPerPartition: Long = 128L << 20): DataFrame = {
+    val total = df.select(sum(octet_length(col(binCol)).cast(LongType))).head.getLong(0)
+    val parts = math.max(1, math.min(Int.MaxValue.toLong, (total + bytesPerPartition - 1) / bytesPerPartition)).toInt
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.restructure
+
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Service mode (SURVEY §2.8 W2): fixed-rate polling of restructure and
+  * cleaner passes, mirroring the reference's scheduler
+  * (Application.kt:100-119; worker/Job.kt:36-41 — initial delay is a
+  * quarter interval, restructure default 300 s, cleaner 1260 s).
+  */
+final class Service(
+    restructure: () => Unit,
+    cleaner: Option[() => Unit] = None,
+    restructureIntervalMs: Long = 300000L,
+    cleanerIntervalMs: Long = 1260000L) {
+
+  private var executor: ScheduledExecutorService = _
+  val restructurePasses = new AtomicLong(0)
+  val cleanerPasses = new AtomicLong(0)
+  @volatile var lastError: Option[Throwable] = None
+
+  def start(): Unit = synchronized {
+    require(executor == null, "service already started")
+    executor = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-service"); t.setDaemon(true); t
+    }
+    def guard(f: () => Unit, counter: AtomicLong): Runnable = () =>
+      try { f(); counter.incrementAndGet() }
+      catch { case e: Throwable => lastError = Some(e) } // next tick retries
+    executor.scheduleAtFixedRate(
+      guard(restructure, restructurePasses),
+      restructureIntervalMs / 4, restructureIntervalMs, TimeUnit.MILLISECONDS)
+    cleaner.foreach { c =>
+      executor.scheduleAtFixedRate(
+        guard(c, cleanerPasses),
+        cleanerIntervalMs / 4, cleanerIntervalMs, TimeUnit.MILLISECONDS)
+    }
+  }
+
+  def stop(): Unit = synchronized {
+    if (executor != null) {
+      executor.shutdownNow()
+      executor.awaitTermination(10, TimeUnit.SECONDS)
+      executor = null
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.functions.Times
+
+/** Structured Streaming facade for the engine (SURVEY §2.8).
+  *
+  * The reference is a micro-batch polling pipeline; its streaming-native
+  * re-expression is the file source + `Trigger.AvailableNow`: each
+  * invocation processes exactly the files that arrived since the last
+  * checkpoint — Spark's checkpointed file-source state replaces the
+  * hand-rolled offset-range set for sources Spark can track natively.
+  * (The Avro restructure keeps the explicit offset table instead: its
+  * unbounded-lateness model (W4) forbids watermark state eviction, and
+  * its incremental unit is the Kafka offset range, not the file.)
+  */
+object Streaming {
+
+  /** Incremental hourly bin counts over a parquet event stream: tumbling
+    * 1-hour window + watermark bounds state; AvailableNow makes each call a
+    * single catch-up batch (the reference's polling pass, W2). */
+  def hourlyBinCounts(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      watermark: String = "2 hours"): StreamingQuery = {
+    val in = spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+    val agg = in
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), Times.DefaultBinFormat).as("bin"),
+        col("event_type"), col("n"))
+    agg.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+
+  /** Per-key processed-offset tracking as streaming custom state (W6):
+    * mapGroupsWithState keeps (maxOffset, count) per key across batches —
+    * the streaming analog of the driver-side OffsetRangeSet for pipelines
+    * that stay inside Structured Streaming. */
+  final case class OffsetProgress(key: Long, maxOffset: Long, total: Long)
+
+  def trackOffsets(
+      events: Dataset[(Long, Long)] /* (key, offset) */): Dataset[OffsetProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), OffsetProgress](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          val (prevMax, prevN) = state.getOption.getOrElse((Long.MinValue, 0L))
+          var mx = prevMax
+          var n = prevN
+          rows.foreach { case (_, off) => if (off > mx) mx = off; n += 1 }
+          state.update((mx, n))
+          OffsetProgress(key, mx, n)
+      }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: fake-codec decode, resize, featurize,
+  * size-based repartition.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal.FakeCodec
+
+  private def img(w: Int, h: Int, c: Int, seed: Int): Array[Byte] =
+    FakeCodec.encode(w, h, c, Array.tabulate(w * h * c)(i => ((i * 31 + seed) % 251).toByte))
+
+  private def df = Seq(
+    (1L, img(4, 2, 1, 0)),
+    (2L, img(8, 8, 3, 7)),
+    (3L, Array[Byte](1, 2)), // corrupt: too short
+    (4L, null.asInstanceOf[Array[Byte]]))
+    .toDF("id", "payload")
+
+  test("withMeta decodes dimensions and flags invalid payloads") {
+    val out = Multimodal.withMeta(df, "payload").orderBy("id").collect()
+    val m1 = out(0).getAs[Row]("meta")
+    assert(m1.getAs[Int]("width") == 4 && m1.getAs[Int]("height") == 2)
+    assert(m1.getAs[Boolean]("valid"))
+    val m2 = out(1).getAs[Row]("meta")
+    assert(m2.getAs[Int]("channels") == 3 && m2.getAs[Long]("n_bytes") == 8 * 8 * 3 + 5)
+    assert(!out(2).getAs[Row]("meta").getAs[Boolean]("valid"))
+    assert(!out(3).getAs[Row]("meta").getAs[Boolean]("valid"))
+  }
+
+  test("resize produces target dimensions, passes invalid through as null") {
+    val out = Multimodal.resize(df, "payload", 2, 2).orderBy("id").collect()
+    val decoded = FakeCodec.decode(out(0).getAs[Array[Byte]]("payload"))
+    assert(decoded.exists { case (w, h, c, px) => w == 2 && h == 2 && c == 1 && px.length == 4 })
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
+  test("featurize is deterministic with the requested dimensionality") {
+    val out1 = Multimodal.featurize(df, "payload", 16).orderBy("id").collect()
+    val out2 = Multimodal.featurize(df, "payload", 16).orderBy("id").collect()
+    def f(rows: Array[org.apache.spark.sql.Row], i: Int): List[Float] =
+      rows(i).getSeq[Float](rows(i).fieldIndex("features")).toList
+    assert(f(out1, 0).length == 16)
+    assert(f(out1, 0) == f(out2, 0))
+    assert(f(out1, 1) != f(out1, 0))
+    assert(out1(3).isNullAt(out1(3).fieldIndex("features")))
+  }
+
+  test("repartitionBySize targets byte budget per partition") {
+    val big = Multimodal.repartitionBySize(df, "payload", bytesPerPartition = 100L)
+    assert(big.rdd.getNumPartitions >= 2)
+    val one = Multimodal.repartitionBySize(df, "payload", bytesPerPartition = 1L << 30)
+    assert(one.rdd.getNumPartitions == 1)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured Streaming facade: AvailableNow incremental passes over a file
+  * source, and mapGroupsWithState offset tracking.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlyBinCounts processes only new files per AvailableNow pass") {
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    Seq((1L, ts(10, 5), "view"), (2L, ts(10, 20), "click"), (3L, ts(11, 1), "view"))
+      .toDF("event_id", "ts", "event_type")
+      .write.parquet(in)
+
+    val q1 = Streaming.hourlyBinCounts(spark, in, out, cp)
+    q1.awaitTermination()
+    // append mode emits a window only once the watermark (which advances
+    // BETWEEN batches) passes its end — after pass 1 the watermark is
+    // 11:01-2h, so nothing is final yet
+
+    // second batch of files: a late 11:xx record plus a 14:xx record that
+    // advances the watermark past both the 10:00 and 11:00 windows
+    Seq((4L, ts(11, 30), "view"), (5L, ts(14, 10), "view"))
+      .toDF("event_id", "ts", "event_type")
+      .write.mode("append").parquet(in)
+    val q2 = Streaming.hourlyBinCounts(spark, in, out, cp)
+    q2.awaitTermination()
+    val r2 = spark.read.parquet(out)
+      .select("bin", "event_type", "n").as[(String, String, Long)].collect().toSet
+    assert(r2 == Set(
+      ("20240301_1000", "view", 1L),
+      ("20240301_1000", "click", 1L),
+      ("20240301_1100", "view", 2L))) // late 11:30 joined the 11:00 window
+  }
+
+  test("trackOffsets keeps per-key max offset and count across a batch") {
+    val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
+      .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap
+    assert(out == Map(1L -> (10L, 2L), 2L -> (3L, 1L)))
+  }
+}
