@@ -302,7 +302,12 @@ object Queries {
     val d = t(s, dir, "documents")
     val sets = MinHash.withShingles(d, "doc_id", "text")
       .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
+    // one explicit exchange on x feeds BOTH self-join sides and the sizes
+    // aggregate: identical child plans -> Spark reuses the shuffle stage, so
+    // the (expensive, interpreted) shingle pipeline runs exactly once
+    // instead of once per plan branch
     val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
+      .repartition(col("x"))
     // set sizes from the exploded rows (sh is already distinct), NOT
     // size(sh): an aggregate attribute can't be inlined by constraint
     // inference into a quadratic interpreted filter over the shingle tree
