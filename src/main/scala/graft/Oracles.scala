@@ -206,6 +206,10 @@ object Oracles {
       s"""SELECT doc_id, len($tokensE) AS n_tokens, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "bpe_tokens" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text, '${Text.BpePattern}')) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, n_stop,
          | CAST(floor(n_stop * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_bp,

@@ -260,6 +260,13 @@ object Queries {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.bpeTokenCount(col("text")).cast(LongType).as("n_bpe"))
+      .orderBy(col("doc_id"))
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
@@ -377,6 +384,7 @@ object Queries {
     "json_flatten" -> jsonFlatten _,
     "base64_unpadded" -> base64Unpadded _,
     "text_tokens" -> textTokens _,
+    "bpe_tokens" -> bpeTokens _,
     "text_quality" -> textQuality _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,

@@ -1,0 +1,102 @@
+package graft.restructure
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Export the Spark partition-dir output into the reference's EXACT analyst
+  * layout: one file per bin at `<project>/<user>/<topic>/<bin>.csv[.gz]`
+  * (path/FormattedPathFactory.kt default template), merging the bin's part
+  * files with a single header.
+  *
+  * Part files whose header differs (schema drift across runs — the
+  * reference's write-retry attempt suffix, worker/RestructureWorker.kt:
+  * 148-163) land in `<bin>_1.csv[.gz]`, `_2`, ... per distinct header, in
+  * first-seen order.
+  *
+  * Scale design: the merge work is a Spark job with ONE TASK PER BIN — the
+  * driver only lists partition directories (O(bins) metadata); each task
+  * streams its own part files through executor-local IO. Concatenation cost
+  * is IO-bound and embarrassingly parallel, the standard "small files
+  * export" pass of a 100 TB pipeline.
+  */
+object LayoutExport {
+
+  /** Merge `outputDir/<topic>` into `exportDir`. Returns written paths. */
+  def export(spark: SparkSession, config: RestructureConfig, topic: String,
+             exportDir: String): Seq[String] = {
+    require(config.format == "csv", "layout export currently supports csv")
+    val gz = config.compression.contains("gzip")
+    val topicDir = new Path(s"${config.outputDir}/$topic")
+    val fs = topicDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(topicDir)) return Seq.empty
+
+    // driver: list (project, user, bin, partFiles) — metadata only
+    final case class Bin(project: String, user: String, bin: String, parts: Seq[String])
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
+    val it = fs.listFiles(topicDir, true)
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[(String, String, String), scala.collection.mutable.ArrayBuffer[String]]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith("part-")) {
+        val rel = st.getPath.toString
+        val re = ".*/_project=([^/]+)/_user=([^/]+)/_bin=([^/]+)/[^/]+$".r
+        rel match {
+          case re(p, u, b) => grouped.getOrElseUpdate((p, u, b), scala.collection.mutable.ArrayBuffer.empty) += rel
+          case _           =>
+        }
+      }
+    }
+    grouped.foreach { case ((p, u, b), parts) => bins += Bin(p, u, b, parts.sorted.toSeq) }
+
+    val serConf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val ext = if (gz) ".csv.gz" else ".csv"
+    spark.sparkContext
+      .parallelize(bins.toSeq.map(b => (b.project, b.user, b.bin, b.parts)), math.max(bins.size, 1))
+      .map { case (project, user, bin, parts) =>
+        val conf = serConf.value
+        def open(p: String): BufferedReader = {
+          val f = new Path(p)
+          val raw = f.getFileSystem(conf).open(f)
+          val in = if (p.endsWith(".gz")) new GZIPInputStream(raw) else raw
+          new BufferedReader(new InputStreamReader(in, "UTF-8"))
+        }
+        // group parts by header -> attempt suffix per distinct header
+        val byHeader = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[String]]
+        parts.foreach { p =>
+          val r = open(p)
+          val header = r.readLine()
+          r.close()
+          if (header != null)
+            byHeader.getOrElseUpdate(header, scala.collection.mutable.ArrayBuffer.empty) += p
+        }
+        val written = scala.collection.mutable.ArrayBuffer.empty[String]
+        byHeader.zipWithIndex.foreach { case ((header, ps), attempt) =>
+          val suffix = if (attempt == 0) "" else s"_$attempt"
+          val target = new Path(s"$exportDir/$project/$user/$topic/$bin$suffix$ext")
+          val tfs = target.getFileSystem(conf)
+          val rawOut = tfs.create(target, true)
+          val out = new OutputStreamWriter(
+            if (gz) new GZIPOutputStream(rawOut) else rawOut, "UTF-8")
+          out.write(header); out.write('\n')
+          ps.foreach { p =>
+            val r = open(p)
+            r.readLine() // skip header
+            var line = r.readLine()
+            while (line != null) { out.write(line); out.write('\n'); line = r.readLine() }
+            r.close()
+          }
+          out.close()
+          written += target.toString
+        }
+        written.toSeq
+      }
+      .collect()
+      .flatten
+      .toSeq
+  }
+}

@@ -1,0 +1,94 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.Hashing.QuantScale
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * list-partitioned scale path beside [[Similarity]]'s brute force and
+  * SRP-LSH.
+  *
+  * Deterministic coarse quantizer: the centroids are the quantized vectors
+  * of the `nlist` smallest ids (no random init — results are reproducible
+  * across engines and runs). Every corpus vector is assigned to its
+  * max-inner-product centroid; a query probes the `nprobe` nearest lists
+  * and reranks exactly (integer dot product) inside them.
+  *
+  * Scale design: the corpus shuffles ONCE at index build (hash exchange on
+  * list id); each query touches nprobe/nlist of the data. Centroids are a
+  * driver-side literal array (nlist * dim longs — KBs), so assignment and
+  * probing are pure projections; the only per-query join is an equi-join on
+  * list id against the (pre-partitioned, optionally persisted) assignment.
+  * With nprobe = nlist the search is exhaustive and exactly equals brute
+  * force (property-tested).
+  */
+object IVF {
+
+  final case class Index(assigned: DataFrame, centroids: Array[Array[Long]])
+
+  private def quantizedDotLit(v: Column, centroid: Array[Long]): Column = {
+    val lits = array(centroid.map(lit): _*)
+    aggregate(zip_with(v, lits, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Argmax-dot list id for a quantized vector column. Ties break toward
+    * the lower list id (strictly-greater chain). */
+  private def listId(q: Column, centroids: Array[Array[Long]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      (lit(i), quantizedDotLit(q, c))
+    }
+    scored
+      .foldLeft[(Column, Column)]((lit(-1), lit(Long.MinValue))) {
+        case ((bi, bs), (i, s)) =>
+          (when(s > bs, i).otherwise(bi), greatest(s, bs))
+      }
+      ._1
+  }
+
+  /** Build the index: pick centroids, assign every vector, pre-partition by
+    * list id. */
+  def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int): Index = {
+    val q = df.select(col(idCol).as("__id"), Similarity.quantize(col(vecCol)).as("__v"))
+    val centroids = q
+      .orderBy(col("__id"))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    val assigned = q
+      .withColumn("__list", listId(col("__v"), centroids))
+      .repartition(col("__list"))
+    Index(assigned, centroids)
+  }
+
+  /** Top-k by exact integer dot within the nprobe nearest lists of each
+    * query. Output: (query_id, neighbor_id, dot, rank). */
+  def search(
+      index: Index,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), Similarity.quantize(col(vecCol)).as("__qv"))
+    // rank all centroids per query, keep nprobe: centroid count is small, so
+    // this is a literal-array projection + explode, no join
+    val centScores = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(quantizedDotLit(col("__qv"), c).as("s"), lit(i).as("l"))
+    }
+    val probed = q
+      .withColumn("__probe",
+        slice(reverse(array_sort(array(centScores: _*))), 1, nprobe))
+      .select(col("query_id"), col("__qv"), explode(col("__probe.l")).as("__list"))
+    val cand = probed.join(index.assigned, "__list")
+      .filter(col("__id") =!= col("query_id"))
+      .select(col("query_id"), col("__id").as("neighbor_id"),
+        Similarity.intDot(col("__qv"), col("__v")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+}

@@ -72,4 +72,13 @@ object Text {
     * h <- (h * FpB + code) mod FpM. Order-sensitive, exact. */
   def fingerprint(text: Column): Column =
     aggregate(wordCodes(text), lit(0L), (h, c) => (h * FpB + c) % FpM)
+
+  /** BPE-ish subword regex shared with the SQL oracle: letter runs, single
+    * digits, or single non-alphanumeric marks — the shape of a byte-pair
+    * tokenizer's pre-tokenization split. */
+  val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+  /** Token count under the BPE-ish regex (vs whitespace tokenCount). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 }

@@ -1,0 +1,45 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF ANN: exhaustive probing equals brute force; partial probing returns
+  * a ranked subset.
+  */
+class IVFSpec extends SparkSpec {
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("nprobe = nlist is exactly brute force") {
+    val corpus = emb.limit(200)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val idx = IVF.build(corpus, "vec_id", "embedding", nlist = 8)
+    val ivf = IVF.search(idx, queries, "vec_id", "embedding", k = 10, nprobe = 8)
+      .select("query_id", "neighbor_id", "dot", "rank")
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "dot", "rank")
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ivf == bf)
+  }
+
+  test("nprobe = 1 returns k results from the probed list, ranked") {
+    val corpus = emb.limit(200)
+    val queries = corpus.filter(col("vec_id") === 0)
+    val idx = IVF.build(corpus, "vec_id", "embedding", nlist = 8)
+    val out = IVF.search(idx, queries, "vec_id", "embedding", k = 5, nprobe = 1)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty && out.length <= 5)
+    // ranks are 1..n and dots non-increasing
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length))
+    val dots = out.map(_.getAs[Long]("dot")).toSeq
+    assert(dots == dots.sorted.reverse)
+    // a partial probe never invents results: every pair appears in brute force full ranking
+    val bfAll = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 200)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("neighbor_id")).forall(bfAll.contains))
+  }
+}
