@@ -89,6 +89,27 @@ object Oracles {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, c_mktsegment ORDER BY r_name, c_mktsegment""".stripMargin,
 
+    "q6_forecast" ->
+      """SELECT
+        | CAST(SUM(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        | WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q14_brand" ->
+      """SELECT p_brand,
+        | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "semi_join_big_spenders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)

@@ -64,6 +64,44 @@ object Queries {
         sum(round(col("o_totalprice") * 100).cast(LongType)).as("sum_total_cents"))
       .orderBy(col("r_name"), col("c_mktsegment"))
 
+  /** Selective filter + aggregate (TPC-H Q6 shape): predicates reach the
+    * parquet scan as PushedFilters. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(
+        sum(round(col("l_extendedprice") * col("l_discount") * 100).cast(LongType))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+
+  /** EXISTS-correlated aggregate (TPC-H Q4 shape): orders with any line
+    * shipped after the order date, counted per priority. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    t(s, dir, "orders")
+      .join(late,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Fact x broadcast-dimension rollup (TPC-H Q14 shape): revenue by part
+    * brand. */
+  def q14Brand(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast(LongType)).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
   /** Left-semi join (EXISTS): customers having a big order. */
   def semiJoinBigSpenders(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
@@ -365,6 +403,9 @@ object Queries {
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_orders" -> q3TopOrders _,
     "q5_region_join" -> q5RegionJoin _,
+    "q6_forecast" -> q6Forecast _,
+    "q4_order_priority" -> q4OrderPriority _,
+    "q14_brand" -> q14Brand _,
     "semi_join_big_spenders" -> semiJoinBigSpenders _,
     "time_bin_hourly" -> timeBinHourly _,
     "dedup_keeplast" -> dedupKeepLast _,

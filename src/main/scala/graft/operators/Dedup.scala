@@ -54,4 +54,32 @@ object Dedup {
   def exactGroups(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(contentCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Skew-tolerant keep-last: same result as [[keepLast]] via a two-phase
+    * max_by aggregation instead of a window. Phase 1 reduces per
+    * (key, salt) with map-side partial aggregation, phase 2 reduces the
+    * per-salt winners — a hot key's rows spread over `saltBuckets`
+    * reducers instead of landing on one. Column order of the output matches
+    * the input; `orderCol` must be unique per key (it is a row index).
+    *
+    * Use when a dedup key is pathologically hot (boilerplate documents,
+    * null-ish keys). The window formulation is one shuffle + sort; this is
+    * two light shuffles with partial aggregation and no sort.
+    */
+  def keepLastSalted(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      saltBuckets: Int = 64): DataFrame = {
+    val all = df.columns.toSeq
+    val rowStruct = struct(all.map(col): _*)
+    val salted = df.withColumn("__salt", pmod(col(orderCol), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(max_by(rowStruct, col(orderCol)).as("__row"))
+    val phase2 = phase1
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("__row"), col(s"__row.$orderCol")).as("__row"))
+    phase2.select(all.map(c => col(s"__row.$c").as(c)): _*)
+  }
 }

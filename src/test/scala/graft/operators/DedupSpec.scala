@@ -37,6 +37,17 @@ class DedupSpec extends SparkSpec {
       Seq(("1", "2"), ("3", "4"), ("1", "3"), ("a", "a"), ("3", "3")))
   }
 
+  test("keepLastSalted equals keepLast (skew-tolerant two-phase)") {
+    import org.apache.spark.sql.functions.col
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "event_type")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect().toSeq
+    assert(
+      sorted(Dedup.keepLastSalted(events, Seq("user_id", "event_type"), "event_id", 8)) ==
+        sorted(Dedup.keepLast(events, Seq("user_id", "event_type"), "event_id")))
+  }
+
   test("exactGroups returns min id and duplicate count per content") {
     val out = Dedup.exactGroups(corpus, Seq("a", "b"), "i")
       .orderBy("keep_id")
