@@ -1,0 +1,63 @@
+package graft
+
+import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service}
+
+/** CLI entry point, mirroring the reference application's modes
+  * (Application.kt:177-207): one-shot restructure, optional cleaner, or
+  * long-running service.
+  *
+  * {{{
+  * runMain graft.Main --config app.properties            # one restructure pass
+  * runMain graft.Main --config app.properties --clean    # + cleaner pass
+  * runMain graft.Main --config app.properties --service \
+  *   --interval 300000 --cleaner-interval 1260000        # polling mode
+  * }}}
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    var configPath: Option[String] = None
+    var service = false
+    var clean = false
+    var interval = 300000L
+    var cleanerInterval = 1260000L
+    var cleanerAgeMs = 7L * 24 * 3600 * 1000
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config"           => configPath = Some(args(i + 1)); i += 2
+        case "--service"          => service = true; i += 1
+        case "--clean"            => clean = true; i += 1
+        case "--interval"         => interval = args(i + 1).toLong; i += 2
+        case "--cleaner-interval" => cleanerInterval = args(i + 1).toLong; i += 2
+        case "--cleaner-age-ms"   => cleanerAgeMs = args(i + 1).toLong; i += 2
+        case other =>
+          System.err.println(s"unknown argument: $other"); sys.exit(2)
+      }
+    }
+    val config = ConfigLoader.fromFile(configPath.getOrElse {
+      System.err.println("usage: graft.Main --config <properties> [--service] [--clean]")
+      sys.exit(2); throw new IllegalStateException
+    })
+    val spark = Sessions.build("graft")
+    val job = new Restructure(spark, config)
+    val cleaner = new Cleaner(spark, config, cleanerAgeMs)
+    if (service) {
+      val svc = new Service(
+        restructure = () => println(s"[graft] ${job.run()}"),
+        cleaner = if (clean) Some(() => println(s"[graft] cleaned ${cleaner.run()}")) else None,
+        restructureIntervalMs = interval,
+        cleanerIntervalMs = cleanerInterval)
+      svc.start()
+      sys.addShutdownHook { svc.stop(); spark.stop() }
+      Thread.currentThread().join() // run until interrupted
+    } else {
+      val result = job.run()
+      println(s"[graft] topics=${result.topics} files=${result.files}")
+      if (clean) {
+        val (deleted, reprocess) = cleaner.run()
+        println(s"[graft] cleaned deleted=${deleted.size} reprocess=${reprocess.size}")
+      }
+      spark.stop()
+    }
+  }
+}
