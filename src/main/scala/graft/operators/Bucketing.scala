@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers for co-located joins (SURVEY §7 scale plan).
+  *
+  * On a 100 TB deployment the fact tables are written once, bucketed by
+  * their join key; every subsequent equi-join on that key is shuffle-free
+  * (both sides arrive pre-partitioned, Spark plans a SortMergeJoin with no
+  * Exchange). This is the batch analog of the reference's fixed
+  * partition-by-path layout: pay the partitioning cost at write time, reuse
+  * it on every read.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed catalog table (overwriting). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
+  /** True iff the executed plan of `df` contains a shuffle exchange. */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+}
