@@ -73,6 +73,32 @@ class CleanerSpec extends SparkSpec {
     assert(!f1.exists() && !f2.exists() && f3.exists())
   }
 
+  test("json format: restructure writes JSON lines and cleaner verifies through them") {
+    val dir = Files.createTempDirectory("graft-json").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000+0000000001.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000002.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219950.0, 3f)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      format = "json",
+      compression = None,
+      minimumFileAgeMs = 0L)
+    new Restructure(spark, cfg).run()
+    // flattened dotted JSON fields round-trip
+    val out = spark.read.json(
+      new File(cfg.outputDir, "phone_light").toString + "/_project=p/_user=u/*/part-*")
+    assert(out.columns.contains("value.time"))
+    assert(out.count() == 3)
+    // cleaner verifies through the JSON output and deletes the covered file
+    val (deleted, _) = new Cleaner(spark, cfg, ageMs = 0L)
+      .run(now = System.currentTimeMillis + 60000)
+    assert(deleted.map(_.stripPrefix("file:")) == Seq(f1.toString))
+  }
+
   test("cleaner reprocesses when output is missing records") {
     val dir = Files.createTempDirectory("graft-cleaner2").toFile
     val topicDir = new File(dir, "in/phone_light/partition=0")
