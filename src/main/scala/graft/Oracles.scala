@@ -288,6 +288,55 @@ object Oracles {
          |GROUP BY 1, 2 ORDER BY id_1, id_2""".stripMargin
     },
 
+    "dedup_keeplast_salted" ->
+      """SELECT event_id, user_id, value FROM (
+        | SELECT event_id, user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "simhash_neardup" -> {
+      val bitTerms = (0 until SimHashBits).map { i =>
+        s"(CASE WHEN 2*coalesce(CAST(list_sum(list_transform(codes, " +
+          s"c -> ((c*$TokenHashA) % $P >> $i) & 1)) AS BIGINT), 0) > len(codes) " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val half = SimHashBits / 2
+      val mask = (1L << half) - 1
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |h AS (SELECT doc_id, $bitTerms AS sig FROM c),
+         |bl AS (SELECT doc_id, sig, sig & $mask AS lo, sig >> $half AS hi FROM h),
+         |pl AS (SELECT x.doc_id AS id_1, y.doc_id AS id_2,
+         |  bit_count(xor(x.sig, y.sig)) AS hamming
+         | FROM bl x JOIN bl y ON x.lo = y.lo AND x.doc_id < y.doc_id),
+         |ph AS (SELECT x.doc_id AS id_1, y.doc_id AS id_2,
+         |  bit_count(xor(x.sig, y.sig)) AS hamming
+         | FROM bl x JOIN bl y ON x.hi = y.hi AND x.doc_id < y.doc_id)
+         |SELECT DISTINCT id_1, id_2, CAST(hamming AS BIGINT) AS hamming
+         |FROM (SELECT * FROM pl UNION ALL SELECT * FROM ph)
+         |WHERE hamming <= 2 ORDER BY id_1, id_2""".stripMargin
+    },
+
+    "minhash_neardup" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m"
+      }.mkString(" UNION ALL ")
+      s"""$minhashCtes, bands AS ($bandSelects),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
+         |scored AS (
+         | SELECT id_1, id_2,
+         |  len(list_intersect(sa.st, sb.st)) AS inter,
+         |  len(sa.st) + len(sb.st) AS szsum
+         | FROM cand JOIN sets sa ON id_1 = sa.doc_id JOIN sets sb ON id_2 = sb.doc_id)
+         |SELECT id_1, id_2,
+         | CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) AS jaccard_bp
+         |FROM scored
+         |WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000
+         |ORDER BY id_1, id_2""".stripMargin
+    },
+
     "ngram_jaccard_pairs" ->
       s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
          |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),

@@ -343,6 +343,27 @@ object Queries {
     MinHash.candidatePairs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_1"), col("id_2"))
 
+  /** D1 via the skew-tolerant two-phase salted formulation — same semantics
+    * as keep-last, different physical plan (checked against the same kind of
+    * SQL window oracle). */
+  def dedupKeeplastSalted(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepLastSalted(
+      t(s, dir, "events").select("event_id", "user_id", "value"),
+      Seq("user_id"), "event_id", saltBuckets = 16)
+      .orderBy(col("event_id"))
+
+  /** SimHash near-duplicate pairs: pigeonhole half-band blocking + exact
+    * Hamming filter. */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", maxBits = 2)
+      .select(col("id_1"), col("id_2"), col("hamming").cast(LongType).as("hamming"))
+      .orderBy(col("id_1"), col("id_2"))
+
+  /** MinHash LSH candidates refined by exact shingle-set Jaccard. */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    MinHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", minBp = 5000L)
+      .orderBy(col("id_1"), col("id_2"))
+
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val sets = MinHash.withShingles(d, "doc_id", "text")
@@ -432,6 +453,9 @@ object Queries {
     "simhash16" -> simhash16 _,
     "minhash_signature" -> minhashSignature _,
     "minhash_pairs" -> minhashPairs _,
+    "minhash_neardup" -> minhashNearDup _,
+    "simhash_neardup" -> simhashNearDup _,
+    "dedup_keeplast_salted" -> dedupKeeplastSalted _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "cosine_topk" -> cosineTopK _,
     "embedding_neardup" -> embeddingNearDup _,
