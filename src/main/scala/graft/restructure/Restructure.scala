@@ -220,6 +220,24 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
         col("_offset").as("offset"), col("_mtime").as("mtime")),
       Seq("topic", "partition"), "offset", Some("mtime"))
 
+  /** Read a topic's output back (all bins, all part files), optionally
+    * deduplicating whole rows across parts (J4: duplicates can only exist
+    * after state loss forces reprocessing — the reference removes them at
+    * append time by re-running dedup over the merged file; the read-time
+    * equivalent is a whole-row distinct). */
+  def readOutput(topic: String, dedup: Boolean = true): DataFrame = {
+    val dir = s"${config.outputDir}/$topic"
+    val reader = spark.read
+      .option("header", "true")
+      .option("pathGlobFilter", "part-*")
+    val df = config.format match {
+      case "csv"  => reader.csv(dir)
+      case "json" => reader.json(dir)
+      case other  => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+    if (dedup) df.distinct() else df
+  }
+
   /** Schema sidecar (S9): Spark schema JSON written once per topic dir. */
   def writeSidecar(topic: String, df: DataFrame): Unit = {
     val p = new Path(s"${config.outputDir}/$topic", s"schema-$topic.json")

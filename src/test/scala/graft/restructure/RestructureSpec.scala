@@ -123,6 +123,48 @@ class RestructureSpec extends SparkSpec {
     assert(r2.files == 0)
   }
 
+  test("readOutput dedups whole rows across part files after state loss") {
+    val (dir, cfg) = setup()
+    val job = new Restructure(spark, cfg)
+    job.run()
+    // simulate state loss: wipe the state file -> next pass reprocesses
+    // everything and appends duplicate part files
+    new File(cfg.stateFile).delete()
+    val r = job.run()
+    assert(r.files == 2) // reprocessed
+    val raw = job.readOutput("application_server_status", dedup = false)
+    val deduped = job.readOutput("application_server_status")
+    assert(raw.count() == 6)    // 3 records written twice
+    assert(deduped.count() == 3) // distinct restores exactly-once output
+  }
+
+  test("excludeTopics and maxFilesPerTopic bound a pass (config-driven)") {
+    val (dir, _) = setup()
+    val cfg = ConfigLoader.fromString(
+      s"""input=$dir/in
+         |output=$dir/out2
+         |state=$dir/state2/offsets.json
+         |compression=none
+         |minimumFileAgeMs=0
+         |maxFilesPerTopic=1
+         |""".stripMargin)
+    val job = new Restructure(spark, cfg)
+    // limit: only the first file (by partition, startOffset) per pass
+    val plan1 = job.plan("application_server_status", new graft.state.OffsetRangeSet)
+    assert(plan1.map(_.startOffset) == Seq(18L))
+    assert(job.run().files == 1)
+    assert(job.run().files == 1) // second pass picks up the remaining file
+    assert(job.run().files == 0)
+
+    val excluded = ConfigLoader.fromString(
+      s"""input=$dir/in
+         |output=$dir/out3
+         |state=$dir/state3/offsets.json
+         |excludeTopics=application_server_status
+         |""".stripMargin)
+    assert(new Restructure(spark, excluded).listTopics().isEmpty)
+  }
+
   test("restructure: late file appends to an existing bin") {
     val (dir, cfg) = setup()
     val job = new Restructure(spark, cfg)
