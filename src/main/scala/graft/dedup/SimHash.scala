@@ -64,9 +64,13 @@ object SimHash {
       maxBits: Int = 2,
       bits: Int = SimHashBits): DataFrame = {
     val half = bits / 2
+    // repartition materializes the signature computation once as a shuffle
+    // stage that all four join branches (2 blocks x 2 sides) reuse — the
+    // 16 interpreted bit-vote aggregates are the dominant cost here
     val withSig = df.select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sig"))
       .withColumn("__lo", col("__sig").bitwiseAND(lit((1L << half) - 1)))
       .withColumn("__hi", shiftright(col("__sig"), half))
+      .repartition(col("__id"))
     // pigeonhole: <= maxBits differing bits with 2 blocks means at least one
     // block matches exactly (holds when maxBits < 2, generally a candidate
     // generator; the hamming filter below is the exact check)
