@@ -325,22 +325,24 @@ object Queries {
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        call_function("graft_fingerprint", col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
   // -------------------------------------------------------- near-dup / ANN
 
   def simhash16(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
+      .select(col("doc_id"),
+        call_function("graft_simhash16", col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
   def minhashSignature(s: SparkSession, dir: String): DataFrame =
-    MinHash.bands(t(s, dir, "documents"), "doc_id", "text")
+    MinHash.bands(t(s, dir, "documents"), "doc_id", "text", native = true)
       .orderBy(col("doc_id"))
 
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    MinHash.candidatePairs(t(s, dir, "documents"), "doc_id", "text")
+    MinHash.candidatePairs(t(s, dir, "documents"), "doc_id", "text", native = true)
       .orderBy(col("id_1"), col("id_2"))
 
   /** D1 via the skew-tolerant two-phase salted formulation — same semantics
@@ -355,18 +357,20 @@ object Queries {
   /** SimHash near-duplicate pairs: pigeonhole half-band blocking + exact
     * Hamming filter. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
-    SimHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", maxBits = 2)
+    SimHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", maxBits = 2,
+      native = true)
       .select(col("id_1"), col("id_2"), col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("id_1"), col("id_2"))
 
   /** MinHash LSH candidates refined by exact shingle-set Jaccard. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame =
-    MinHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", minBp = 5000L)
+    MinHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", minBp = 5000L,
+      native = true)
       .orderBy(col("id_1"), col("id_2"))
 
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sets = MinHash.withShingles(d, "doc_id", "text")
+    val sets = MinHash.withShingles(d, "doc_id", "text", native = true)
       .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
     // one explicit exchange on x feeds BOTH self-join sides and the sizes
     // aggregate: identical child plans -> Spark reuses the shuffle stage, so

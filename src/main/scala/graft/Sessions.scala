@@ -13,6 +13,8 @@ object Sessions {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // native codegen'd text-hash expressions (graft_minhash_sig, ...)
+      .withExtensions(new graft.catalyst.GraftExtensions)
       // one shuffle partition per core in local mode; a real cluster would
       // size this to 2-3x total cores (or lean on AQE coalescing)
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,0 +1,116 @@
+package graft.catalyst
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.Hashing._
+
+/** Single-pass text-hash kernels backing the engine's native Catalyst
+  * expressions (graft.catalyst.TextHashExpressions).
+  *
+  * These compute EXACTLY the same integer math as the
+  * `org.apache.spark.sql.functions` compositions in graft.text/graft.dedup
+  * (word code = length*WordBase + first char; 3-gram shingle hash; k
+  * minhashes; 16-bit simhash votes; rolling fingerprint) — the DuckDB
+  * oracles pin both paths. The difference is purely physical: Spark's
+  * higher-order array functions are interpreted per element, while these
+  * kernels are one tight JVM loop per row, called directly from generated
+  * code.
+  */
+object TextHashKernels {
+
+  /** Whitespace word codes, replicating split(text, ' ', -1) semantics
+    * (empty tokens kept, code 0 for an empty token). */
+  def wordCodes(s: String): Array[Long] = {
+    // manual split on ' ' keeping empties == String.split(" ", -1)
+    var n = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') n += 1; i += 1 }
+    val out = new Array[Long](n)
+    var start = 0
+    var t = 0
+    i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        val len = i - start
+        val first = if (len == 0) 0 else s.charAt(start).toInt
+        out(t) = len.toLong * WordBase + first
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def shingleHashes(codes: Array[Long]): Array[Long] = {
+    if (codes.length < 3) return Array.emptyLongArray
+    val out = new Array[Long](codes.length - 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (codes(i) * ShingleS1 + codes(i + 1) * ShingleS2 + codes(i + 2)) % ShingleM
+      i += 1
+    }
+    out
+  }
+
+  /** k-minhash signature; P-1 sentinel entries for docs with < 3 tokens. */
+  def minhashSig(text: UTF8String, k: Int): ArrayData = {
+    val sh = shingleHashes(wordCodes(text.toString))
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = A(j); val b = B(j)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val v = ((sh(i) % P) * a + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = if (sh.isEmpty) P - 1 else m
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Raw 3-gram shingle hashes as an array column value. */
+  def shingles(text: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(shingleHashes(wordCodes(text.toString)))
+
+  /** 16-bit simhash: bit i set iff the +-1 vote sum over tokens is > 0. */
+  def simhash16(text: UTF8String): Long = {
+    val codes = wordCodes(text.toString)
+    val ones = new Array[Int](SimHashBits)
+    var i = 0
+    while (i < codes.length) {
+      val h = (codes(i) * TokenHashA) % P
+      var b = 0
+      while (b < SimHashBits) {
+        ones(b) += ((h >> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < SimHashBits) {
+      if (2 * ones(b) > codes.length) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Rolling-hash fingerprint: fold h <- (h*FpB + code) mod FpM. */
+  def fingerprint(text: UTF8String): Long = {
+    val codes = wordCodes(text.toString)
+    var h = 0L
+    var i = 0
+    while (i < codes.length) {
+      h = (h * FpB + codes(i)) % FpM
+      i += 1
+    }
+    h
+  }
+}

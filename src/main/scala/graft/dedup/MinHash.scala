@@ -46,15 +46,27 @@ object MinHash {
       array_min(transform(sh, x => ((x % P) * A(j) + B(j)) % P)),
       lit(P - 1))
 
-  /** id + materialized shingle array. */
-  def withShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), Text.wordCodes(col(textCol)).as("__codes"))
-      .select(col(idCol), shinglesFromCodes(col("__codes")).as("__sh"))
+  /** id + materialized shingle array. `native=true` uses the codegen'd
+    * graft_shingles expression (requires a GraftExtensions session). */
+  def withShingles(df: DataFrame, idCol: String, textCol: String,
+      native: Boolean = false): DataFrame =
+    if (native)
+      df.select(col(idCol), call_function("graft_shingles", col(textCol)).as("__sh"))
+    else
+      df.select(col(idCol), Text.wordCodes(col(textCol)).as("__codes"))
+        .select(col(idCol), shinglesFromCodes(col("__codes")).as("__sh"))
 
-  /** id + k minhash signature columns `__m0..__m{k-1}`. */
-  def signatures(df: DataFrame, idCol: String, textCol: String, k: Int = K): DataFrame =
-    withShingles(df, idCol, textCol)
-      .select(col(idCol) +: (0 until k).map(j => minhash(col("__sh"), j).as(s"__m$j")): _*)
+  /** id + k minhash signature columns `__m0..__m{k-1}`. The native path
+    * computes the whole signature in one codegen'd kernel call. */
+  def signatures(df: DataFrame, idCol: String, textCol: String, k: Int = K,
+      native: Boolean = false): DataFrame =
+    if (native) {
+      require(k <= K, s"native path computes K=$K minhashes")
+      df.select(col(idCol), call_function("graft_minhash_sig", col(textCol)).as("__sig"))
+        .select(col(idCol) +: (0 until k).map(j => element_at(col("__sig"), j + 1).as(s"__m$j")): _*)
+    } else
+      withShingles(df, idCol, textCol)
+        .select(col(idCol) +: (0 until k).map(j => minhash(col("__sh"), j).as(s"__m$j")): _*)
 
   /** id + LSH band-key columns `band_0..band_{bands-1}`: each band is the
     * string concatenation of RowsPerBand consecutive minhash values (strings
@@ -64,8 +76,9 @@ object MinHash {
       idCol: String,
       textCol: String,
       bands: Int = Bands,
-      rows: Int = RowsPerBand): DataFrame =
-    signatures(df, idCol, textCol, bands * rows)
+      rows: Int = RowsPerBand,
+      native: Boolean = false): DataFrame =
+    signatures(df, idCol, textCol, bands * rows, native)
       .select(col(idCol) +: (0 until bands).map { b =>
         concat_ws("_", (b * rows until (b + 1) * rows).map(j => col(s"__m$j")): _*)
           .as(s"band_$b")
@@ -79,9 +92,10 @@ object MinHash {
       idCol: String,
       textCol: String,
       nBands: Int = Bands,
-      rows: Int = RowsPerBand): DataFrame = {
+      rows: Int = RowsPerBand,
+      native: Boolean = false): DataFrame = {
     val keys = (0 until nBands).map(b => concat_ws("#", lit(b), col(s"band_$b")))
-    val banded = bands(df, idCol, textCol, nBands, rows)
+    val banded = bands(df, idCol, textCol, nBands, rows, native)
       .select(col(idCol).as("__id"), explode(array(keys: _*)).as("__key"))
     val l = banded.as("l")
     val r = banded.as("r")
@@ -97,9 +111,10 @@ object MinHash {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minBp: Long): DataFrame = {
-    val pairs = candidatePairs(df, idCol, textCol)
-    val sets = withShingles(df, idCol, textCol)
+      minBp: Long,
+      native: Boolean = false): DataFrame = {
+    val pairs = candidatePairs(df, idCol, textCol, native = native)
+    val sets = withShingles(df, idCol, textCol, native)
       .select(col(idCol).as("__sid"), array_distinct(col("__sh")).as("__set"))
     pairs
       .join(sets.as("sa"), col("id_1") === col("sa.__sid"))

@@ -62,12 +62,16 @@ object SimHash {
       idCol: String,
       textCol: String,
       maxBits: Int = 2,
-      bits: Int = SimHashBits): DataFrame = {
+      bits: Int = SimHashBits,
+      native: Boolean = false): DataFrame = {
     val half = bits / 2
     // repartition materializes the signature computation once as a shuffle
     // stage that all four join branches (2 blocks x 2 sides) reuse — the
     // 16 interpreted bit-vote aggregates are the dominant cost here
-    val withSig = df.select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sig"))
+    val sigExpr =
+      if (native) { require(bits == SimHashBits); call_function("graft_simhash16", col(textCol)) }
+      else simhash(col(textCol), bits)
+    val withSig = df.select(col(idCol).as("__id"), sigExpr.as("__sig"))
       .withColumn("__lo", col("__sig").bitwiseAND(lit((1L << half) - 1)))
       .withColumn("__hi", shiftright(col("__sig"), half))
       .repartition(col("__id"))

@@ -18,6 +18,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .appName("graft-test")
       .master("local[4]")
+      .withExtensions(new graft.catalyst.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,57 @@
+package graft.catalyst
+
+import graft.SparkSpec
+import graft.dedup.{MinHash, SimHash}
+import graft.text.Text
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd expressions must be bit-identical to the
+  * higher-order-function formulations (both are pinned by the DuckDB
+  * oracles; this spec checks them against each other on real text).
+  */
+class TextHashExpressionsSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text")
+
+  test("native minhash signature == HOF signature") {
+    val a = MinHash.signatures(docs, "doc_id", "text", native = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = MinHash.signatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("native shingles == HOF shingles") {
+    val a = MinHash.withShingles(docs, "doc_id", "text", native = true)
+      .orderBy("doc_id").select("__sh").collect().map(_.getSeq[Long](0)).toSeq
+    val b = MinHash.withShingles(docs, "doc_id", "text")
+      .orderBy("doc_id").select("__sh").collect().map(_.getSeq[Long](0)).toSeq
+    assert(a == b)
+  }
+
+  test("native simhash16 and fingerprint == HOF versions") {
+    val both = docs.select(
+      col("doc_id"),
+      call_function("graft_simhash16", col("text")).as("ns"),
+      SimHash.simhash(col("text")).as("hs"),
+      call_function("graft_fingerprint", col("text")).as("nf"),
+      Text.fingerprint(col("text")).as("hf"))
+    assert(both.filter(col("ns") =!= col("hs") || col("nf") =!= col("hf")).count() == 0)
+  }
+
+  test("edge cases: empty string, single token, double spaces, nulls") {
+    import spark.implicits._
+    val d = Seq((1L, ""), (2L, "one"), (3L, "a  b c"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val a = MinHash.signatures(d.filter(col("text").isNotNull), "id", "text", native = true)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = MinHash.signatures(d.filter(col("text").isNotNull), "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val n = d.filter(col("id") === 4)
+      .select(call_function("graft_simhash16", col("text"))).head
+    assert(n.isNullAt(0))
+  }
+}
