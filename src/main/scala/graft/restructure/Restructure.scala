@@ -256,6 +256,7 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
   def run(): RestructureResult = {
     val state = loadState()
     var filesProcessed = 0L
+    var recordsWritten = 0L
     val topics = listTopics()
     topics.foreach { topic =>
       val files = plan(topic, state)
@@ -263,9 +264,13 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
         filesProcessed += files.size
         readTopic(topic, files).foreach { df =>
           val unseen = filterSeen(df, state)
-          val deduped = dedup(topic, unseen)
+          // A3 counters ride the write job via observe() — no extra pass
+          val observed = dedup(topic, unseen)
+            .observe("graft", count(lit(1)).as("records"))
           writeSidecar(topic, df)
-          write(topic, deduped)
+          write(topic, observed)
+          recordsWritten += observed.queryExecution.observedMetrics
+            .get("graft").map(_.getAs[Long]("records")).getOrElse(0L)
           Intervals.collectRanges(processedRanges(unseen)).entries.foreach {
             case (tp, r) => state.add(tp, r.from, r.to, r.lastProcessed)
           }
@@ -273,7 +278,7 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
         }
       }
     }
-    RestructureResult(topics.size, filesProcessed)
+    RestructureResult(topics.size, filesProcessed, recordsWritten)
   }
 
   def loadState(): OffsetRangeSet = {
@@ -296,4 +301,4 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
   }
 }
 
-final case class RestructureResult(topics: Int, files: Long)
+final case class RestructureResult(topics: Int, files: Long, records: Long = 0L)

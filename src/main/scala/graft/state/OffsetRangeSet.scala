@@ -67,6 +67,33 @@ final class OffsetRangeSet {
 
 object OffsetRangeSet {
 
+  /** Legacy CSV persistence: `offsetFrom,offsetTo,partition,topic[,lastModified]`
+    * with a header line (reference: accounting/OffsetFilePersistence.kt:95-121).
+    */
+  def toCsv(set: OffsetRangeSet): String = {
+    val sb = new StringBuilder("offsetFrom,offsetTo,partition,topic,lastModified\n")
+    set.entries.foreach { case (tp, r) =>
+      sb.append(r.from).append(',').append(r.to).append(',')
+        .append(tp.partition).append(',').append(tp.topic).append(',')
+        .append(r.lastProcessed.toString).append('\n')
+    }
+    sb.toString
+  }
+
+  /** Parse the legacy CSV shape; `lastModified` column optional (older
+    * files omit it — epoch is assumed, matching the reference's migration
+    * behavior). */
+  def fromCsv(text: String): OffsetRangeSet = {
+    val set = new OffsetRangeSet
+    text.linesIterator.drop(1).filter(_.nonEmpty).foreach { line =>
+      val f = line.split(",", -1)
+      require(f.length >= 4, s"bad offsets CSV line: $line")
+      val mtime = if (f.length >= 5 && f(4).nonEmpty) Instant.parse(f(4)) else Instant.EPOCH
+      set.add(TopicPartition(f(3), f(2).toInt), f(0).toLong, f(1).toLong, mtime)
+    }
+    set
+  }
+
   /** Parse the persistence JSON (shape above) using Jackson from the Spark
     * classpath — no extra dependency. */
   def fromJson(json: String): OffsetRangeSet = {

@@ -81,6 +81,20 @@ class OffsetIntervalsSpec extends AnyFunSuite {
     }
   }
 
+  test("OffsetRangeSet legacy CSV round-trip; optional lastModified") {
+    val set = new OffsetRangeSet
+    set.add(TopicPartition("a", 0), 0, 10, t(5))
+    set.add(TopicPartition("b", 2), 7, 9, t(1))
+    val csv = OffsetRangeSet.toCsv(set)
+    assert(csv.startsWith("offsetFrom,offsetTo,partition,topic,lastModified\n"))
+    assert(OffsetRangeSet.fromCsv(csv).entries == set.entries)
+    // legacy 4-column form (no lastModified)
+    val legacy = OffsetRangeSet.fromCsv(
+      "offsetFrom,offsetTo,partition,topic\n3,4,1,x\n")
+    assert(legacy.entries.map { case (tp, r) => (tp.topic, tp.partition, r.from, r.to) } ==
+      Seq(("x", 1, 3L, 4L)))
+  }
+
   test("OffsetRangeSet JSON round-trip in reference persistence shape") {
     val set = new OffsetRangeSet
     set.add(TopicPartition("topicA", 0), 0, 10, t(5))
