@@ -99,6 +99,26 @@ class AvroSourceSpec extends SparkSpec {
     assert(row.getAs[String]("j.0") == "x" && row.getAs[String]("j.1") == "y")
   }
 
+  test("row index is stable across many avro blocks (small sync interval)") {
+    val dir = Files.createTempDirectory("graft-avro3").toFile
+    val s1 = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[{"name":"x","type":"long"}]}""")
+    val f = new File(dir, "t+0+0000000100.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s1))
+    w.setSyncInterval(64) // force many container blocks
+    w.create(s1, f)
+    (0L until 500L).foreach { i =>
+      val r = new GenericData.Record(s1); r.put("x", i); w.append(r)
+    }
+    w.close()
+    val groups = AvroSource.schemaGroups(spark, Seq(f.toString))
+    val df = AvroSource.read(spark, Seq(f.toString), groups.head._1)
+    // _row_index must equal the record payload written in order
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("_row_index") =!= col("x")).count() == 0)
+    assert(df.count() == 500)
+  }
+
   test("schema drift groups files separately") {
     val dir = Files.createTempDirectory("graft-avro2").toFile
     val s1 = new Schema.Parser().parse(
