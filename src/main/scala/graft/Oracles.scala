@@ -300,20 +300,15 @@ object Oracles {
           s"c -> ((c*$TokenHashA) % $P >> $i) & 1)) AS BIGINT), 0) > len(codes) " +
           s"THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
-      val half = SimHashBits / 2
-      val mask = (1L << half) - 1
+      // deliberately blocking-INDEPENDENT: brute-force all pairs, so any
+      // recall gap in the Spark-side pigeonhole candidate generation shows
+      // up as a row-count mismatch instead of being replicated here
       s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
-         |h AS (SELECT doc_id, $bitTerms AS sig FROM c),
-         |bl AS (SELECT doc_id, sig, sig & $mask AS lo, sig >> $half AS hi FROM h),
-         |pl AS (SELECT x.doc_id AS id_1, y.doc_id AS id_2,
-         |  bit_count(xor(x.sig, y.sig)) AS hamming
-         | FROM bl x JOIN bl y ON x.lo = y.lo AND x.doc_id < y.doc_id),
-         |ph AS (SELECT x.doc_id AS id_1, y.doc_id AS id_2,
-         |  bit_count(xor(x.sig, y.sig)) AS hamming
-         | FROM bl x JOIN bl y ON x.hi = y.hi AND x.doc_id < y.doc_id)
-         |SELECT DISTINCT id_1, id_2, CAST(hamming AS BIGINT) AS hamming
-         |FROM (SELECT * FROM pl UNION ALL SELECT * FROM ph)
-         |WHERE hamming <= 2 ORDER BY id_1, id_2""".stripMargin
+         |h AS (SELECT doc_id, $bitTerms AS sig FROM c)
+         |SELECT x.doc_id AS id_1, y.doc_id AS id_2,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |FROM h x JOIN h y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 2 ORDER BY id_1, id_2""".stripMargin
     },
 
     "minhash_neardup" -> {

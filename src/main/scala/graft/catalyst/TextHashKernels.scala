@@ -21,7 +21,15 @@ import graft.text.Hashing._
 object TextHashKernels {
 
   /** Whitespace word codes, replicating split(text, ' ', -1) semantics
-    * (empty tokens kept, code 0 for an empty token). */
+    * (empty tokens kept, code 0 for an empty token).
+    *
+    * Length and first-char are measured in Unicode CODE POINTS, matching
+    * Spark's `length()` (UTF8String.numChars) and `ascii()` (first code
+    * point in Spark 4) and DuckDB's `length()`/`ascii()` — a surrogate
+    * pair counts as one char and codes as its astral code point, so the
+    * kernel, the functions-API path, and the SQL oracle agree beyond the
+    * BMP. (Splitting on ' ' via charAt is safe: no surrogate unit equals
+    * the space character.) */
   def wordCodes(s: String): Array[Long] = {
     // manual split on ' ' keeping empties == String.split(" ", -1)
     var n = 1
@@ -33,8 +41,8 @@ object TextHashKernels {
     i = 0
     while (i <= s.length) {
       if (i == s.length || s.charAt(i) == ' ') {
-        val len = i - start
-        val first = if (len == 0) 0 else s.charAt(start).toInt
+        val len = s.codePointCount(start, i)
+        val first = if (len == 0) 0 else s.codePointAt(start)
         out(t) = len.toLong * WordBase + first
         t += 1
         start = i + 1

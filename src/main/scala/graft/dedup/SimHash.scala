@@ -52,11 +52,19 @@ object SimHash {
   /** Hamming distance between two simhash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-duplicate pairs by simhash: docs whose fingerprints differ in at
-    * most `maxBits` bits. Blocks on the full fingerprint bucket first
-    * (exact-dup fast path), then compares within +/- neighborhoods via a
-    * band split of the fingerprint (each half must match exactly for
-    * maxBits <= bits/2 by pigeonhole). */
+  /** Near-duplicate pairs by simhash: ALL pairs of docs whose fingerprints
+    * differ in at most `maxBits` bits. Candidate generation splits the
+    * fingerprint into `maxBits + 1` contiguous bit blocks: two fingerprints
+    * within Hamming distance maxBits must agree exactly on at least one
+    * block (pigeonhole), so the union of the per-block equi-joins is a
+    * complete candidate set and the Hamming filter below makes it exact.
+    * Block boundaries are `i * bits / (maxBits+1)` on both the Spark and
+    * oracle sides. */
+  def blockBounds(bits: Int, maxBits: Int): Seq[(Int, Int)] = {
+    val n = maxBits + 1
+    (0 until n).map(i => (i * bits / n, (i + 1) * bits / n))
+  }
+
   def nearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -64,22 +72,22 @@ object SimHash {
       maxBits: Int = 2,
       bits: Int = SimHashBits,
       native: Boolean = false): DataFrame = {
-    val half = bits / 2
+    require(maxBits + 1 <= bits, s"need at least one bit per block: $maxBits+1 blocks over $bits bits")
     // repartition materializes the signature computation once as a shuffle
-    // stage that all four join branches (2 blocks x 2 sides) reuse — the
-    // 16 interpreted bit-vote aggregates are the dominant cost here
+    // stage all join branches ((maxBits+1) blocks x 2 sides) reuse — the
+    // interpreted bit-vote aggregates are the dominant cost here
     val sigExpr =
       if (native) { require(bits == SimHashBits); call_function("graft_simhash16", col(textCol)) }
       else simhash(col(textCol), bits)
-    val withSig = df.select(col(idCol).as("__id"), sigExpr.as("__sig"))
-      .withColumn("__lo", col("__sig").bitwiseAND(lit((1L << half) - 1)))
-      .withColumn("__hi", shiftright(col("__sig"), half))
+    val bounds = blockBounds(bits, maxBits)
+    val withSig = bounds.zipWithIndex
+      .foldLeft(df.select(col(idCol).as("__id"), sigExpr.as("__sig"))) {
+        case (d, ((lo, hi), i)) =>
+          d.withColumn(s"__b$i", shiftright(col("__sig"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)))
+      }
       .repartition(col("__id"))
-    // pigeonhole: <= maxBits differing bits with 2 blocks means at least one
-    // block matches exactly (holds when maxBits < 2, generally a candidate
-    // generator; the hamming filter below is the exact check)
-    // an OR join would force a nested-loop cross product; two equi-joins
-    // (hash exchanges on small keys) unioned + distinct scale instead
+    // an OR join would force a nested-loop cross product; per-block
+    // equi-joins (hash exchanges on small keys) unioned + distinct scale
     def block(key: String): DataFrame = {
       val l = withSig.as("l")
       val r = withSig.as("r")
@@ -89,7 +97,8 @@ object SimHash {
           col("r.__id").as("id_2"),
           hamming(col("l.__sig"), col("r.__sig")).as("hamming"))
     }
-    block("__lo").unionByName(block("__hi"))
+    bounds.indices.map(i => block(s"__b$i"))
+      .reduce(_ unionByName _)
       .filter(col("hamming") <= maxBits)
       .distinct()
   }

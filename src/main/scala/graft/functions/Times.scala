@@ -90,6 +90,30 @@ object Times {
     else coalesce(present.map(asTimestamp): _*)
   }
 
+  /** The same cascade over a FLAT dotted-column DataFrame — the shape of the
+    * restructured output read back from CSV/JSON, where `value.time` is a
+    * single column literally named "value.time". CSV yields strings, so each
+    * entry casts explicitly before the timestamp conversion; gating is on
+    * column presence, never throwing for schemas that lack a cascade field.
+    * Using the identical priority order on both sides keeps the cleaner's
+    * source-vs-output time comparison consistent for every topic schema. */
+  def eventTimeFlat(df: DataFrame, cascade: Seq[TimeField] = DefaultCascade): Column = {
+    val names = df.schema.fieldNames.toSet
+    val present = cascade.filter(f => names.contains(f.path))
+    if (present.isEmpty) lit(null).cast(TimestampType)
+    else coalesce(present.map(asTimestampFlat): _*)
+  }
+
+  private def asTimestampFlat(f: TimeField): Column = {
+    def c(p: String) = col(s"`$p`")
+    f match {
+      case EpochSecondsDouble(p) => timestamp_seconds(c(p).cast(DoubleType))
+      case EpochMillisLong(p)    => timestamp_millis(c(p).cast(LongType))
+      case IsoString(p)          => to_timestamp(c(p))
+      case DateString(p)         => to_date(c(p), "yyyy-MM-dd").cast(TimestampType)
+    }
+  }
+
   /** Tumbling time-bin label (reference: RecordPathFactory.kt:103-105):
     * `date_format(ts, fmt)` with `unknown_date` for null timestamps. */
   def timeBin(ts: Column, fmt: String = DefaultBinFormat): Column =

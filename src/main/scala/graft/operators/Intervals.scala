@@ -111,7 +111,16 @@ object Intervals {
         t == topic && p == partition && offset >= f && offset <= to && mtimeMs <= lp
       }
     }
-    val mtime = mtimeCol.map(col(_).cast("long")).getOrElse(lit(0L))
+    // lastProcessed above is epoch MILLIS, so the column must be too: a
+    // TimestampType cast to long yields epoch SECONDS, which would make
+    // mtime <= lastProcessed near-always true and silently drop every
+    // record of a rewritten file (W5 reprocessing guarantee).
+    val mtime = mtimeCol.map { c =>
+      records.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_millis(col(c))
+        case _                                        => col(c).cast("long")
+      }
+    }.getOrElse(lit(0L))
     records.filter(!seen(col(topicCol), col(partitionCol), col(offsetCol), mtime))
   }
 }

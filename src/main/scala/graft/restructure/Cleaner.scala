@@ -38,8 +38,12 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
       }
 
   /** Distinct (project, user, bin, time) present in the topic's output.
-    * Times pass through timestamp_seconds on BOTH sides of the join so
-    * source and output compare at the same (microsecond) precision. */
+    * The output-side event time is derived with the SAME cascade used at
+    * write ([[graft.functions.Times.eventTimeFlat]] over the flat dotted
+    * columns) — hardcoding `value.time` would crash or never verify topics
+    * whose time comes from another cascade field (key.start,
+    * value.timeReceived, ...). Both sides pass through timestamp_seconds so
+    * they compare at the same (microsecond) precision. */
   def extractedTimes(topic: String): DataFrame = {
     val dir = s"${config.outputDir}/$topic"
     // pathGlobFilter: skip the schema sidecar; partition dirs still resolve
@@ -64,7 +68,7 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
       }
     df.select(
       col("_project").as("p"), col("_user").as("u"), col("_bin").as("b"),
-      timestamp_seconds(col("`value.time`").cast("double")).cast("double").as("t"))
+      graft.functions.Times.eventTimeFlat(df).cast("double").as("t"))
       .distinct()
   }
 

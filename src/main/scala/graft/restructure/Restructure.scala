@@ -264,13 +264,17 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
         filesProcessed += files.size
         readTopic(topic, files).foreach { df =>
           val unseen = filterSeen(df, state)
-          // A3 counters ride the write job via observe() — no extra pass
+          // A3 counters ride the write job itself — no extra pass. The
+          // listener-based Observation is required here: DataFrameWriter
+          // plans its own QueryExecution over the logical plan, so reading
+          // observedMetrics off this DataFrame's QueryExecution would
+          // consult a never-executed plan (always 0).
+          val obs = org.apache.spark.sql.Observation()
           val observed = dedup(topic, unseen)
-            .observe("graft", count(lit(1)).as("records"))
+            .observe(obs, count(lit(1)).as("records"))
           writeSidecar(topic, df)
           write(topic, observed)
-          recordsWritten += observed.queryExecution.observedMetrics
-            .get("graft").map(_.getAs[Long]("records")).getOrElse(0L)
+          recordsWritten += obs.get.get("records").map(_.asInstanceOf[Long]).getOrElse(0L)
           Intervals.collectRanges(processedRanges(unseen)).entries.foreach {
             case (tp, r) => state.add(tp, r.from, r.to, r.lastProcessed)
           }

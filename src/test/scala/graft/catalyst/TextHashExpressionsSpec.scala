@@ -41,6 +41,31 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(both.filter(col("ns") =!= col("hs") || col("nf") =!= col("hf")).count() == 0)
   }
 
+  test("non-ASCII and non-BMP parity: native kernels == HOF versions") {
+    import spark.implicits._
+    // Spark's length()/ascii() count CODE POINTS (ascii('😀') = 128512 in
+    // Spark 4, same as DuckDB); the kernels must agree beyond the BMP,
+    // where UTF-16 charAt/length would diverge
+    val d = Seq(
+      (1L, "héllo wörld caffè naïve résumé"),
+      (2L, "€uro sign 12€ price €"),
+      (3L, "😀 emoji 😀😀 twice 🚀 rocket end"),
+      (4L, "混合 中文 文本 with ascii"),
+      (5L, "𝕄athematical 𝔸lphanumeric 𝕊ymbols here now"))
+      .toDF("id", "text")
+    val both = d.select(
+      call_function("graft_simhash16", col("text")).as("ns"),
+      SimHash.simhash(col("text")).as("hs"),
+      call_function("graft_fingerprint", col("text")).as("nf"),
+      Text.fingerprint(col("text")).as("hf"))
+    assert(both.filter(col("ns") =!= col("hs") || col("nf") =!= col("hf")).count() == 0)
+    val a = MinHash.signatures(d, "id", "text", native = true)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = MinHash.signatures(d, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("edge cases: empty string, single token, double spaces, nulls") {
     import spark.implicits._
     val d = Seq((1L, ""), (2L, "one"), (3L, "a  b c"), (4L, null.asInstanceOf[String]))

@@ -39,6 +39,23 @@ class IntervalsSpec extends SparkSpec {
     assert(out == Seq(("t", 9L), ("u", 5L)))
   }
 
+  test("unseenByState keeps rewritten-file records (mtime newer than lastProcessed)") {
+    import graft.state.{OffsetRangeSet, TopicPartition}
+    val state = new OffsetRangeSet
+    state.add(TopicPartition("t", 0), 0L, 9L, java.time.Instant.ofEpochMilli(1000L))
+    val records = Seq(
+      ("t", 0, 5L, new java.sql.Timestamp(2000L)), // rewritten AFTER processing (W5)
+      ("t", 0, 6L, new java.sql.Timestamp(500L)),  // already covered
+      ("t", 0, 15L, new java.sql.Timestamp(500L))) // outside the range
+      .toDF("topic", "partition", "offset", "mtime")
+    val kept = Intervals
+      .unseenByState(spark, records, state, "topic", "partition", "offset", Some("mtime"))
+      .select("offset").collect().map(_.getLong(0)).toSeq.sorted
+    // the rewritten record (mtime 2s > lastProcessed 1s) must be re-extracted;
+    // a seconds-vs-millis unit mix-up here silently drops it forever
+    assert(kept == Seq(5L, 15L))
+  }
+
   test("toRanges round-trips through the driver state set") {
     val df = Seq(("t", 0, 3L), ("t", 0, 4L), ("t", 0, 9L))
       .toDF("topic", "partition", "offset")

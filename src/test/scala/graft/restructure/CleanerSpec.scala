@@ -99,6 +99,57 @@ class CleanerSpec extends SparkSpec {
     assert(deleted.map(_.stripPrefix("file:")) == Seq(f1.toString))
   }
 
+  test("cleaner verifies topics whose event time is not value.time (cascade parity)") {
+    // schema carries timeReceived ONLY: a hardcoded value.time on the
+    // output side would crash the pass or loop the file between
+    // state-remove and reprocess forever
+    val trSchemaJson =
+      """{"type":"record","name":"Envelope","fields":[
+        | {"name":"key","type":{"type":"record","name":"ObservationKey","fields":[
+        |   {"name":"projectId","type":["null","string"],"default":null},
+        |   {"name":"userId","type":"string"},
+        |   {"name":"sourceId","type":"string"}]}},
+        | {"name":"value","type":{"type":"record","name":"Usage","fields":[
+        |   {"name":"timeReceived","type":"double"},
+        |   {"name":"usage","type":"int"}]}}
+        |]}""".stripMargin
+    val trSchema = new Schema.Parser().parse(trSchemaJson)
+    def trRecord(tr: Double, usage: Int): GenericRecord = {
+      val key = new GenericData.Record(trSchema.getField("key").schema())
+      key.put("projectId", "p"); key.put("userId", "u"); key.put("sourceId", "s")
+      val value = new GenericData.Record(trSchema.getField("value").schema())
+      value.put("timeReceived", tr); value.put("usage", usage)
+      val rec = new GenericData.Record(trSchema)
+      rec.put("key", key); rec.put("value", value)
+      rec
+    }
+    val dir = Files.createTempDirectory("graft-cleaner-tr").toFile
+    val topicDir = new File(dir, "in/app_usage/partition=0")
+    val f1 = new File(topicDir, "app_usage+0+0000000000+0000000001.avro")
+    val f2 = new File(topicDir, "app_usage+0+0000000002.avro")
+    def writeTr(file: File, records: Seq[GenericRecord]): Unit = {
+      file.getParentFile.mkdirs()
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](trSchema))
+      w.create(trSchema, file)
+      records.foreach(w.append)
+      w.close()
+    }
+    writeTr(f1, Seq(trRecord(1580219940.0, 1), trRecord(1580219941.0, 2)))
+    writeTr(f2, Seq(trRecord(1580219950.0, 3)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      compression = None,
+      minimumFileAgeMs = 0L)
+    new Restructure(spark, cfg).run()
+    val (deleted, reprocess) = new Cleaner(spark, cfg, ageMs = 0L)
+      .run(now = System.currentTimeMillis + 60000)
+    assert(deleted.map(_.stripPrefix("file:")) == Seq(f1.toString))
+    assert(reprocess.isEmpty)
+    assert(!f1.exists() && f2.exists())
+  }
+
   test("cleaner reprocesses when output is missing records") {
     val dir = Files.createTempDirectory("graft-cleaner2").toFile
     val topicDir = new File(dir, "in/phone_light/partition=0")

@@ -88,6 +88,9 @@ class RestructureSpec extends SparkSpec {
 
     val r1 = job.run()
     assert(r1.files == 2)
+    // 4 records read, 1 duplicate removed by dedup -> 3 written; the count
+    // must come from the executed write (Observation), not a dead plan
+    assert(r1.records == 3)
 
     // output layout: per (project, user, bin) partitions
     val out = new File(cfg.outputDir, "application_server_status")
@@ -163,6 +166,28 @@ class RestructureSpec extends SparkSpec {
          |excludeTopics=application_server_status
          |""".stripMargin)
     assert(new Restructure(spark, excluded).listTopics().isEmpty)
+  }
+
+  test("restructure re-extracts a rewritten file's records (W5)") {
+    val (dir, cfg) = setup()
+    val f = new File(dir,
+      "in/application_server_status/partition=1/application_server_status+1+0000000021.avro")
+    // age the inputs so the first pass records an old lastProcessed
+    new File(dir, "in/application_server_status/partition=1").listFiles()
+      .foreach(_.setLastModified(System.currentTimeMillis - 120000))
+    val job = new Restructure(spark, cfg)
+    job.run()
+
+    // upstream rewrites the offset-21 file (same name, fresh mtime)
+    writeAvro(f, Seq(record(t2, "REWRITTEN")))
+    val r = job.run()
+    assert(r.files == 1)
+    assert(r.records == 1) // the rewritten record survived the seen filter
+    val out = job.readOutput("application_server_status", dedup = false)
+    assert(out.filter(org.apache.spark.sql.functions.col("`value.serverStatus`") === "REWRITTEN").count() == 1)
+
+    // state now carries the new mtime: a third pass plans nothing
+    assert(job.run().files == 0)
   }
 
   test("restructure: late file appends to an existing bin") {

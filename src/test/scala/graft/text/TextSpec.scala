@@ -41,6 +41,27 @@ class TextSpec extends SparkSpec {
     assert(h == Seq(0L, 2L))
   }
 
+  test("simhash nearDuplicates is pigeonhole-complete: every pair within maxBits") {
+    // near-identical docs differing in one trailing token -> many close
+    // fingerprints; completeness is checked against a brute-force scan of
+    // the same signatures (catches pairs that differ by one bit in more
+    // than one candidate block)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog variant$i tail words")
+    }.toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"), SimHash.simhash(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 2
+    } yield (i, j, h.toLong)).toSet
+    val got = SimHash.nearDuplicates(docs, "doc_id", "text", maxBits = 2)
+      .select(col("id_1"), col("id_2"), col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty) // the corpus really produces close pairs
+    assert(got == expected)
+  }
+
   test("minhash candidatePairs finds exact duplicates across all bands") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
