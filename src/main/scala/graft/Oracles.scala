@@ -115,6 +115,119 @@ object Oracles {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q2_min_cost_supp" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |  MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS min_cost_cents
+        | FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY l_partkey ORDER BY min_cost_cents, l_suppkey) AS rn FROM ps)
+        |SELECT l_partkey AS p_partkey, s_name, min_cost_cents
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.supp_nation, cn.cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN (SELECT n_nationkey, n_name AS supp_nation FROM nation) sn ON s_nationkey = sn.n_nationkey
+        |JOIN (SELECT n_nationkey, n_name AS cust_nation FROM nation) cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_top" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        | CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, sum_qty
+        |FROM (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING CAST(SUM(l_quantity) AS BIGINT) > 300) q
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_rich_inactive" ->
+      """WITH b AS (SELECT CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents, * FROM customer),
+        |t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_cents, COUNT(*) AS n_cust FROM b)
+        |SELECT c_nationkey, COUNT(*) AS n_custs,
+        | CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+        |FROM b, t
+        |WHERE bal_cents * n_cust > total_cents
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q1_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    "running_revenue" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        | FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        | FROM c0 WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.value,
+        | coalesce(c.click_id, -1) AS click_id,
+        | coalesce(c.click_value, -1.0) AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |   THEN 1 ELSE 0 END AS flag
+        | FROM events),
+        |y AS (SELECT user_id, ts,
+        |  SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | MIN(epoch_us(ts)) AS session_start_us,
+        | MAX(epoch_us(ts)) AS session_end_us,
+        | COUNT(*) AS n_events
+        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
     "time_bin_hourly" ->
       """SELECT strftime(ts, '%Y%m%d_%H00') AS bin, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
-import graft.operators.{Dedup, Flatten, Intervals}
+import graft.operators.{AsOf, Dedup, Flatten, Intervals, Sessionize}
 import graft.dedup.{MinHash, SimHash}
 import graft.similarity.Similarity
 import graft.text.{Hashing, Text}
@@ -101,6 +101,149 @@ object Queries {
           .cast(LongType)).as("revenue_cents"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("p_brand"))
+
+  /** Min-cost supplier per part (TPC-H Q2 shape): two-level aggregate +
+    * ranking window with deterministic tie-break, then a join back to the
+    * supplier dimension. */
+  def q2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100).cast(LongType)).as("min_cost_cents"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("min_cost_cents"), col("l_suppkey"))
+    ps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"), col("min_cost_cents"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Bi-national trade volume (TPC-H Q7 shape): a 5-way join where the two
+    * nation legs are broadcast under different aliases; revenue per
+    * (supplier nation, customer nation, ship year). */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast(LongType)).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Returned-item reporting (TPC-H Q10 shape): selective fact filter, star
+    * join, top-20 by revenue with key tie-break. */
+  def q10ReturnedTop(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast(LongType)).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Customer order-count distribution (TPC-H Q13 shape): left outer join
+    * preserved through two stacked aggregates. */
+  def q13OrderDist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Large-volume orders (TPC-H Q18 shape): HAVING on a fact aggregate,
+    * joined back to its dimensions. */
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast(LongType).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("total_cents"),
+        col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+
+  /** Disjunctive multi-attribute predicate (TPC-H Q19 shape): the OR of
+    * brand/size/quantity conjunctions evaluates AFTER the equi-join — one
+    * hash join, not three plans unioned. */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast(LongType)).as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+
+  /** Rich-but-inactive customers (TPC-H Q22 shape): scalar aggregate
+    * subquery + anti join, with the above-average test done in exact
+    * integer cross-multiplication (cents*count > total_cents) so both
+    * engines agree on boundary values. */
+  def q22RichInactive(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .withColumn("bal_cents", round(col("c_acctbal") * 100).cast(LongType))
+    val avgRow = broadcast(
+      cust.agg(sum(col("bal_cents")).as("total_cents"), count(lit(1)).as("n_cust")))
+    val big = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+    cust.crossJoin(avgRow)
+      .filter(col("bal_cents") * col("n_cust") > col("total_cents"))
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("sum_bal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** ROLLUP grouping sets over the Q1 aggregate, with the grouping id made
+    * explicit and null group labels coalesced to 'ALL'. */
+  def q1Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast(LongType).as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"), col("gid"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
+  /** Running revenue per customer (frame-bounded window aggregate). */
+  def runningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).over(w)
+          .as("running_cents"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** Left-semi join (EXISTS): customers having a big order. */
   def semiJoinBigSpenders(s: SparkSession, dir: String): DataFrame = {
@@ -288,6 +431,35 @@ object Queries {
       .agg(count_distinct(col("ts")).as("n_times"))
       .orderBy(col("user_id"), col("bin"))
 
+  /** As-of join: each purchase event matched to the user's most recent
+    * preceding (or simultaneous) click — union-merge formulation, no range
+    * join. Right side deduped to one row per (user, ts) for determinism. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicksW = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val clicks = events.filter(col("event_type") === "click")
+      .withColumn("__rn", row_number().over(clicksW)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    // sentinel instead of null for the no-preceding-click case: result
+    // hashes must not depend on engine-specific null encodings
+    AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("value"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("click_value"), lit(-1d)).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sessionization: per-user sessions split at >30-minute quiet gaps,
+    * with exact epoch-micros bounds. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(
+      t(s, dir, "events"), Seq("user_id"), "ts", "event_id", gapSeconds = 1800L)
+      .orderBy(col("user_id"), col("session_id"))
+
   // ------------------------------------------------------ text analysis pack
 
   def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -431,6 +603,17 @@ object Queries {
     "q6_forecast" -> q6Forecast _,
     "q4_order_priority" -> q4OrderPriority _,
     "q14_brand" -> q14Brand _,
+    "q2_min_cost_supp" -> q2MinCostSupp _,
+    "q7_nation_volume" -> q7NationVolume _,
+    "q10_returned_top" -> q10ReturnedTop _,
+    "q13_order_dist" -> q13OrderDist _,
+    "q18_big_orders" -> q18BigOrders _,
+    "q19_disjunctive" -> q19Disjunctive _,
+    "q22_rich_inactive" -> q22RichInactive _,
+    "q1_rollup" -> q1Rollup _,
+    "running_revenue" -> runningRevenue _,
+    "asof_join" -> asofJoin _,
+    "sessionize" -> sessionize _,
     "semi_join_big_spenders" -> semiJoinBigSpenders _,
     "time_bin_hourly" -> timeBinHourly _,
     "dedup_keeplast" -> dedupKeepLast _,

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics: latest right row at-or-before each left row, per
+  * key; inclusive at equal timestamps; null payload when nothing precedes.
+  */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("joinAsOf matches the latest right row at-or-before each left row") {
+    val left = Seq(
+      ("u1", ts(100), 1L), // after r at 90 -> 90
+      ("u1", ts(200), 2L), // after r at 90 and 150 -> 150
+      ("u1", ts(50), 3L),  // before any right row -> null
+      ("u2", ts(100), 4L)) // u2 has a right row at exactly 100 -> inclusive
+      .toDF("user", "ts", "event_id")
+    val right = Seq(
+      ("u1", ts(90), 900L),
+      ("u1", ts(150), 901L),
+      ("u2", ts(100), 902L),
+      ("u3", ts(10), 903L)) // key never on the left: no output row
+      .toDF("user", "ts", "ref_id")
+    val out = AsOf.joinAsOf(left, right, Seq("user"), "ts", "ts")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[java.lang.Long]("ref_id")).map(_.toLong)))
+      .toSeq
+    assert(out == Seq(
+      (1L, Some(900L)), (2L, Some(901L)), (3L, None), (4L, Some(902L))))
+  }
+
+  test("joinAsOf preserves all left columns and row count") {
+    val left = Seq(("k", ts(10), "a", 1.5), ("k", ts(20), "b", 2.5))
+      .toDF("k", "ts", "tag", "score")
+    val right = Seq(("k", ts(15), 7L)).toDF("k", "ts", "pay")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts")
+    assert(out.columns.toSeq == Seq("k", "ts", "tag", "score", "pay"))
+    val rows = out.orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(4) && rows(1).getLong(4) == 7L)
+    assert(rows.map(_.getAs[String]("tag")).toSeq == Seq("a", "b"))
+  }
+}
