@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of whole-stage-codegen classes accumulate over a full catalog
+  // run; keep the JIT from hitting the default 240m code-cache ceiling
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -106,13 +106,18 @@ object Queries {
     * ranking window with deterministic tie-break, then a join back to the
     * supplier dimension. */
   def q2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
-    val ps = t(s, dir, "lineitem")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(round(col("l_extendedprice") * 100).cast(LongType)).as("min_cost_cents"))
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("min_cost_cents"), col("l_suppkey"))
-    ps.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // single aggregation instead of groupBy-then-rank: the supplier whose
+    // per-(part,supp) minimum wins is exactly the one on the globally
+    // cheapest row of the part, so min over (cost, suppkey) structs — with
+    // lexicographic struct ordering doing the (cost, then suppkey)
+    // tie-break — needs ONE map-side-combined shuffle on l_partkey only
+    val best = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(
+        round(col("l_extendedprice") * 100).cast(LongType).as("c"),
+        col("l_suppkey").as("k"))).as("m"))
+      .select(col("l_partkey"), col("m.c").as("min_cost_cents"), col("m.k").as("l_suppkey"))
+    best
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("s_name"), col("min_cost_cents"))
       .orderBy(col("p_partkey"))
@@ -573,13 +578,14 @@ object Queries {
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(
-      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10, native = true)
       .select("query_id", "neighbor_id", "dot", "rank")
       .orderBy(col("query_id"), col("rank"))
   }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", 400000L)
+    Similarity.lshNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", 400000L,
+      native = true)
       .orderBy(col("id_1"), col("id_2"))
 
   // ------------------------------------------------------------- multimodal

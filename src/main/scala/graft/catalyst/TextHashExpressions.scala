@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 import graft.text.Hashing
 
@@ -89,5 +89,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_shingles", c => ShingleHashes(c.head))
     register("graft_simhash16", c => SimHash16(c.head))
     register("graft_fingerprint", c => Fingerprint(c.head))
+    // vector functions coerce their own argument shapes
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_quantize"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_quantize expects one argument")
+        QuantizeVec(Cast(children.head, ArrayType(DoubleType)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_qdot"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_qdot"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_qdot expects two arguments")
+        QuantDot(Cast(children(0), ArrayType(LongType)), Cast(children(1), ArrayType(LongType)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_srp"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_srp expects one argument")
+        SrpBucket(Cast(children.head, ArrayType(LongType)))
+      }))
   }
 }

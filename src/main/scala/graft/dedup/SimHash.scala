@@ -87,19 +87,24 @@ object SimHash {
       }
       .repartition(col("__id"))
     // an OR join would force a nested-loop cross product; per-block
-    // equi-joins (hash exchanges on small keys) unioned + distinct scale
-    def block(key: String): DataFrame = {
+    // equi-joins (hash exchanges on small keys) scale instead. Each pair is
+    // emitted ONLY by its first matching block (block i additionally
+    // requires blocks j < i to differ), so the union is exactly-once by
+    // construction — no distinct() shuffle over the full pair set.
+    def block(i: Int): DataFrame = {
       val l = withSig.as("l")
       val r = withSig.as("r")
-      l.join(r, col(s"l.$key") === col(s"r.$key") && col("l.__id") < col("r.__id"))
+      val firstMatch = (0 until i)
+        .map(j => col(s"l.__b$j") =!= col(s"r.__b$j"))
+        .foldLeft(col(s"l.__b$i") === col(s"r.__b$i") && col("l.__id") < col("r.__id"))(_ && _)
+      l.join(r, firstMatch)
         .select(
           col("l.__id").as("id_1"),
           col("r.__id").as("id_2"),
           hamming(col("l.__sig"), col("r.__sig")).as("hamming"))
     }
-    bounds.indices.map(i => block(s"__b$i"))
+    bounds.indices.map(block)
       .reduce(_ unionByName _)
       .filter(col("hamming") <= maxBits)
-      .distinct()
   }
 }

@@ -29,10 +29,11 @@ object IVF {
 
   final case class Index(assigned: DataFrame, centroids: Array[Array[Long]])
 
-  private def quantizedDotLit(v: Column, centroid: Array[Long]): Column = {
-    val lits = array(centroid.map(lit): _*)
-    aggregate(zip_with(v, lits, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-  }
+  /** Centroid dot via the codegen'd kernel — the literal array is tiny but
+    * the dot runs per (row x centroid), so it must not be an interpreted
+    * lambda. */
+  private def quantizedDotLit(v: Column, centroid: Array[Long]): Column =
+    call_function("graft_qdot", v, array(centroid.map(lit): _*))
 
   /** Argmax-dot list id for a quantized vector column. Ties break toward
     * the lower list id (strictly-greater chain). */
@@ -51,7 +52,8 @@ object IVF {
   /** Build the index: pick centroids, assign every vector, pre-partition by
     * list id. */
   def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int): Index = {
-    val q = df.select(col(idCol).as("__id"), Similarity.quantize(col(vecCol)).as("__v"))
+    val q = df.select(col(idCol).as("__id"),
+      call_function("graft_quantize", col(vecCol)).as("__v"))
     val centroids = q
       .orderBy(col("__id"))
       .limit(nlist)
@@ -72,7 +74,8 @@ object IVF {
       vecCol: String,
       k: Int,
       nprobe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), Similarity.quantize(col(vecCol)).as("__qv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      call_function("graft_quantize", col(vecCol)).as("__qv"))
     // rank all centroids per query, keep nprobe: centroid count is small, so
     // this is a literal-array projection + explode, no join
     val centScores = index.centroids.zipWithIndex.map { case (c, i) =>
@@ -85,7 +88,7 @@ object IVF {
     val cand = probed.join(index.assigned, "__list")
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
-        Similarity.intDot(col("__qv"), col("__v")).as("dot"))
+        call_function("graft_qdot", col("__qv"), col("__v")).as("dot"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w).cast(LongType))

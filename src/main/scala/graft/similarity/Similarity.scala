@@ -45,18 +45,26 @@ object Similarity {
 
   /** Brute-force top-k neighbors for each row of `queries` against `corpus`.
     * Output: (query_id, neighbor_id, dot, rank). The query side is
-    * broadcast; ranking ties break on neighbor id for determinism. */
+    * broadcast; ranking ties break on neighbor id for determinism.
+    * `native=true` scores with the codegen'd graft_quantize/graft_qdot
+    * kernels (same integer math, no interpreted lambdas) — requires a
+    * GraftExtensions session. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
+      k: Int,
+      native: Boolean = false): DataFrame = {
+    def quant(c: Column): Column =
+      if (native) call_function("graft_quantize", c) else quantize(c)
+    def dotOf(a: Column, b: Column): Column =
+      if (native) call_function("graft_qdot", a, b) else intDot(a, b)
+    val q = queries.select(col(idCol).as("query_id"), quant(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("__cv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        intDot(col("__qv"), col("__cv")).as("dot"))
+        dotOf(col("__qv"), col("__cv")).as("dot"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -77,21 +85,31 @@ object Similarity {
   def srpBucket(v: Column): Column = srpBucketFromQuant(quantize(v))
 
   /** LSH near-duplicate pairs: same SRP bucket AND integer dot product above
-    * `minDot` (for unit vectors, cosine ~= dot / QuantScale^2). */
+    * `minDot` (for unit vectors, cosine ~= dot / QuantScale^2).
+    * `native=true` uses the codegen'd vector kernels. */
   def lshNearDuplicates(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      minDot: Long): DataFrame = {
-    val b = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__v"))
-      .select(col("__id"), col("__v"), srpBucketFromQuant(col("__v")).as("__bucket"))
+      minDot: Long,
+      native: Boolean = false): DataFrame = {
+    val b =
+      if (native)
+        df.select(col(idCol).as("__id"), call_function("graft_quantize", col(vecCol)).as("__v"))
+          .select(col("__id"), col("__v"), call_function("graft_srp", col("__v")).as("__bucket"))
+      else
+        df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__v"))
+          .select(col("__id"), col("__v"), srpBucketFromQuant(col("__v")).as("__bucket"))
     val l = b.as("l")
     val r = b.as("r")
+    val pairDot =
+      if (native) call_function("graft_qdot", col("l.__v"), col("r.__v"))
+      else intDot(col("l.__v"), col("r.__v"))
     l.join(r, col("l.__bucket") === col("r.__bucket") && col("l.__id") < col("r.__id"))
       .select(
         col("l.__id").as("id_1"),
         col("r.__id").as("id_2"),
-        intDot(col("l.__v"), col("r.__v")).as("dot"))
+        pairDot.as("dot"))
       .filter(col("dot") >= minDot)
   }
 }
