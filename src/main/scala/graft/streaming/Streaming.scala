@@ -47,6 +47,43 @@ object Streaming {
       .start()
   }
 
+  /** Streaming twin of [[graft.operators.Sessionize]]: Spark's built-in
+    * session_window merges events separated by less than `gap` into one
+    * window per key; the watermark closes sessions and bounds state, and
+    * AvailableNow makes each call one catch-up pass. (Boundary note: an
+    * event at exactly `gap` after the previous one starts a NEW session
+    * here — session windows are end-exclusive — while the batch operator
+    * splits only on gaps strictly greater than the threshold.) */
+  def sessionCounts(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val in = spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+    val agg = in
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+    agg.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+
   /** Per-key processed-offset tracking as streaming custom state (W6):
     * mapGroupsWithState keeps (maxOffset, count) per key across batches —
     * the streaming analog of the driver-side OffsetRangeSet for pipelines

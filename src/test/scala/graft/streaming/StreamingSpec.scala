@@ -42,6 +42,30 @@ class StreamingSpec extends SparkSpec {
       ("20240301_1100", "view", 2L))) // late 11:30 joined the 11:00 window
   }
 
+  test("sessionCounts closes session windows once the watermark passes") {
+    val dir = Files.createTempDirectory("graft-stream-sess").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // u1: two events 10 min apart (one session), then a 40-min quiet gap
+    // and one more (second session); u2: a single event
+    Seq((1L, ts(10, 0)), (1L, ts(10, 10)), (1L, ts(10, 50)), (2L, ts(10, 5)))
+      .toDF("user_id", "ts")
+      .write.parquet(in)
+    Streaming.sessionCounts(spark, in, out, cp).awaitTermination()
+    // advance the watermark far enough to close every session above
+    Seq((9L, ts(15, 0))).toDF("user_id", "ts")
+      .write.mode("append").parquet(in)
+    Streaming.sessionCounts(spark, in, out, cp).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def us(h: Int, m: Int) = ts(h, m).getTime * 1000L
+    assert(got == Set(
+      (1L, us(10, 0), us(10, 40), 2L),  // window end = last event + gap
+      (1L, us(10, 50), us(11, 20), 1L),
+      (2L, us(10, 5), us(10, 35), 1L)))
+  }
+
   test("trackOffsets keeps per-key max offset and count across a batch") {
     val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
       .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap
