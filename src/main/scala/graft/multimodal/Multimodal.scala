@@ -131,6 +131,18 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling for video-like `array<binary>` columns: keep every
+    * `stride`-th frame, exploded to one row per kept frame with its index.
+    * Pure built-ins (posexplode + filter) — the generate and the filter
+    * both stay inside whole-stage codegen and the filter prunes before any
+    * downstream decode touches the dropped frames. */
+  def frameSample(df: DataFrame, framesCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    df.select(col("*"), posexplode(col(framesCol)).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % stride === 0)
+      .drop(framesCol)
+  }
+
   /** Rebalance by payload size before expensive per-byte work: targets
     * `bytesPerPartition` per task, so mixed thumbnail/4K corpora decode with
     * even task durations instead of long-tail stragglers. */

@@ -50,6 +50,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out1(3).isNullAt(out1(3).fieldIndex("features")))
   }
 
+  test("frameSample keeps every stride-th frame with its index") {
+    val video = Seq(
+      (1L, Array(img(2, 2, 1, 0), img(2, 2, 1, 1), img(2, 2, 1, 2), img(2, 2, 1, 3), img(2, 2, 1, 4))),
+      (2L, Array(img(2, 2, 1, 9))))
+      .toDF("id", "frames")
+    val out = Multimodal.frameSample(video, "frames", stride = 2)
+      .orderBy("id", "frame_idx").collect()
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Int]("frame_idx"))).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0)))
+    // the kept frame is the original payload, decodable
+    assert(FakeCodec.decode(out(1).getAs[Array[Byte]]("frame")).exists(_._1 == 2))
+    assert(!out.head.schema.fieldNames.contains("frames"))
+  }
+
   test("repartitionBySize targets byte budget per partition") {
     val big = Multimodal.repartitionBySize(df, "payload", bytesPerPartition = 100L)
     assert(big.rdd.getNumPartitions >= 2)

@@ -26,6 +26,25 @@ class IVFSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("Lloyd refinement keeps exhaustive search exact and balances lists") {
+    val corpus = emb.limit(200)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val idx0 = IVF.build(corpus, "vec_id", "embedding", nlist = 8)
+    val idx2 = IVF.build(corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    // exactness at nprobe = nlist is independent of centroid quality
+    val a = IVF.search(idx2, queries, "vec_id", "embedding", k = 10, nprobe = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val b = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // refinement must not grow the largest list (it rebalances toward the
+    // data's actual clusters); both indexes cover all 200 vectors
+    def sizes(i: IVF.Index) = i.assigned.groupBy("__list").count()
+      .collect().map(_.getLong(1))
+    assert(sizes(idx2).sum == 200 && sizes(idx0).sum == 200)
+    assert(sizes(idx2).max <= sizes(idx0).max)
+  }
+
   test("nprobe = 1 returns k results from the probed list, ranked") {
     val corpus = emb.limit(200)
     val queries = corpus.filter(col("vec_id") === 0)
