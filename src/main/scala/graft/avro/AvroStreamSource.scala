@@ -1,0 +1,215 @@
+package graft.avro
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 micro-batch streaming source for the reference's Avro
+  * topic layout (`<topicDir>/partition=<p>/<topic>+<p>+<start>[+<end>].avro`)
+  * — the Structured Streaming re-expression of the reference's polling
+  * service mode (SURVEY §2.8 W2): each trigger processes exactly the sink
+  * files that appeared since the last checkpointed offset.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.avro.AvroStreamSource")
+  *     .load(topicDir)           // one topic directory
+  * }}}
+  *
+  * Offset model: the streaming Offset is the per-Kafka-partition maximum
+  * file START offset that has been planned (files are immutable once the
+  * sink closes them, and per partition they arrive in ascending offset
+  * order — the same assumptions the reference's filename accounting makes).
+  * A micro-batch is "every file whose start offset lies in (committed,
+  * latest]"; planning is therefore deterministic from the two offsets and a
+  * directory listing, and replay after a crash re-reads exactly the files
+  * of the uncommitted batch. One InputPartition per file — the file is both
+  * the unit of offset accounting and bounded by the sink's flush policy, so
+  * tasks parallelize evenly across executors.
+  *
+  * Output schema: `_file`, `_row_index`, then the writer schema's fields
+  * (same shape as [[AvroSource.read]], so the whole batch operator chain —
+  * flatten, time cascade, dedup — applies unchanged to the stream).
+  */
+class AvroStreamSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroStreamSource.schemaFor(options.get("path"))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AvroStreamTable(schema, properties.get("path"))
+}
+
+object AvroStreamSource {
+  val FilenameRe = "([^/+]+)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$".r
+
+  private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+
+  /** (partition, startOffset, status) for every sink file under the topic
+    * dir, ascending by (partition, startOffset). */
+  def listFiles(dir: String): Seq[(Int, Long, FileStatus)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, FileStatus)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getLen > 0) {
+        FilenameRe.findFirstMatchIn(s.getPath.getName).foreach { m =>
+          out += ((m.group(2).toInt, m.group(3).toLong, s))
+        }
+      }
+    }
+    out.sortBy(f => (f._1, f._2)).toSeq
+  }
+
+  def schemaFor(dir: String): StructType = {
+    val files = listFiles(dir)
+    require(files.nonEmpty, s"no avro sink files under $dir to infer a schema from")
+    val p = files.head._3.getPath
+    val fs = p.getFileSystem(hadoopConf)
+    val avro = AvroSource.writerSchema(() => fs.open(p))
+    val fields = AvroSchemas.toSparkType(avro).asInstanceOf[StructType].fields
+    StructType(
+      StructField("_file", StringType, nullable = false) +:
+        StructField("_row_index", LongType, nullable = false) +: fields)
+  }
+}
+
+/** Offset = max planned file start offset per Kafka partition. */
+case class AvroStreamOffset(maxStart: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    maxStart.toSeq.sorted
+      .map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+}
+
+object AvroStreamOffset {
+  val Empty: AvroStreamOffset = AvroStreamOffset(Map.empty)
+  def fromJson(s: String): AvroStreamOffset = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Empty
+    else AvroStreamOffset(
+      body.split(",").map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+      }.toMap)
+  }
+}
+
+final class AvroStreamTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-avro-stream($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new AvroMicroBatchStream(schema, path)
+        override def toBatch: Batch =
+          throw new UnsupportedOperationException("streaming-only table")
+      }
+    }
+}
+
+final class AvroMicroBatchStream(schema: StructType, path: String)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = AvroStreamOffset.Empty
+
+  override def latestOffset(): Offset = {
+    val files = AvroStreamSource.listFiles(path)
+    if (files.isEmpty) AvroStreamOffset.Empty
+    else AvroStreamOffset(
+      files.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    AvroStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[AvroStreamOffset].maxStart
+    val to = end.asInstanceOf[AvroStreamOffset].maxStart
+    AvroStreamSource.listFiles(path)
+      .filter { case (p, s, _) =>
+        s > from.getOrElse(p, Long.MinValue) && s <= to.getOrElse(p, Long.MinValue)
+      }
+      .map { case (_, _, st) => AvroFilePartition(st.getPath.toString): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    AvroFileReaderFactory(schema, conf)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class AvroFilePartition(path: String) extends InputPartition
+
+case class AvroFileReaderFactory(schema: StructType, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroFilePartitionReader(
+      partition.asInstanceOf[AvroFilePartition].path, schema, conf)
+}
+
+/** Streams one container file; the record's payload columns are converted
+  * through the same AvroSchemas mapping as the batch reader, then to
+  * Catalyst rows. */
+final class AvroFilePartitionReader(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+
+  private val hp = new Path(path)
+  private val in = hp.getFileSystem(conf.value).open(hp)
+  private val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+  private val avroSchema = stream.getSchema
+  private val payloadFields = schema.fields.drop(2)
+  private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+  private var i = -1L
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (stream.hasNext) {
+      val rec = stream.next()
+      i += 1
+      val values = path +: i +: payloadFields.indices.map { f =>
+        AvroSchemas.toSparkValue(rec.get(f), avroSchema.getFields.get(f).schema())
+      }
+      current = toCatalyst(org.apache.spark.sql.Row.fromSeq(values))
+        .asInstanceOf[InternalRow]
+      true
+    } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = { stream.close(); in.close() }
+}
