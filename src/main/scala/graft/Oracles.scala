@@ -368,6 +368,19 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "text_clean" ->
+      """WITH n AS (SELECT doc_id,
+        |  '<p class="x">' || text || '</p> <a>see</a> https://example.com/doc/' || doc_id || ' end' AS noisy
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |   noisy, '<[^>]*>', '', 'g'), 'https?://[^ ]+', '', 'g'), ' +', ' ', 'g')) AS clean
+        | FROM n)
+        |SELECT doc_id,
+        | CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_clean_tokens,
+        | array_to_string(list_slice(string_split(clean, ' '), 1, 8), ' ') AS head8
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "fingerprint" ->
       s"""SELECT doc_id,
          | list_reduce(list_prepend(CAST(0 AS BIGINT), $codesE),

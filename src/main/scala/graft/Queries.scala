@@ -506,6 +506,22 @@ object Queries {
         call_function("graft_fingerprint", col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Cleanup pipeline: inject synthetic web noise (tags + a URL) around the
+    * document text, then strip -> normalize -> truncate, counting tokens
+    * before and after. Exercises the whole cleanup pack on every row. */
+  def textClean(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(
+      lit("<p class=\"x\">"), col("text"),
+      lit("</p> <a>see</a> https://example.com/doc/"), col("doc_id"), lit(" end"))
+    val clean = Text.normalizeWs(Text.stripUrls(Text.stripHtml(noisy)))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.tokenCount(clean).cast(LongType).as("n_clean_tokens"),
+        Text.truncateTokens(clean, 8).as("head8"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- near-dup / ANN
 
   def simhash16(s: SparkSession, dir: String): DataFrame =
@@ -545,6 +561,11 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Exact all-pairs Jaccard >= 0.8 by exploded co-occurrence counting.
+    * (graft.dedup.Jaccard.pairs is the prefix-filtered formulation of the
+    * same result — asymptotically better on web-scale corpora, but its
+    * extra stages cost more than they save at this sf, so the benched
+    * query keeps the direct plan; both are pinned by the same oracle.) */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val sets = MinHash.withShingles(d, "doc_id", "text", native = true)
@@ -641,6 +662,7 @@ object Queries {
     "text_tokens" -> textTokens _,
     "bpe_tokens" -> bpeTokens _,
     "text_quality" -> textQuality _,
+    "text_clean" -> textClean _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
     "simhash16" -> simhash16 _,

@@ -1,0 +1,73 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact Jaccard-threshold pair search with prefix filtering (the
+  * AllPairs/PPJoin family) — the scale path for "all pairs of documents
+  * with shingle-set Jaccard >= t".
+  *
+  * Candidate generation joins only each document's PREFIX: its
+  * `|A| - ceil(t*|A|) + 1` rarest shingles under a consistent global order
+  * (corpus frequency, ties by value). Completeness: a qualifying pair has
+  * `|A∩B| >= ceil(t*|A|)`, so the intersection cannot fit inside the
+  * suffix of either side, and the globally-smallest shared shingle
+  * therefore sits inside BOTH prefixes — the equi-join finds every
+  * qualifying pair. Verification then computes the exact intersection per
+  * candidate with array_intersect over the full sets.
+  *
+  * Versus the naive exploded self-join + count, the join touches ~(1-t) of
+  * the exploded rows and — because prefixes are the RAREST shingles — the
+  * hot shingle buckets that drive the quadratic blowup are exactly the
+  * ones pruned. At a 0.8 threshold that is a ~5x smaller join input and a
+  * candidate set close to the true result size.
+  */
+object Jaccard {
+
+  /** All pairs with floor(10000*|A∩B|/|A∪B|) >= minBp over 3-gram shingle
+    * sets of `textCol`. Output: (id_1, id_2, jaccard_bp), id_1 < id_2. */
+  def pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBp: Long,
+      native: Boolean = false): DataFrame = {
+    require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
+    val sets = MinHash.withShingles(df, idCol, textCol, native)
+      .select(col(idCol).as("__id"), array_distinct(col("__sh")).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val exploded = sets
+      .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
+      .repartition(col("__x"))
+    // global order: (corpus frequency asc, shingle value asc); the
+    // frequency aggregate reuses the exchange on __x above
+    val freq = exploded.groupBy(col("__x")).agg(count(lit(1)).as("__f"))
+    val ranked = exploded
+      .join(freq, "__x")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__id")).orderBy(col("__f"), col("__x"))))
+    // prefix length |A| - ceil(t*|A|) + 1, exact in integer arithmetic:
+    // ceil(minBp*n/10000) = floor((minBp*n + 9999)/10000)
+    val prefix = ranked
+      .filter(col("__rn") <= col("__n") - floor((col("__n") * minBp + 9999) / 10000) + 1)
+      .select(col("__id"), col("__x"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_1"), col("b.__id").as("id_2"))
+      .distinct()
+    cand
+      .join(sets.as("sa"), col("id_1") === col("sa.__id"))
+      .join(sets.as("sb"), col("id_2") === col("sb.__id"))
+      .select(
+        col("id_1"), col("id_2"),
+        size(array_intersect(col("sa.__set"), col("sb.__set"))).cast(LongType).as("inter"),
+        (size(col("sa.__set")) + size(col("sb.__set"))).cast(LongType).as("szsum"))
+      .withColumn("jaccard_bp",
+        floor(col("inter").cast(DoubleType) * 10000d /
+          (col("szsum") - col("inter")).cast(DoubleType)).cast(LongType))
+      .filter(col("jaccard_bp") >= minBp)
+      .select("id_1", "id_2", "jaccard_bp")
+  }
+}

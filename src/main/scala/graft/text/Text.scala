@@ -81,4 +81,25 @@ object Text {
   /** Token count under the BPE-ish regex (vs whitespace tokenCount). */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  // ------------------------------------------------------------- cleanup
+
+  /** Crude tag stripper: removes <...> spans (the boilerplate-removal
+    * first pass of a web-scrape pipeline; a real extractor would parse). */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", "")
+
+  /** Removes http(s) URLs (token-polluting, often PII-bearing). */
+  def stripUrls(text: Column): Column =
+    regexp_replace(text, "https?://[^ ]+", "")
+
+  /** Collapses whitespace runs to single spaces and trims — restores the
+    * single-space token model after stripping. */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(text, " +", " "))
+
+  /** First `maxTokens` whitespace tokens re-joined — the context-window
+    * truncation step. Pure array ops, stays in codegen. */
+  def truncateTokens(text: Column, maxTokens: Int): Column =
+    concat_ws(" ", slice(tokens(text), 1, maxTokens))
 }

@@ -62,6 +62,29 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("prefix-filtered jaccard pairs == brute force over shingle sets") {
+    // overlapping near-dup corpus: doc i shares most tokens with doc i+1
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (base.drop(i % 3) ++ Seq(s"tail${i / 6}")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.dedup.Jaccard.pairs(docs, "doc_id", "text", minBp = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force from the same shingle sets
+    val sets = MinHash.withShingles(docs, "doc_id", "text")
+      .select(col("doc_id"), array_distinct(col("__sh")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expected = (for {
+      (i, a) <- sets.toSeq; (j, b) <- sets.toSeq
+      if i < j && a.nonEmpty && b.nonEmpty
+      inter = (a & b).size
+      bp = math.floor(inter * 10000.0 / (a.size + b.size - inter)).toLong
+      if bp >= 5000L
+    } yield (i, j, bp)).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+
   test("minhash candidatePairs finds exact duplicates across all bands") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
