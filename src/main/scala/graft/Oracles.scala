@@ -191,6 +191,12 @@ object Oracles {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, returnflag, linestatus""".stripMargin,
 
+    "median_order_cents" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
     "running_revenue" ->
       """SELECT o_orderkey, o_custkey,
         | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (

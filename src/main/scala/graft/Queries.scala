@@ -250,6 +250,18 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Exact median (sort-based percentile aggregate) of order value per
+    * priority — integer cents in, so the linear interpolation lands on .0
+    * or .5 doubles that hash identically across engines. */
+  def medianOrderCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile(round(col("o_totalprice") * 100).cast(LongType), lit(0.5))
+          .as("median_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
   /** Left-semi join (EXISTS): customers having a big order. */
   def semiJoinBigSpenders(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
@@ -639,6 +651,7 @@ object Queries {
     "q22_rich_inactive" -> q22RichInactive _,
     "q1_rollup" -> q1Rollup _,
     "running_revenue" -> runningRevenue _,
+    "median_order_cents" -> medianOrderCents _,
     "asof_join" -> asofJoin _,
     "sessionize" -> sessionize _,
     "semi_join_big_spenders" -> semiJoinBigSpenders _,
