@@ -150,6 +150,26 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     }
   }
 
+  /** Streaming twin of [[readTopic]]'s column derivation: the micro-batch
+    * arrives from [[graft.avro.AvroStreamSource]] with `_file`/`_row_index`
+    * already attached, so partition and offset come from the FILENAME (F6)
+    * instead of a planned-file join, and `_mtime` is the processing time
+    * (the stream's checkpoint, not the mtime state, provides incremental
+    * exactly-once here). */
+  def deriveStream(topic: String, df: DataFrame): DataFrame = {
+    val fname = element_at(split(col("_file"), "/"), -1)
+    val time = Times.eventTime(df)
+    df.withColumn("_topic", lit(topic))
+      .withColumn("_partition", Strings.filenamePartition(fname))
+      .withColumn("_offset", Strings.filenameStartOffset(fname) + col("_row_index"))
+      .withColumn("_mtime", current_timestamp())
+      .withColumn("_project", sanitized(df, "key.projectId", "unknown-project"))
+      .withColumn("_user", sanitized(df, "key.userId", "unknown-user"))
+      .withColumn("_source", sanitized(df, "key.sourceId", "unknown-source"))
+      .withColumn("_time", time)
+      .withColumn("_bin", Times.timeBin(col("_time"), config.timeBinFormat))
+  }
+
   private def sanitized(df: DataFrame, path: String, default: String): Column = {
     val exists = {
       val parts = path.split("\\.")

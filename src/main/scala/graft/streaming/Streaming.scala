@@ -84,6 +84,34 @@ object Streaming {
       .start()
   }
 
+  /** End-to-end STREAMING restructure for one topic: the DSv2 Avro source
+    * feeds each micro-batch of new sink files through the same derive ->
+    * dedup -> partitioned-write chain as the batch job, with the streaming
+    * checkpoint replacing the offset-range state file. Each AvailableNow
+    * call is one incremental pass (the reference's service tick, W2),
+    * exactly-once at file granularity via the checkpointed source offset. */
+  def restructureStream(
+      spark: SparkSession,
+      config: graft.restructure.RestructureConfig,
+      topic: String,
+      checkpointDir: String): StreamingQuery = {
+    val job = new graft.restructure.Restructure(spark, config)
+    spark.readStream
+      .format("graft.avro.AvroStreamSource")
+      .load(s"${config.inputDir}/$topic")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val derived = job.deriveStream(topic, batch)
+          job.writeSidecar(topic, derived)
+          job.write(topic, job.dedup(topic, derived))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Per-key processed-offset tracking as streaming custom state (W6):
     * mapGroupsWithState keeps (maxOffset, count) per key across batches —
     * the streaming analog of the driver-side OffsetRangeSet for pipelines

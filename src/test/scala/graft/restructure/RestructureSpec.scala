@@ -190,6 +190,32 @@ class RestructureSpec extends SparkSpec {
     assert(job.run().files == 0)
   }
 
+  test("streaming restructure: incremental passes through the DSv2 source") {
+    val (dir, cfg) = setup()
+    val cp = new File(dir, "cp").toString
+    def pass(): Unit = {
+      val q = graft.streaming.Streaming.restructureStream(
+        spark, cfg, "application_server_status", cp)
+      q.awaitTermination()
+    }
+    pass()
+    val out = new File(cfg.outputDir, "application_server_status")
+    val bin13 = spark.read.option("header", "true").csv(
+      new File(out, "_project=STAGING_PROJECT/_user=user1/_bin=20200128_1300").toString)
+    assert(bin13.count() == 1) // dedup applied inside the micro-batch
+    assert(new File(out, "schema-application_server_status.json").exists())
+
+    // new sink file -> only its record flows in pass 2 (checkpointed offset)
+    writeAvro(
+      new File(dir, "in/application_server_status/partition=1/application_server_status+1+0000000022.avro"),
+      Seq(record(t2, "LATE")))
+    pass()
+    val all = new Restructure(spark, cfg).readOutput("application_server_status", dedup = false)
+    assert(all.count() == 4) // 3 from pass 1 + 1 from pass 2, no re-reads
+    pass() // nothing new: no change
+    assert(new Restructure(spark, cfg).readOutput("application_server_status", dedup = false).count() == 4)
+  }
+
   test("restructure: late file appends to an existing bin") {
     val (dir, cfg) = setup()
     val job = new Restructure(spark, cfg)
