@@ -11,12 +11,16 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service}
   * runMain graft.Main --config app.properties --clean    # + cleaner pass
   * runMain graft.Main --config app.properties --service \
   *   --interval 300000 --cleaner-interval 1260000        # polling mode
+  * runMain graft.Main --config app.properties --stream   # one streaming
+  *   # catch-up pass per topic via the DSv2 Avro source (checkpointed
+  *   # under <output>/_checkpoints/<topic>)
   * }}}
   */
 object Main {
   def main(args: Array[String]): Unit = {
     var configPath: Option[String] = None
     var service = false
+    var stream = false
     var clean = false
     var interval = 300000L
     var cleanerInterval = 1260000L
@@ -26,6 +30,7 @@ object Main {
       args(i) match {
         case "--config"           => configPath = Some(args(i + 1)); i += 2
         case "--service"          => service = true; i += 1
+        case "--stream"           => stream = true; i += 1
         case "--clean"            => clean = true; i += 1
         case "--interval"         => interval = args(i + 1).toLong; i += 2
         case "--cleaner-interval" => cleanerInterval = args(i + 1).toLong; i += 2
@@ -50,6 +55,15 @@ object Main {
       svc.start()
       sys.addShutdownHook { svc.stop(); spark.stop() }
       Thread.currentThread().join() // run until interrupted
+    } else if (stream) {
+      val topics = job.listTopics()
+      topics.foreach { t =>
+        graft.streaming.Streaming
+          .restructureStream(spark, config, t, s"${config.outputDir}/_checkpoints/$t")
+          .awaitTermination()
+      }
+      println(s"[graft] streamed topics=${topics.size}")
+      spark.stop()
     } else {
       val result = job.run()
       println(s"[graft] topics=${result.topics} files=${result.files}")
