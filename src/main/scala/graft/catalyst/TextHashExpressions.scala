@@ -61,6 +61,16 @@ case class SimHash16(child: Expression) extends TextHashUnary {
   override def prettyName: String = "graft_simhash16"
 }
 
+/** graft_simhash64(text) -> bigint. */
+case class SimHash64(child: Expression) extends TextHashUnary {
+  override def dataType: DataType = LongType
+  override protected def kernel: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhash64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
 /** graft_fingerprint(text) -> bigint. */
 case class Fingerprint(child: Expression) extends TextHashUnary {
   override def dataType: DataType = LongType
@@ -88,6 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_minhash_sig", c => MinHashSig(c.head))
     register("graft_shingles", c => ShingleHashes(c.head))
     register("graft_simhash16", c => SimHash16(c.head))
+    register("graft_simhash64", c => SimHash64(c.head))
     register("graft_fingerprint", c => Fingerprint(c.head))
     // vector functions coerce their own argument shapes
     ext.injectFunction((

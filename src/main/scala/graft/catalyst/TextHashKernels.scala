@@ -110,6 +110,33 @@ object TextHashKernels {
     sig
   }
 
+  /** 64-bit simhash: two independent 32-bit halves (TokenHashA low,
+    * TokenHashB high). Long multiplication wraps identically to the Spark
+    * expression path — parity is with the HOF form, not an SQL oracle. */
+  def simhash64(text: UTF8String): Long = {
+    val codes = wordCodes(text.toString)
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < codes.length) {
+      val h1 = (codes(i) * TokenHashA) % P
+      val h2 = (codes(i) * TokenHashB) % P
+      var b = 0
+      while (b < 32) {
+        ones(b) += ((h1 >> b) & 1L).toInt
+        ones(32 + b) += ((h2 >> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * ones(b) > codes.length) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Rolling-hash fingerprint: fold h <- (h*FpB + code) mod FpM. */
   def fingerprint(text: UTF8String): Long = {
     val codes = wordCodes(text.toString)

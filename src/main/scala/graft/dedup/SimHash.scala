@@ -37,17 +37,22 @@ object SimHash {
   }
 
   /** 64-bit simhash: same construction with two 32-bit halves drawn from
-    * independent multipliers to fill 64 bits with exact arithmetic. */
-  def simhash64(text: Column): Column = {
-    val codes = Text.wordCodes(text)
-    def half(mult: Long, base: Int): Column =
-      (0 until 32).map { i =>
-        val vote = aggregate(codes, lit(0L), (acc, c) =>
-          acc + (shiftright((c * mult) % P, i).bitwiseAND(lit(1L)) * 2L - 1L))
-        when(vote > 0, lit(1L << (base + i))).otherwise(lit(0L))
-      }.reduce(_ + _)
-    half(TokenHashA, 0) + half(2246822519L, 32)
-  }
+    * independent multipliers to fill 64 bits with exact arithmetic.
+    * `native=true` uses the codegen'd kernel (graft_simhash64) — the HOF
+    * form runs 64 interpreted array aggregates per row and exists as the
+    * semantics reference. */
+  def simhash64(text: Column, native: Boolean = false): Column =
+    if (native) call_function("graft_simhash64", text)
+    else {
+      val codes = Text.wordCodes(text)
+      def half(mult: Long, base: Int): Column =
+        (0 until 32).map { i =>
+          val vote = aggregate(codes, lit(0L), (acc, c) =>
+            acc + (shiftright((c * mult) % P, i).bitwiseAND(lit(1L)) * 2L - 1L))
+          when(vote > 0, lit(1L << (base + i))).otherwise(lit(0L))
+        }.reduce(_ + _)
+      half(TokenHashA, 0) + half(TokenHashB, 32)
+    }
 
   /** Hamming distance between two simhash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

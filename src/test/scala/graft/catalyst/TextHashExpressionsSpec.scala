@@ -41,6 +41,13 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(both.filter(col("ns") =!= col("hs") || col("nf") =!= col("hf")).count() == 0)
   }
 
+  test("native simhash64 == HOF simhash64") {
+    val both = docs.limit(50).select(
+      SimHash.simhash64(col("text"), native = true).as("n"),
+      SimHash.simhash64(col("text")).as("h"))
+    assert(both.filter(col("n") =!= col("h")).count() == 0)
+  }
+
   test("non-ASCII and non-BMP parity: native kernels == HOF versions") {
     import spark.implicits._
     // Spark's length()/ascii() count CODE POINTS (ascii('😀') = 128512 in
