@@ -4,8 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.util.SerializableConfiguration
 
-import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.io.{BufferedReader, InputStreamReader, OutputStream, OutputStreamWriter}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream, ZipEntry, ZipOutputStream}
 
 /** Export the Spark partition-dir output into the reference's EXACT analyst
   * layout: one file per bin at `<project>/<user>/<topic>/<bin>.csv[.gz]`
@@ -25,11 +25,18 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   */
 object LayoutExport {
 
-  /** Merge `outputDir/<topic>` into `exportDir`. Returns written paths. */
+  /** Merge `outputDir/<topic>` into `exportDir`. Returns written paths.
+    * `exportCompression` (default: the config's) may differ from how the
+    * part files were written — e.g. gzip parts exported as single-entry
+    * zip archives (`<bin>.csv.zip`, level 7, entry named after the csv),
+    * the reference's zip output mode. */
   def export(spark: SparkSession, config: RestructureConfig, topic: String,
-             exportDir: String): Seq[String] = {
+             exportDir: String,
+             exportCompression: Option[Option[String]] = None): Seq[String] = {
     require(config.format == "csv", "layout export currently supports csv")
     val gz = config.compression.contains("gzip")
+    val outComp = exportCompression.getOrElse(config.compression).getOrElse("none")
+    require(Seq("none", "gzip", "zip").contains(outComp), s"unknown compression: $outComp")
     val topicDir = new Path(s"${config.outputDir}/$topic")
     val fs = topicDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(topicDir)) return Seq.empty
@@ -54,7 +61,11 @@ object LayoutExport {
     grouped.foreach { case ((p, u, b), parts) => bins += Bin(p, u, b, parts.sorted.toSeq) }
 
     val serConf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val ext = if (gz) ".csv.gz" else ".csv"
+    val ext = outComp match {
+      case "gzip" => ".csv.gz"
+      case "zip"  => ".csv.zip"
+      case _      => ".csv"
+    }
     spark.sparkContext
       .parallelize(bins.toSeq.map(b => (b.project, b.user, b.bin, b.parts)), math.max(bins.size, 1))
       .map { case (project, user, bin, parts) =>
@@ -80,8 +91,16 @@ object LayoutExport {
           val target = new Path(s"$exportDir/$project/$user/$topic/$bin$suffix$ext")
           val tfs = target.getFileSystem(conf)
           val rawOut = tfs.create(target, true)
-          val out = new OutputStreamWriter(
-            if (gz) new GZIPOutputStream(rawOut) else rawOut, "UTF-8")
+          val stream: OutputStream = outComp match {
+            case "gzip" => new GZIPOutputStream(rawOut)
+            case "zip" =>
+              val z = new ZipOutputStream(rawOut)
+              z.setLevel(7) // reference's level (ZipCompression.kt:18)
+              z.putNextEntry(new ZipEntry(s"$bin$suffix.csv"))
+              z
+            case _ => rawOut
+          }
+          val out = new OutputStreamWriter(stream, "UTF-8")
           out.write(header); out.write('\n')
           ps.foreach { p =>
             val r = open(p)

@@ -72,5 +72,20 @@ class LayoutExportSpec extends SparkSpec {
     assert(Seq(main, drift).exists(_.head == "key.projectId,key.userId,key.sourceId,value.time"))
     assert(Seq(main, drift).exists(_.head == "key.projectId,key.userId,key.sourceId,value.time,value.extra"))
     assert((main.size - 1) + (drift.size - 1) == 3) // all three records present
+
+    // zip export mode: same layout, single-entry level-7 archives
+    val zipped = LayoutExport.export(spark, cfg, "t1", s"$dir/export-zip",
+      exportCompression = Some(Some("zip")))
+      .map(_.stripPrefix("file:")).sorted
+    assert(zipped == Seq(
+      s"$dir/export-zip/p/u/t1/20200128_1300.csv.zip",
+      s"$dir/export-zip/p/u/t1/20200128_1300_1.csv.zip"))
+    val zin = new java.util.zip.ZipInputStream(new java.io.FileInputStream(zipped.head))
+    val entry = zin.getNextEntry
+    assert(entry.getName == "20200128_1300.csv")
+    val content = Source.fromInputStream(zin, "UTF-8").getLines().toList
+    zin.close()
+    assert(content.head.startsWith("key.projectId,"))
+    assert(content.size >= 2)
   }
 }
