@@ -197,6 +197,16 @@ object Oracles {
         | COUNT(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
+    "cube_events" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        | coalesce(bin, 'ALL') AS bin,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        | CAST(GROUPING(event_type, bin) AS BIGINT) AS gid
+        |FROM (SELECT event_type, strftime(ts, '%Y%m%d_%H00') AS bin, value FROM events)
+        |GROUP BY CUBE (event_type, bin)
+        |ORDER BY gid, event_type, bin""".stripMargin,
+
     "running_revenue" ->
       """SELECT o_orderkey, o_custkey,
         | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (

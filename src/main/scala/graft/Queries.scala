@@ -237,6 +237,23 @@ object Queries {
         col("sum_qty"), col("n_rows"), col("gid"))
       .orderBy(col("gid"), col("returnflag"), col("linestatus"))
 
+  /** CUBE grouping sets over the event stream: all four aggregation levels
+    * of (event_type, hour-bin) in one pass, grouping id explicit, null
+    * labels coalesced for engine-portable hashing. */
+  def cubeEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), Times.timeBin(col("ts")).as("bin"), col("value"))
+      .cube(col("event_type"), col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("sum_value_cents"),
+        grouping_id().cast(LongType).as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("bin"), lit("ALL")).as("bin"),
+        col("n"), col("sum_value_cents"), col("gid"))
+      .orderBy(col("gid"), col("event_type"), col("bin"))
+
   /** Running revenue per customer (frame-bounded window aggregate). */
   def runningRevenue(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -650,6 +667,7 @@ object Queries {
     "q19_disjunctive" -> q19Disjunctive _,
     "q22_rich_inactive" -> q22RichInactive _,
     "q1_rollup" -> q1Rollup _,
+    "cube_events" -> cubeEvents _,
     "running_revenue" -> runningRevenue _,
     "median_order_cents" -> medianOrderCents _,
     "asof_join" -> asofJoin _,
