@@ -397,6 +397,32 @@ object Oracles {
         | array_to_string(list_slice(string_split(clean, ' '), 1, 8), ' ') AS head8
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "repetition_ratio" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(floor(MAX(c) * 10000.0 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_token_bp,
+        | COUNT(*) AS n_distinct_tokens
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" -> {
+      val em = Text.EmailPattern
+      val ph = Text.PhonePattern
+      s"""WITH n AS (SELECT doc_id,
+         |  'contact user' || doc_id || '@example.com or +1-555-' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' : ' || text AS noisy
+         | FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(noisy, '$em', 0)) +
+         |   len(regexp_extract_all(noisy, '$ph', 0)) AS BIGINT) AS n_pii,
+         |  regexp_replace(regexp_replace(noisy, '$em', '<EMAIL>', 'g'),
+         |   '$ph', '<PHONE>', 'g') AS red
+         | FROM n)
+         |SELECT doc_id, n_pii,
+         | array_to_string(list_slice(string_split(red, ' '), 1, 6), ' ') AS head6
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
     "fingerprint" ->
       s"""SELECT doc_id,
          | list_reduce(list_prepend(CAST(0 AS BIGINT), $codesE),

@@ -551,6 +551,34 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signal: basis-point share of the most frequent
+    * token — explode + two-level aggregate, exact integer output. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        floor(max(col("c")).cast(DoubleType) * 10000d /
+          sum(col("c")).cast(DoubleType)).cast(LongType).as("top_token_bp"),
+        count(lit(1)).as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** PII redaction: synthetic email/phone spans injected around each doc,
+    * then counted and replaced with typed tags. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(
+      lit("contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" : "), col("text"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.piiCount(noisy).cast(LongType).as("n_pii"),
+        Text.truncateTokens(Text.redactPii(noisy), 6).as("head6"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- near-dup / ANN
 
   def simhash16(s: SparkSession, dir: String): DataFrame =
@@ -694,6 +722,8 @@ object Queries {
     "bpe_tokens" -> bpeTokens _,
     "text_quality" -> textQuality _,
     "text_clean" -> textClean _,
+    "repetition_ratio" -> repetitionRatio _,
+    "pii_redact" -> piiRedact _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
     "simhash16" -> simhash16 _,

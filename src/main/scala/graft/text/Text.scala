@@ -82,6 +82,23 @@ object Text {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** Email-ish and phone-ish patterns for PII redaction. Deliberately
+    * simple and SQL-portable; production pipelines would layer real
+    * validators on the same plumbing. */
+  val EmailPattern = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
+  val PhonePattern = "\\+?[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** Replace PII-shaped spans with typed placeholder tags. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of PII-shaped spans (before redaction). */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
   // ------------------------------------------------------------- cleanup
 
   /** Crude tag stripper: removes <...> spans (the boilerplate-removal
