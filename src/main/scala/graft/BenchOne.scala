@@ -16,7 +16,10 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // noop sink materializes EVERY column: count() would let the
+      // optimizer prune projection-only queries down to scan+count and the
+      // timing would no longer respond to the expressions under test
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     println(s"""{"query":"$name","times":[${times.mkString(",")}],"min":${times.min}}""")

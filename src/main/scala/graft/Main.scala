@@ -56,7 +56,11 @@ object Main {
       sys.addShutdownHook { svc.stop(); spark.stop() }
       Thread.currentThread().join() // run until interrupted
     } else if (stream) {
-      val topics = job.listTopics()
+      // a topic dir with no readable sink files yet cannot provide a stream
+      // schema — skip it this pass instead of aborting the whole run
+      val topics = job.listTopics().filter { t =>
+        graft.avro.AvroStreamSource.listFiles(s"${config.inputDir}/$t").nonEmpty
+      }
       topics.foreach { t =>
         graft.streaming.Streaming
           .restructureStream(spark, config, t, s"${config.outputDir}/_checkpoints/$t")

@@ -88,6 +88,38 @@ object AvroSchemas {
     }
   }
 
+  /** Avro datum -> Spark value PROJECTED onto a target Spark type: record
+    * fields resolve by NAME — a field missing from the writer schema reads
+    * as null, an extra one is dropped — so a reader pinned to one schema
+    * can consume files whose writer schema drifted additively (the stream
+    * reader's situation; the batch path instead groups files by
+    * fingerprint). Incompatible scalar drift (same name, new type) still
+    * fails loudly at the Catalyst conversion, by design. */
+  def toSparkValueAs(datum: Any, schema: Schema, target: DataType): Any = {
+    if (datum == null) return null
+    (target, schema.getType) match {
+      case (t, Schema.Type.UNION) =>
+        val branches = schema.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        if (branches.size == 1) toSparkValueAs(datum, branches.head, t)
+        else toSparkValue(datum, schema)
+      case (st: StructType, Schema.Type.RECORD) =>
+        val rec = datum.asInstanceOf[GenericRecord]
+        Row.fromSeq(st.fields.toSeq.map { f =>
+          val af = schema.getField(f.name)
+          if (af == null) null
+          else toSparkValueAs(rec.get(af.pos()), af.schema(), f.dataType)
+        })
+      case (at: ArrayType, Schema.Type.ARRAY) =>
+        datum.asInstanceOf[java.util.Collection[Any]].asScala
+          .map(toSparkValueAs(_, schema.getElementType, at.elementType)).toSeq
+      case (mt: MapType, Schema.Type.MAP) =>
+        datum.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, v) =>
+          k.toString -> toSparkValueAs(v, schema.getValueType, mt.valueType)
+        }.toMap
+      case _ => toSparkValue(datum, schema)
+    }
+  }
+
   /** Render a heterogeneous-union datum: recurse into the obvious scalar
     * cases; anything structured falls back to toString. */
   private def resolveUnionValue(datum: Any): Any = datum match {

@@ -59,7 +59,9 @@ class AvroStreamSource extends TableProvider {
 }
 
 object AvroStreamSource {
-  val FilenameRe = "([^/+]+)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$".r
+  /** The one sink-filename pattern (graft.functions.Strings.FilenameRegex),
+    * shared with batch listing and the column-extraction scalars. */
+  val FilenameRe = graft.functions.Strings.FilenameRegex.r
 
   private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
 
@@ -179,9 +181,11 @@ case class AvroFileReaderFactory(schema: StructType, conf: SerializableConfigura
       partition.asInstanceOf[AvroFilePartition].path, schema, conf)
 }
 
-/** Streams one container file; the record's payload columns are converted
-  * through the same AvroSchemas mapping as the batch reader, then to
-  * Catalyst rows. */
+/** Streams one container file; payload columns resolve against the file's
+  * OWN writer schema BY NAME, projected onto the stream's read schema
+  * ([[AvroSchemas.toSparkValueAs]]) — a topic whose writer schema drifted
+  * additively mid-stream reads cleanly (new fields dropped, absent fields
+  * null), instead of misaligning positional lookups. */
 final class AvroFilePartitionReader(
     path: String,
     schema: StructType,
@@ -193,6 +197,8 @@ final class AvroFilePartitionReader(
   private val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
   private val avroSchema = stream.getSchema
   private val payloadFields = schema.fields.drop(2)
+  // per-field resolution against THIS file's writer schema, by name
+  private val resolved = payloadFields.map(f => (f, Option(avroSchema.getField(f.name))))
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
   private var i = -1L
   private var current: InternalRow = _
@@ -201,9 +207,10 @@ final class AvroFilePartitionReader(
     if (stream.hasNext) {
       val rec = stream.next()
       i += 1
-      val values = path +: i +: payloadFields.indices.map { f =>
-        AvroSchemas.toSparkValue(rec.get(f), avroSchema.getFields.get(f).schema())
-      }
+      val values = path +: i +: resolved.map {
+        case (f, Some(af)) => AvroSchemas.toSparkValueAs(rec.get(af.pos()), af.schema(), f.dataType)
+        case (_, None)     => null
+      }.toSeq
       current = toCatalyst(org.apache.spark.sql.Row.fromSeq(values))
         .asInstanceOf[InternalRow]
       true

@@ -14,9 +14,12 @@ import graft.text.Hashing
   * against Hashing.SrpMatrix), one tight JVM loop per row instead of
   * interpreted higher-order lambdas.
   *
-  * Assumes embedding arrays contain no null elements (the testdata and any
-  * sane embedding store guarantee this; the HOF path would propagate a null
-  * element to a null result, the kernels treat the array as primitive).
+  * Assumes a fixed-dimension corpus with no null elements (what any sane
+  * embedding store guarantees). On malformed inputs the paths diverge by
+  * design: the HOF forms (zip_with null-pads ragged arrays, null elements
+  * poison the aggregate) yield NULL, while the kernels treat arrays as
+  * primitive and truncate a ragged pair to the shorter length — validate
+  * dimensions upstream if the corpus cannot be trusted.
   */
 object VectorKernels {
 

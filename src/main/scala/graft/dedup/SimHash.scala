@@ -88,7 +88,9 @@ object SimHash {
     val withSig = bounds.zipWithIndex
       .foldLeft(df.select(col(idCol).as("__id"), sigExpr.as("__sig"))) {
         case (d, ((lo, hi), i)) =>
-          d.withColumn(s"__b$i", shiftright(col("__sig"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)))
+          // 1L << 64 wraps to 1, so a single 64-bit block needs the -1 mask
+          val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+          d.withColumn(s"__b$i", shiftright(col("__sig"), lo).bitwiseAND(lit(mask)))
       }
       .repartition(col("__id"))
     // an OR join would force a nested-loop cross product; per-block

@@ -34,32 +34,34 @@ object AsOf {
       payload.intersect(leftData).isEmpty && !payload.contains(leftTsCol),
       s"right payload columns ${payload.mkString(",")} must not collide with left columns")
 
-    def side(df: DataFrame, ts: String, tag: Int, own: Seq[String], other: Seq[String]): DataFrame = {
-      val otherTyped = other.map { c =>
-        val dt = (if (tag == 1) right else left).schema(c).dataType
-        lit(null).cast(dt).as(c)
-      }
-      df.select(
-        keyCols.map(col) ++ Seq(col(ts).as("__ts"), lit(tag).as("__side")) ++
-          own.map(col) ++ otherTyped: _*)
-        // align both branches on one column order for the union
-        .select((keyCols ++ Seq("__ts", "__side") ++ leftData ++ payload).map(col): _*)
-    }
+    // the right payload travels as ONE struct column: carrying columns
+    // independently (last(c, ignoreNulls) per column) would stitch values
+    // from DIFFERENT right rows whenever a matched row holds a null field,
+    // and would skip an all-null-payload right row entirely — both diverge
+    // from ASOF semantics (the matched row, exactly as it was)
+    val payloadStruct = struct(payload.map(col): _*)
+    val leftSide = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__payload")) ++
+        leftData.map(col): _*)
+    val rightSide = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTsCol).as("__ts"), lit(0).as("__side"),
+        payloadStruct.as("__payload")) ++
+        leftData.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val unioned = side(left, leftTsCol, 1, leftData, payload)
-      .unionByName(side(right, rightTsCol, 0, payload, leftData))
     // right rows (__side=0) sort before left rows at the same timestamp, so
     // an exactly-simultaneous right row is visible to the left row
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled
+    leftSide.unionByName(rightSide)
+      .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         keyCols.map(col) ++ Seq(col("__ts").as(leftTsCol)) ++
-          (leftData ++ payload).map(col): _*)
+          leftData.map(col) ++
+          payload.map(c => col(s"__matched.$c").as(c)): _*)
   }
 }

@@ -80,7 +80,7 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     val dir = new Path(config.inputDir, topic)
     val it = fs.listFiles(dir, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[TopicFile]
-    val re = "([^/+]+)\\+(\\d+)\\+(\\d+)(?:\\+(\\d+))?\\.avro$".r
+    val re = Strings.FilenameRegex.r
     while (it.hasNext) {
       val s: FileStatus = it.next()
       if (s.isFile && s.getPath.getName.endsWith(".avro")) {

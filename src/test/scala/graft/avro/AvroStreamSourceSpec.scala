@@ -83,4 +83,53 @@ class AvroStreamSourceSpec extends SparkSpec {
     pass()
     assert(spark.read.parquet(out).count() == 4)
   }
+
+  test("writer-schema drift resolves by name: new fields dropped, missing fields null") {
+    val dir = Files.createTempDirectory("graft-avro-drift").toFile
+    val out = s"$dir/out"; val cp = s"$dir/cp"
+    writeAvro(new File(dir, "t/partition=0/t+0+0000000000.avro"),
+      Seq(record("u1", 1.0, "A")))
+
+    // drifted writer: value gains a leading `extra` field, shifting the
+    // positions of time/status — a positional reader would misalign
+    val driftedJson =
+      """{"type":"record","name":"Envelope","fields":[
+        | {"name":"key","type":{"type":"record","name":"K","fields":[
+        |   {"name":"userId","type":"string"}]}},
+        | {"name":"value","type":{"type":"record","name":"V","fields":[
+        |   {"name":"extra","type":"long"},
+        |   {"name":"time","type":"double"},
+        |   {"name":"status","type":"string"}]}}
+        |]}""".stripMargin
+    val drifted = new Schema.Parser().parse(driftedJson)
+    val k = new GenericData.Record(drifted.getField("key").schema())
+    k.put("userId", "u2")
+    val v = new GenericData.Record(drifted.getField("value").schema())
+    v.put("extra", 99L); v.put("time", 2.0); v.put("status", "B")
+    val r = new GenericData.Record(drifted)
+    r.put("key", k); r.put("value", v)
+    val f = new File(dir, "t/partition=0/t+0+0000000001.avro")
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](drifted))
+    w.create(drifted, f)
+    w.append(r)
+    w.close()
+
+    val q = spark.readStream
+      .format("graft.avro.AvroStreamSource")
+      .load(s"$dir/t")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .format("parquet")
+      .option("path", out)
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    val rows = spark.read.parquet(out)
+      .select($"key.userId", $"value.time", $"value.status")
+      .as[(String, Double, String)].collect().sortBy(_._1).toSeq
+    // the drifted record's fields landed under their NAMES, not positions
+    assert(rows == Seq(("u1", 1.0, "A"), ("u2", 2.0, "B")))
+  }
 }

@@ -33,6 +33,21 @@ class AsOfSpec extends SparkSpec {
       (1L, Some(900L)), (2L, Some(901L)), (3L, None), (4L, Some(902L))))
   }
 
+  test("joinAsOf returns the matched row verbatim, even with null payload fields") {
+    val left = Seq(("k", ts(12), 1L), ("k", ts(7), 2L)).toDF("k", "ts", "event_id")
+    val right = Seq(
+      ("k", ts(5), Option(0L), Option(7L)),
+      ("k", ts(10), Option(1L), Option.empty[Long])) // b null in the matched row
+      .toDF("k", "ts", "a", "b")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts")
+      .orderBy("event_id").collect()
+    // event 1 (ts=12) matches the ts=10 row AS IT WAS: a=1, b=null —
+    // not a column-wise mix (a=1, b=7) of two different right rows
+    assert(out(0).getAs[java.lang.Long]("a") == 1L && out(0).isNullAt(out(0).fieldIndex("b")))
+    // event 2 (ts=7) matches the ts=5 row: a=0, b=7
+    assert(out(1).getAs[java.lang.Long]("a") == 0L && out(1).getAs[java.lang.Long]("b") == 7L)
+  }
+
   test("joinAsOf preserves all left columns and row count") {
     val left = Seq(("k", ts(10), "a", 1.5), ("k", ts(20), "b", 2.5))
       .toDF("k", "ts", "tag", "score")
