@@ -138,6 +138,16 @@ object Oracles {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY n_name, l_year DESC""".stripMargin,
+
     "q10_returned_top" ->
       """SELECT c_custkey, c_name, n_name,
         | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents

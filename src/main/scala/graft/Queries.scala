@@ -145,6 +145,20 @@ object Queries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Product-line profit rollup (TPC-H Q9 shape): LIKE-filtered part
+    * dimension, supplier-nation leg, revenue by (nation, ship year). The
+    * part filter prunes before the fact join; nation broadcasts. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_name").like("%widget%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast(LongType)).as("profit_cents"))
+      .orderBy(col("n_name"), col("l_year").desc)
+
   /** Returned-item reporting (TPC-H Q10 shape): selective fact filter, star
     * join, top-20 by revenue with key tie-break. */
   def q10ReturnedTop(s: SparkSession, dir: String): DataFrame =
@@ -689,6 +703,7 @@ object Queries {
     "q14_brand" -> q14Brand _,
     "q2_min_cost_supp" -> q2MinCostSupp _,
     "q7_nation_volume" -> q7NationVolume _,
+    "q9_product_profit" -> q9ProductProfit _,
     "q10_returned_top" -> q10ReturnedTop _,
     "q13_order_dist" -> q13OrderDist _,
     "q18_big_orders" -> q18BigOrders _,

@@ -150,6 +150,29 @@ class CleanerSpec extends SparkSpec {
     assert(!f1.exists() && f2.exists())
   }
 
+  test("gzip output: restructure writes .csv.gz parts and cleaner verifies through them") {
+    val dir = Files.createTempDirectory("graft-gzip").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000+0000000001.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000002.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219950.0, 3f)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      // default compression (gzip) left in place
+      minimumFileAgeMs = 0L)
+    new Restructure(spark, cfg).run()
+    val parts = new File(cfg.outputDir, "phone_light/_project=p/_user=u")
+      .listFiles().flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".csv.gz")))
+    val (deleted, reprocess) = new Cleaner(spark, cfg, ageMs = 0L)
+      .run(now = System.currentTimeMillis + 60000)
+    assert(deleted.map(_.stripPrefix("file:")) == Seq(f1.toString))
+    assert(reprocess.isEmpty)
+  }
+
   test("cleaner reprocesses when output is missing records") {
     val dir = Files.createTempDirectory("graft-cleaner2").toFile
     val topicDir = new File(dir, "in/phone_light/partition=0")
