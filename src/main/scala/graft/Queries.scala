@@ -251,6 +251,21 @@ object Queries {
         col("sum_qty"), col("n_rows"), col("gid"))
       .orderBy(col("gid"), col("returnflag"), col("linestatus"))
 
+  /** Sketch aggregates — the mergeable, bounded-memory scale path for
+    * cardinality and quantiles (HLL++ and a quantile summary; both
+    * partial-aggregate cleanly across any partitioning). No DuckDB oracle:
+    * sketch layouts are engine-specific, so the driver records the weaker
+    * rows-only check — the exact twins (count_distinct in timestamp_sets,
+    * percentile in median_order_cents) carry the hash-checked semantics. */
+  def sketchEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** CUBE grouping sets over the event stream: all four aggregation levels
     * of (event_type, hour-bin) in one pass, grouping id explicit, null
     * labels coalesced for engine-portable hashing. */
@@ -711,6 +726,7 @@ object Queries {
     "q22_rich_inactive" -> q22RichInactive _,
     "q1_rollup" -> q1Rollup _,
     "cube_events" -> cubeEvents _,
+    "sketch_events" -> sketchEvents _,
     "running_revenue" -> runningRevenue _,
     "median_order_cents" -> medianOrderCents _,
     "asof_join" -> asofJoin _,

@@ -6,8 +6,14 @@ package graft
 class QueriesSmokeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("every query has a DuckDB oracle") {
-    assert(Queries.all.keySet == Oracles.all.keySet)
+  /** Queries deliberately WITHOUT an oracle twin (engine-specific sketch
+    * layouts; the driver records the weaker rows-only check for these).
+    * Keep this list minimal — hash-checked exact twins are the default. */
+  private val rowsOnly = Set("sketch_events")
+
+  test("every query has a DuckDB oracle (minus the declared rows-only set)") {
+    assert(Queries.all.keySet -- rowsOnly == Oracles.all.keySet)
+    assert(rowsOnly.subsetOf(Queries.all.keySet))
   }
 
   Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
