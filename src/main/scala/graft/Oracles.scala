@@ -182,6 +182,16 @@ object Oracles {
         | OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         | OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
+    "q12_priority_buckets" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
     "q22_rich_inactive" ->
       """WITH b AS (SELECT CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents, * FROM customer),
         |t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_cents, COUNT(*) AS n_cust FROM b)

@@ -217,6 +217,20 @@ object Queries {
           .cast(LongType)).as("revenue_cents"),
         count(lit(1)).as("n_rows"))
 
+  /** Conditional aggregation (TPC-H Q12 shape): high- vs low-priority
+    * order counts among late-shipped lines, one pass, no second scan. */
+  def q12PriorityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** Rich-but-inactive customers (TPC-H Q22 shape): scalar aggregate
     * subquery + anti join, with the above-average test done in exact
     * integer cross-multiplication (cents*count > total_cents) so both
@@ -723,6 +737,7 @@ object Queries {
     "q13_order_dist" -> q13OrderDist _,
     "q18_big_orders" -> q18BigOrders _,
     "q19_disjunctive" -> q19Disjunctive _,
+    "q12_priority_buckets" -> q12PriorityBuckets _,
     "q22_rich_inactive" -> q22RichInactive _,
     "q1_rollup" -> q1Rollup _,
     "cube_events" -> cubeEvents _,

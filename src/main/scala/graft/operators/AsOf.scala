@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** `toleranceSeconds`: when set, a match older than the tolerance is
+    * discarded (null payload) — the bounded-lookback variant every
+    * point-in-time feature join wants, applied as a post-window filter so
+    * the plan shape is unchanged. */
   def joinAsOf(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       leftTsCol: String,
-      rightTsCol: String): DataFrame = {
+      rightTsCol: String,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftData = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTsCol)
     val payload = right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTsCol)
     require(
@@ -40,15 +45,20 @@ object AsOf {
     // and would skip an all-null-payload right row entirely — both diverge
     // from ASOF semantics (the matched row, exactly as it was)
     val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = new org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts",
+        right.schema(rightTsCol).dataType) +:
+        right.select(payloadStruct).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields)
     val leftSide = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTsCol).as("__ts"), lit(1).as("__side"),
-        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__payload")) ++
+        lit(null).cast(payloadType).as("__payload")) ++
         leftData.map(col): _*)
     val rightSide = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as("__ts"), lit(0).as("__side"),
-        payloadStruct.as("__payload")) ++
+        struct(col(rightTsCol).as("__rts") +: payload.map(col): _*).as("__payload")) ++
         leftData.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // right rows (__side=0) sort before left rows at the same timestamp, so
@@ -56,12 +66,19 @@ object AsOf {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    leftSide.unionByName(rightSide)
+    val matched = leftSide.unionByName(rightSide)
       .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(
-        keyCols.map(col) ++ Seq(col("__ts").as(leftTsCol)) ++
-          leftData.map(col) ++
-          payload.map(c => col(s"__matched.$c").as(c)): _*)
+    val inTolerance = toleranceSeconds match {
+      case Some(tol) =>
+        matched.withColumn("__matched",
+          when(unix_micros(col("__ts")) - unix_micros(col("__matched.__rts")) <= tol * 1000000L,
+            col("__matched")))
+      case None => matched
+    }
+    inTolerance.select(
+      keyCols.map(col) ++ Seq(col("__ts").as(leftTsCol)) ++
+        leftData.map(col) ++
+        payload.map(c => col(s"__matched.$c").as(c)): _*)
   }
 }

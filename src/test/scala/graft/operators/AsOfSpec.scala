@@ -48,6 +48,17 @@ class AsOfSpec extends SparkSpec {
     assert(out(1).getAs[java.lang.Long]("a") == 0L && out(1).getAs[java.lang.Long]("b") == 7L)
   }
 
+  test("joinAsOf tolerance discards matches older than the lookback window") {
+    val left = Seq(("k", ts(100), 1L), ("k", ts(500), 2L)).toDF("k", "ts", "event_id")
+    val right = Seq(("k", ts(90), 7L)).toDF("k", "ts", "ref_id")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts",
+      toleranceSeconds = Some(60L))
+      .orderBy("event_id").collect()
+    // ts=100 is 10s after the match: within tolerance; ts=500 is 410s: out
+    assert(out(0).getAs[java.lang.Long]("ref_id") == 7L)
+    assert(out(1).isNullAt(out(1).fieldIndex("ref_id")))
+  }
+
   test("joinAsOf preserves all left columns and row count") {
     val left = Seq(("k", ts(10), "a", 1.5), ("k", ts(20), "b", 2.5))
       .toDF("k", "ts", "tag", "score")
