@@ -57,16 +57,22 @@ object Main {
       Thread.currentThread().join() // run until interrupted
     } else if (stream) {
       // a topic dir with no readable sink files yet cannot provide a stream
-      // schema — skip it this pass instead of aborting the whole run
-      val topics = job.listTopics().filter { t =>
-        graft.avro.AvroStreamSource.listFiles(s"${config.inputDir}/$t").nonEmpty
+      // schema — skip it this pass instead of aborting the whole run (catch
+      // rather than pre-list: a filter would re-list every topic dir that
+      // the source is about to list anyway)
+      var streamed = 0
+      job.listTopics().foreach { t =>
+        try {
+          graft.streaming.Streaming
+            .restructureStream(spark, config, t, s"${config.outputDir}/_checkpoints/$t")
+            .awaitTermination()
+          streamed += 1
+        } catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"[graft] skipping topic $t: ${e.getMessage}")
+        }
       }
-      topics.foreach { t =>
-        graft.streaming.Streaming
-          .restructureStream(spark, config, t, s"${config.outputDir}/_checkpoints/$t")
-          .awaitTermination()
-      }
-      println(s"[graft] streamed topics=${topics.size}")
+      println(s"[graft] streamed topics=$streamed")
       spark.stop()
     } else {
       val result = job.run()

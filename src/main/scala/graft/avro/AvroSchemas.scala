@@ -101,7 +101,14 @@ object AvroSchemas {
       case (t, Schema.Type.UNION) =>
         val branches = schema.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
         if (branches.size == 1) toSparkValueAs(datum, branches.head, t)
-        else toSparkValue(datum, schema)
+        else if (t == StringType) toSparkValue(datum, schema)
+        else {
+          // additively WIDENED union (read schema expects one branch, the
+          // writer added more): resolve the datum's actual branch and keep
+          // projecting onto the target instead of string-rendering it
+          val idx = org.apache.avro.generic.GenericData.get().resolveUnion(schema, datum)
+          toSparkValueAs(datum, schema.getTypes.get(idx), t)
+        }
       case (st: StructType, Schema.Type.RECORD) =>
         val rec = datum.asInstanceOf[GenericRecord]
         Row.fromSeq(st.fields.toSeq.map { f =>

@@ -38,18 +38,25 @@ object AsOf {
     require(
       payload.intersect(leftData).isEmpty && !payload.contains(leftTsCol),
       s"right payload columns ${payload.mkString(",")} must not collide with left columns")
+    val reserved = Seq("__ts", "__side", "__payload", "__matched", "__rts")
+    require(
+      (left.columns ++ right.columns).intersect(reserved).isEmpty,
+      s"columns named ${reserved.mkString("/")} are reserved by joinAsOf")
+    toleranceSeconds.foreach { _ =>
+      require(
+        left.schema(leftTsCol).dataType == org.apache.spark.sql.types.TimestampType &&
+          right.schema(rightTsCol).dataType == org.apache.spark.sql.types.TimestampType,
+        "toleranceSeconds requires TimestampType ts columns on both sides " +
+          "(a numeric epoch would silently use the wrong unit)")
+    }
 
     // the right payload travels as ONE struct column: carrying columns
     // independently (last(c, ignoreNulls) per column) would stitch values
     // from DIFFERENT right rows whenever a matched row holds a null field,
     // and would skip an all-null-payload right row entirely — both diverge
     // from ASOF semantics (the matched row, exactly as it was)
-    val payloadStruct = struct(payload.map(col): _*)
-    val payloadType = new org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__rts",
-        right.schema(rightTsCol).dataType) +:
-        right.select(payloadStruct).schema.head.dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fields)
+    val payloadExpr = struct(col(rightTsCol).as("__rts") +: payload.map(col): _*)
+    val payloadType = right.select(payloadExpr).schema.head.dataType
     val leftSide = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTsCol).as("__ts"), lit(1).as("__side"),
@@ -58,7 +65,7 @@ object AsOf {
     val rightSide = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as("__ts"), lit(0).as("__side"),
-        struct(col(rightTsCol).as("__rts") +: payload.map(col): _*).as("__payload")) ++
+        payloadExpr.as("__payload")) ++
         leftData.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // right rows (__side=0) sort before left rows at the same timestamp, so

@@ -138,4 +138,24 @@ class AvroSourceSpec extends SparkSpec {
     val groups = AvroSource.schemaGroups(spark, Seq(p1, p2, p3))
     assert(groups.map(_._2.size) == Seq(2, 1)) // s1 files grouped, s2 alone
   }
+
+  test("toSparkValueAs keeps projecting through an additively widened union") {
+    import org.apache.spark.sql.types._
+    // read schema pinned to union[null, double] -> DoubleType; a later
+    // writer widened the union with a string branch — a double datum must
+    // still arrive as a Double, not a string rendering
+    val widened = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        | {"name":"x","type":["null","double","string"]}]}""".stripMargin)
+    val rec = new GenericData.Record(widened)
+    rec.put("x", 1.5d)
+    val out = AvroSchemas.toSparkValueAs(
+      rec, widened, StructType(Seq(StructField("x", DoubleType))))
+    assert(out == org.apache.spark.sql.Row(1.5d))
+    // and the string branch still renders when the target IS a string
+    rec.put("x", new org.apache.avro.util.Utf8("hello"))
+    val asString = AvroSchemas.toSparkValueAs(
+      rec, widened, StructType(Seq(StructField("x", StringType))))
+    assert(asString == org.apache.spark.sql.Row("hello"))
+  }
 }
