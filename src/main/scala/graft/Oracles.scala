@@ -192,6 +192,17 @@ object Oracles {
         |WHERE l_shipdate > o_orderdate
         |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
 
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+
     "q22_rich_inactive" ->
       """WITH b AS (SELECT CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents, * FROM customer),
         |t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_cents, COUNT(*) AS n_cust FROM b)

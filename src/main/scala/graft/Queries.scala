@@ -217,6 +217,22 @@ object Queries {
           .cast(LongType)).as("revenue_cents"),
         count(lit(1)).as("n_rows"))
 
+  /** Top supplier by windowed revenue (TPC-H Q15 shape): aggregate, take
+    * the scalar max of the aggregate (broadcast), keep the suppliers that
+    * attain it — ties all surface, deterministically ordered. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast(LongType)).as("revenue_cents"))
+    rev.crossJoin(broadcast(rev.agg(max(col("revenue_cents")).as("__max"))))
+      .filter(col("revenue_cents") === col("__max"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Conditional aggregation (TPC-H Q12 shape): high- vs low-priority
     * order counts among late-shipped lines, one pass, no second scan. */
   def q12PriorityBuckets(s: SparkSession, dir: String): DataFrame = {
@@ -738,6 +754,7 @@ object Queries {
     "q18_big_orders" -> q18BigOrders _,
     "q19_disjunctive" -> q19Disjunctive _,
     "q12_priority_buckets" -> q12PriorityBuckets _,
+    "q15_top_supplier" -> q15TopSupplier _,
     "q22_rich_inactive" -> q22RichInactive _,
     "q1_rollup" -> q1Rollup _,
     "cube_events" -> cubeEvents _,
