@@ -56,23 +56,23 @@ object Main {
       sys.addShutdownHook { svc.stop(); spark.stop() }
       Thread.currentThread().join() // run until interrupted
     } else if (stream) {
-      // a topic dir with no readable sink files yet cannot provide a stream
-      // schema — skip it this pass instead of aborting the whole run (catch
-      // rather than pre-list: a filter would re-list every topic dir that
-      // the source is about to list anyway)
-      var streamed = 0
-      job.listTopics().foreach { t =>
-        try {
-          graft.streaming.Streaming
-            .restructureStream(spark, config, t, s"${config.outputDir}/_checkpoints/$t")
-            .awaitTermination()
-          streamed += 1
-        } catch {
+      // start every topic's stream CONCURRENTLY (they are independent
+      // queries sharing the session's scheduler), then await all — wall
+      // clock is the slowest topic, not the sum. A topic dir with no
+      // readable sink files yet cannot provide a stream schema: catch and
+      // skip it this pass (catch rather than pre-list — a filter would
+      // re-list every topic dir the source is about to list anyway).
+      val queries = job.listTopics().flatMap { t =>
+        try Some(t -> graft.streaming.Streaming
+          .restructureStream(spark, config, t, s"${config.outputDir}/_checkpoints/$t"))
+        catch {
           case e: IllegalArgumentException =>
             System.err.println(s"[graft] skipping topic $t: ${e.getMessage}")
+            None
         }
       }
-      println(s"[graft] streamed topics=$streamed")
+      queries.foreach(_._2.awaitTermination())
+      println(s"[graft] streamed topics=${queries.size}")
       spark.stop()
     } else {
       val result = job.run()

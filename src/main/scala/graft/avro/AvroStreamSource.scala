@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -129,23 +129,66 @@ final class AvroStreamTable(schema: StructType, path: String)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new AvroMicroBatchStream(schema, path)
+          new AvroMicroBatchStream(schema, path,
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt))
         override def toBatch: Batch =
           throw new UnsupportedOperationException("streaming-only table")
       }
     }
 }
 
-final class AvroMicroBatchStream(schema: StructType, path: String)
-    extends MicroBatchStream {
+/** `maxFilesPerTrigger` caps each micro-batch via admission control — a
+  * catch-up after downtime becomes a sequence of bounded batches instead of
+  * one giant one (files admitted in ascending (partition, offset) order, so
+  * per-partition progress stays contiguous). Implements
+  * SupportsTriggerAvailableNow itself so AvailableNow drains through the
+  * SAME bounded-batch loop up to a start-of-run snapshot, rather than
+  * Spark's wrapper collapsing everything into one batch. */
+final class AvroMicroBatchStream(
+    schema: StructType,
+    path: String,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // set once per AvailableNow run: files beyond this snapshot wait for the
+  // next run, giving the trigger a well-defined finish line
+  private var availableNowCap: Option[Map[Int, Long]] = None
 
   override def initialOffset(): Offset = AvroStreamOffset.Empty
 
-  override def latestOffset(): Offset = {
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(reportLatestOffset().asInstanceOf[AvroStreamOffset].maxStart)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[AvroStreamOffset].maxStart
+    val pending = AvroStreamSource.listFiles(path)
+      .filter { case (p, s, _) =>
+        s > from.getOrElse(p, Long.MinValue) &&
+          availableNowCap.forall(cap => s <= cap.getOrElse(p, Long.MinValue))
+      }
+    val admitted = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _               => pending
+    }
+    if (admitted.isEmpty) AvroStreamOffset(from)
+    else {
+      val advanced = admitted.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      AvroStreamOffset(from ++ advanced)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = {
     val files = AvroStreamSource.listFiles(path)
     if (files.isEmpty) AvroStreamOffset.Empty
-    else AvroStreamOffset(
-      files.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
+    else AvroStreamOffset(files.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap)
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -84,6 +84,31 @@ class AvroStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch; AvailableNow still drains everything") {
+    val dir = Files.createTempDirectory("graft-avro-admission").toFile
+    val out = s"$dir/out"; val cp = s"$dir/cp"
+    (0 until 3).foreach { i =>
+      writeAvro(new File(dir, f"t/partition=0/t+0+${i}%010d.avro"),
+        Seq(record(s"u$i", i.toDouble, s"S$i")))
+    }
+    val q = spark.readStream
+      .format("graft.avro.AvroStreamSource")
+      .option("maxFilesPerTrigger", "1")
+      .load(s"$dir/t")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .format("parquet")
+      .option("path", out)
+      .start()
+    q.awaitTermination()
+    // all three files processed (as a sequence of 1-file micro-batches,
+    // visible as >= 3 committed batches in the checkpoint)
+    assert(spark.read.parquet(out).count() == 3)
+    val commits = new File(s"$cp/commits").listFiles().count(_.getName.forall(_.isDigit))
+    assert(commits >= 3)
+  }
+
   test("writer-schema drift resolves by name: new fields dropped, missing fields null") {
     val dir = Files.createTempDirectory("graft-avro-drift").toFile
     val out = s"$dir/out"; val cp = s"$dir/cp"
