@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import graft.restructure.{DedupConfig, Restructure, RestructureConfig}
+
+import java.io.File
+import java.nio.file.Files
+
+/** End-to-end throughput of the restructure ETL itself (the reference's
+  * actual job): generate Kafka-sink Avro files, run one full incremental
+  * pass (plan -> read -> derive -> flatten -> dedup -> partitioned write ->
+  * offset commit), report records/second. Generation is excluded from the
+  * measurement.
+  *
+  * The reference processes records one-by-one on `worker.numThreads`
+  * (default 1) JVM threads; this pipeline runs the same work as Spark
+  * stages over file-granular tasks, so the comparison point for
+  * "matches-or-beats single-node throughput" is this number on the same
+  * machine.
+  *
+  * Usage: runMain graft.EtlBench [nRecords] [nFiles] [nPartitions] [nUsers]
+  * (nUsers drives output-bin cardinality: dirs = 3 projects x nUsers x 24
+  * hour bins)
+  */
+object EtlBench {
+
+  private val schemaJson =
+    """{"type":"record","name":"Envelope","fields":[
+      | {"name":"key","type":{"type":"record","name":"ObservationKey","fields":[
+      |   {"name":"projectId","type":["null","string"],"default":null},
+      |   {"name":"userId","type":"string"},
+      |   {"name":"sourceId","type":"string"}]}},
+      | {"name":"value","type":{"type":"record","name":"Sensor","fields":[
+      |   {"name":"time","type":"double"},
+      |   {"name":"timeReceived","type":"double"},
+      |   {"name":"light","type":"float"}]}}
+      |]}""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val nRecords = if (args.length > 0) args(0).toInt else 200000
+    val nFiles = if (args.length > 1) args(1).toInt else 40
+    val nPartitions = if (args.length > 2) args(2).toInt else 4
+    val nUsers = if (args.length > 3) args(3).toInt else 20
+    val schema = new Schema.Parser().parse(schemaJson)
+
+    val dir = Files.createTempDirectory("graft-etl-bench").toFile
+    val perFile = nRecords / nFiles
+    val t0 = 1580219940.0 // 2020-01-28T13:59 UTC
+    var written = 0L
+    (0 until nFiles).foreach { f =>
+      val partition = f % nPartitions
+      val startOffset = (f / nPartitions).toLong * perFile
+      val file = new File(dir,
+        f"in/sensor_topic/partition=$partition/sensor_topic+$partition+$startOffset%010d.avro")
+      file.getParentFile.mkdirs()
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, file)
+      (0 until perFile).foreach { i =>
+        val k = new GenericData.Record(schema.getField("key").schema())
+        k.put("projectId", s"proj${f % 3}")
+        k.put("userId", s"user${(f * perFile + i) % nUsers}")
+        k.put("sourceId", s"src${f % 5}")
+        val v = new GenericData.Record(schema.getField("value").schema())
+        val t = t0 + ((f * perFile + i) % 86400) // spread over 24 hour bins
+        v.put("time", t); v.put("timeReceived", t + 1.0); v.put("light", i.toFloat)
+        val r = new GenericData.Record(schema)
+        r.put("key", k); r.put("value", v)
+        w.append(r)
+        written += 1
+      }
+      w.close()
+    }
+
+    val spark = Sessions.build("graft-etl-bench")
+    val cfg = RestructureConfig(
+      inputDir = s"$dir/in",
+      outputDir = s"$dir/out",
+      stateFile = s"$dir/state/offsets.json",
+      minimumFileAgeMs = 0L,
+      dedupDefault = DedupConfig(enable = true))
+    val job = new Restructure(spark, cfg)
+    val start = System.nanoTime()
+    val result = job.run()
+    val sec = (System.nanoTime() - start) / 1e9
+    println(
+      s"""{"metric":"etl_records_per_sec","value":${(result.records / sec).toLong},""" +
+        s""""records":${result.records},"files":${result.files},"sec":$sec}""")
+
+    // phase breakdown on a SECOND identical dataset (fresh topic name so
+    // state/output are cold), to attribute the pipeline's cost
+    val dir2 = new File(dir, "in2")
+    dir2.mkdirs()
+    require(new File(dir, "in/sensor_topic").renameTo(new File(dir2, "sensor_topic")),
+      "rename for phase breakdown failed")
+    val cfg2 = cfg.copy(inputDir = dir2.toString,
+      outputDir = s"$dir/out2", stateFile = s"$dir/state2/offsets.json")
+    val job2 = new Restructure(spark, cfg2)
+    def phase[T](name: String)(f: => T): T = {
+      val p0 = System.nanoTime()
+      val r = f
+      println(f"""{"phase":"$name","sec":${(System.nanoTime() - p0) / 1e9}%.2f}""")
+      r
+    }
+    val state = job2.loadState()
+    val files = phase("plan")(job2.plan("sensor_topic", state))
+    val dfs = phase("readTopic (lazy)")(job2.readTopic("sensor_topic", files))
+    dfs.foreach { df =>
+      val unseen = job2.filterSeen(df, state)
+      val deduped = job2.dedup("sensor_topic", unseen)
+      phase("write (read+derive+dedup+write)")(job2.write("sensor_topic", deduped))
+      phase("ranges (second read pass)")(
+        graft.operators.Intervals.collectRanges(job2.processedRanges(unseen)))
+      phase("read+derive only (count)")(unseen.count())
+      val noDedup = new Restructure(spark,
+        cfg2.copy(outputDir = s"$dir/out3", dedupDefault = DedupConfig()))
+      phase("write without dedup")(noDedup.write("sensor_topic", unseen))
+      val plain = new Restructure(spark,
+        cfg2.copy(outputDir = s"$dir/out4", compression = None, dedupDefault = DedupConfig()))
+      phase("write without dedup or gzip")(plain.write("sensor_topic", unseen))
+    }
+    spark.stop()
+  }
+}

@@ -215,8 +215,15 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
       (Seq(col("_project"), col("_user"), col("_bin"), col("_offset"), col("_partition"), col("_mtime")) ++
         flatCols): _*)
     val dir = s"${config.outputDir}/$topic"
+    // rebalance on the partition columns before the dynamic-partition
+    // write: without it EVERY task holds a writer (and a gzip stream) for
+    // EVERY (project, user, bin) dir it encounters — tasks x dirs tiny
+    // files and an open-file explosion (measured 8x slower at 200k
+    // records / 1440 bins). The AQE rebalance hint both co-locates each
+    // dir into one task and splits skewed bins.
     val writer = out
       .drop("_offset", "_partition", "_mtime")
+      .hint("rebalance", col("_project"), col("_user"), col("_bin"))
       .write
       .partitionBy("_project", "_user", "_bin")
       .mode(SaveMode.Append)
