@@ -428,6 +428,14 @@ object Oracles {
         | array_to_string(list_slice(string_split(clean, ' '), 1, 8), ' ') AS head8
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "stable_split" ->
+      s"""SELECT lang,
+         | CASE WHEN (doc_id * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |      WHEN (doc_id * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split,
+         | COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
     "repetition_ratio" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2)

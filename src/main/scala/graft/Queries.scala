@@ -610,6 +610,20 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment: hash-bucket each document id
+    * with the shared integer hash so the split is stable across runs,
+    * engines, and partitionings (the property a training pipeline needs —
+    * rand()-based sampling is none of those). 80/10/10 by bucket. */
+  def stableSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") * Hashing.TokenHashA) % Hashing.P % 100
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Gopher-style repetition signal: basis-point share of the most frequent
     * token — explode + two-level aggregate, exact integer output. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame =
@@ -787,6 +801,7 @@ object Queries {
     "text_clean" -> textClean _,
     "repetition_ratio" -> repetitionRatio _,
     "pii_redact" -> piiRedact _,
+    "stable_split" -> stableSplit _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
     "simhash16" -> simhash16 _,
