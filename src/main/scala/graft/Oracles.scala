@@ -15,12 +15,19 @@ object Oracles {
 
   // -- shared expression fragments -------------------------------------------
 
-  /** Whitespace tokens of the documents.text column. */
-  private val tokensE = "string_split(text, ' ')"
+  /** Whitespace tokens of a text expression. */
+  private def tokensOf(c: String) = s"string_split($c, ' ')"
+  private val tokensE = tokensOf("text")
 
   /** Integer word codes: length(w)*WordBase + ascii(first char). */
-  private val codesE =
-    s"list_transform($tokensE, w -> length(w)*$WordBase + ascii(w))"
+  private def codesOf(c: String) =
+    s"list_transform(${tokensOf(c)}, w -> length(w)*$WordBase + ascii(w))"
+  private val codesE = codesOf("text")
+
+  /** The cleanup chain (stripHtml -> stripUrls -> normalizeWs) in SQL. */
+  private def cleanOf(c: String) =
+    s"trim(regexp_replace(regexp_replace(regexp_replace($c, " +
+      "'<[^>]*>', '', 'g'), 'https?://[^ ]+', '', 'g'), ' +', ' ', 'g'))"
 
   /** 3-word shingle hashes over a `codes` list column. */
   private val shinglesE =
@@ -400,6 +407,56 @@ object Oracles {
          |  len(list_filter($tokensE, w -> w IN $stopIn)) AS n_stop,
          |  CAST(coalesce(list_sum(list_transform($tokensE, w -> length(w))), 0) AS BIGINT) AS sum_len
          | FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "corpus_curate" -> {
+      // the FULL curation pipeline mirrored stage by stage: cleanup ->
+      // annotate (tokens + lang) -> quality gates -> exact dedup ->
+      // minhash near-dedup (drop id_2 of each qualifying pair) -> split
+      val scores = Text.LangMarkers.zipWithIndex.map { case ((_, ws), i) =>
+        s"len(list_filter(${tokensOf("clean_text")}, w -> w IN ${inList(ws)})) AS s$i"
+      }.mkString(", ")
+      val g = Text.LangMarkers.indices.map(i => s"s$i").mkString("greatest(", ", ", ")")
+      val cases = Text.LangMarkers.zipWithIndex
+        .map { case ((lang, _), i) => s"WHEN s$i = g THEN '$lang'" }.mkString(" ")
+      val ms = (0 until K).map(j => s"${minhashE(j)} AS m$j").mkString(", ")
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m2"
+      }.mkString(" UNION ALL ")
+      s"""WITH cl AS (SELECT doc_id, ${cleanOf("text")} AS clean_text FROM documents),
+         |a0 AS (SELECT doc_id, clean_text,
+         |  CAST(len(${tokensOf("clean_text")}) AS BIGINT) AS n_tokens, $scores FROM cl),
+         |ann AS (SELECT doc_id, clean_text, n_tokens,
+         |  CASE WHEN g <= 0 THEN 'und' $cases END AS pred_lang
+         | FROM (SELECT *, $g AS g FROM a0)),
+         |q1 AS (SELECT * FROM ann WHERE n_tokens >= 5),
+         |rep AS (SELECT doc_id FROM (
+         |  SELECT doc_id, CAST(floor(MAX(c) * 10000.0 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_bp
+         |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM
+         |    (SELECT doc_id, unnest(${tokensOf("clean_text")}) AS w FROM q1) GROUP BY 1, 2)
+         |  GROUP BY 1) WHERE top_bp <= 5000),
+         |qual AS (SELECT q1.* FROM q1 JOIN rep USING (doc_id)),
+         |ex AS (SELECT qual.* FROM qual
+         | JOIN (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY clean_text) k USING (doc_id)),
+         |c2 AS (SELECT doc_id, ${codesOf("clean_text")} AS codes FROM ex),
+         |s2 AS (SELECT doc_id, $shinglesE AS sh FROM c2),
+         |m2 AS (SELECT doc_id, $ms FROM s2),
+         |bands2 AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         | FROM bands2 a JOIN bands2 b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+         |sets2 AS (SELECT doc_id, list_distinct(sh) AS st FROM s2),
+         |dropped AS (SELECT DISTINCT id_2 AS doc_id FROM (
+         |  SELECT id_1, id_2,
+         |   len(list_intersect(sa.st, sb.st)) AS inter,
+         |   len(sa.st) + len(sb.st) AS szsum
+         |  FROM cand JOIN sets2 sa ON id_1 = sa.doc_id JOIN sets2 sb ON id_2 = sb.doc_id)
+         | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 9000),
+         |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         |SELECT doc_id, clean_text, n_tokens, pred_lang,
+         | CASE WHEN (doc_id * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |      WHEN (doc_id * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
 
     "lang_id" -> {
       val scores = Text.LangMarkers.zipWithIndex.map { case ((_, ws), i) =>

@@ -610,6 +610,14 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The full composed curation pipeline (graft.pipelines.CorpusPipeline):
+    * cleanup -> annotate -> quality gates -> exact dedup -> minhash
+    * near-dedup -> deterministic split, hash-checked stage for stage
+    * against the SQL mirror of the whole chain. */
+  def corpusCurate(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CorpusPipeline.curate(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Deterministic train/val/test assignment: hash-bucket each document id
     * with the shared integer hash so the split is stable across runs,
     * engines, and partitionings (the property a training pipeline needs —
@@ -802,6 +810,7 @@ object Queries {
     "repetition_ratio" -> repetitionRatio _,
     "pii_redact" -> piiRedact _,
     "stable_split" -> stableSplit _,
+    "corpus_curate" -> corpusCurate _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
     "simhash16" -> simhash16 _,

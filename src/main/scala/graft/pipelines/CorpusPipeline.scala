@@ -1,0 +1,103 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.{MinHash, SimHash}
+import graft.text.{Hashing, Text}
+
+/** The composed training-data curation pipeline: the individual operators
+  * (cleanup scalars, quality signals, exact and near dedup, deterministic
+  * splitting) chained the way a real corpus build runs them, as ONE lazy
+  * plan per stage — no intermediate materialization, every scalar stage
+  * fuses into whole-stage codegen, and the only shuffles are the two
+  * dedups' (hash-group and LSH band join).
+  *
+  * Stage order matters and is the standard one: cheap row-local filters
+  * first (they shrink everything downstream), exact dedup before near-dup
+  * (hash-group is cheaper than LSH and removes the worst mass), near-dup
+  * last over the survivors.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Long = 5L,
+      maxTopTokenBp: Long = 5000L, // drop docs whose top token is > 50%
+      keepLangs: Set[String] = Set.empty, // empty = keep all
+      nearDupMinBp: Long = 9000L, // near-dup Jaccard threshold
+      trainPct: Int = 80,
+      valPct: Int = 10)
+
+  /** Clean + annotate: cleaned text, token count, language guess, quality
+    * signals — one codegen'd projection, no shuffle. */
+  def annotate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clean = Text.normalizeWs(Text.stripUrls(Text.stripHtml(col(textCol))))
+    df.withColumn("clean_text", clean)
+      .withColumn("n_tokens", Text.tokenCount(col("clean_text")).cast(LongType))
+      .withColumn("pred_lang", Text.langIdHeuristic(col("clean_text")))
+  }
+
+  /** Row-local quality gate (fuses with annotate). The repetition signal
+    * needs a per-doc aggregation, so it joins back only when enabled. */
+  def qualityFilter(df: DataFrame, idCol: String, cfg: Config): DataFrame = {
+    val base = df.filter(col("n_tokens") >= cfg.minTokens)
+    val langGated =
+      if (cfg.keepLangs.isEmpty) base
+      else base.filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
+    if (cfg.maxTopTokenBp >= 10000L) langGated
+    else {
+      val rep = langGated
+        .select(col(idCol), explode(Text.tokens(col("clean_text"))).as("__w"))
+        .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(floor(max(col("__c")).cast(DoubleType) * 10000d /
+          sum(col("__c")).cast(DoubleType)).cast(LongType).as("__top_bp"))
+        .filter(col("__top_bp") <= cfg.maxTopTokenBp)
+        .select(col(idCol))
+      langGated.join(rep, idCol) // semi-join shape; rep is id-only
+    }
+  }
+
+  /** Exact dedup: keep the smallest id per identical cleaned text. */
+  def exactDedup(df: DataFrame, idCol: String): DataFrame = {
+    val keep = df.groupBy(col("clean_text").as("__t"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, idCol)
+  }
+
+  /** Near dedup: drop the higher id of every MinHash-near pair (transitive
+    * chains collapse toward the smallest id per discovered pair; exact
+    * clustering would need a connected-components pass — documented
+    * trade-off, same as most production LSH dedups). */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String, minBp: Long): DataFrame = {
+    val drop = MinHash.nearDuplicates(df, idCol, textCol, minBp, native = true)
+      .select(col("id_2").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic split column from the shared integer hash. */
+  def withSplit(df: DataFrame, idCol: String, cfg: Config): DataFrame = {
+    val bucket = (col(idCol) * Hashing.TokenHashA) % Hashing.P % 100
+    df.withColumn("split",
+      when(bucket < cfg.trainPct, "train")
+        .when(bucket < cfg.trainPct + cfg.valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** The full pipeline. Output: idCol, clean_text, n_tokens, pred_lang,
+    * split — the curated corpus a tokenizer run would consume. */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val annotated = annotate(df, idCol, textCol)
+    val filtered = qualityFilter(annotated, idCol, cfg)
+    val exact = exactDedup(filtered, idCol)
+    val near = nearDedup(exact, idCol, "clean_text", cfg.nearDupMinBp)
+    withSplit(near, idCol, cfg)
+      .select(col(idCol), col("clean_text"), col("n_tokens"), col("pred_lang"), col("split"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline: each stage drops what it should and the
+  * whole chain is deterministic. */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  private def docs = Seq(
+    (1L, s"<p>$base</p> more context here https://x.example/1"),
+    (2L, s"<b>$base</b> more context here https://x.example/2"), // near-dup of 1
+    (3L, base + " entirely different tail content follows here now"),
+    (4L, "too short"),                       // fails minTokens
+    (5L, "spam spam spam spam spam spam ok"), // fails repetition gate
+    (6L, s"<p>$base</p> more context here https://x.example/6")) // exact dup of 1 after cleanup? no — near-dup
+    .toDF("doc_id", "text")
+
+  test("curate: cleanup, quality gate, exact+near dedup, stable split") {
+    val out = CorpusPipeline.curate(
+      docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 5L, maxTopTokenBp = 5000L, nearDupMinBp = 8000L))
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    // 4 (short) and 5 (repetitive) gated; 1/2/6 clean to near-identical
+    // texts -> only the smallest id survives near-dedup; 3 survives
+    assert(ids == Seq(1L, 3L))
+    // cleanup really happened
+    val t1 = out(0).getAs[String]("clean_text")
+    assert(!t1.contains("<p>") && !t1.contains("https://") && !t1.contains("  "))
+    // split is the deterministic hash bucket (stable across runs)
+    val again = CorpusPipeline.curate(
+      docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 5L, maxTopTokenBp = 5000L, nearDupMinBp = 8000L))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("split")).toSeq == again.map(_.getAs[String]("split")).toSeq)
+  }
+
+  test("exact dedup keeps the smallest id of identical cleaned text") {
+    val d = Seq((10L, "same words here"), (7L, "same words here"), (8L, "other words here"))
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.exactDedup(
+      CorpusPipeline.annotate(d, "doc_id", "text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(7L, 8L))
+  }
+}
