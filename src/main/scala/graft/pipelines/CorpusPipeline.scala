@@ -93,7 +93,11 @@ object CorpusPipeline {
       idCol: String,
       textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val annotated = annotate(df, idCol, textCol)
+    // explicit exchange after annotate: the repetition gate and the main
+    // chain both consume it, and identical child plans share one shuffle
+    // stage — the cleanup regexes and language scores run ONCE instead of
+    // once per branch (same exchange-reuse trick as the ngram query)
+    val annotated = annotate(df, idCol, textCol).repartition(col(idCol))
     val filtered = qualityFilter(annotated, idCol, cfg)
     val exact = exactDedup(filtered, idCol)
     val near = nearDedup(exact, idCol, "clean_text", cfg.nearDupMinBp)
