@@ -49,7 +49,6 @@ object EtlBench {
     val dir = Files.createTempDirectory("graft-etl-bench").toFile
     val perFile = nRecords / nFiles
     val t0 = 1580219940.0 // 2020-01-28T13:59 UTC
-    var written = 0L
     (0 until nFiles).foreach { f =>
       val partition = f % nPartitions
       val startOffset = (f / nPartitions).toLong * perFile
@@ -69,7 +68,6 @@ object EtlBench {
         val r = new GenericData.Record(schema)
         r.put("key", k); r.put("value", v)
         w.append(r)
-        written += 1
       }
       w.close()
     }

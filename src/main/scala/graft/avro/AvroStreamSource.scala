@@ -128,9 +128,12 @@ final class AvroStreamTable(schema: StructType, path: String)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new AvroMicroBatchStream(schema, path,
-            Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+          maxFiles.foreach(n => require(n > 0,
+            s"maxFilesPerTrigger must be positive, got $n (0 would stall the stream forever)"))
+          new AvroMicroBatchStream(schema, path, maxFiles)
+        }
         override def toBatch: Batch =
           throw new UnsupportedOperationException("streaming-only table")
       }
@@ -175,8 +178,19 @@ final class AvroMicroBatchStream(
           availableNowCap.forall(cap => s <= cap.getOrElse(p, Long.MinValue))
       }
     val admitted = limit match {
-      case m: ReadMaxFiles => pending.take(m.maxFiles())
-      case _               => pending
+      case m: ReadMaxFiles =>
+        // round-robin across partitions (one file per partition per turn,
+        // each partition's own files in offset order): a sorted-prefix
+        // take would let a busy partition 0 starve the rest indefinitely
+        // under a continuous trigger; rotation keeps per-partition
+        // contiguity AND bounds every partition's latency
+        val queues = pending.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, fs) => scala.collection.mutable.Queue(fs.sortBy(_._2): _*) }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, FileStatus)]
+        while (out.size < m.maxFiles() && queues.exists(_.nonEmpty))
+          queues.foreach(q => if (q.nonEmpty && out.size < m.maxFiles()) out += q.dequeue())
+        out.toSeq
+      case _ => pending
     }
     if (admitted.isEmpty) AvroStreamOffset(from)
     else {

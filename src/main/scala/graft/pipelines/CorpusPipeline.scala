@@ -31,7 +31,7 @@ object CorpusPipeline {
 
   /** Clean + annotate: cleaned text, token count, language guess, quality
     * signals — one codegen'd projection, no shuffle. */
-  def annotate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
     val clean = Text.normalizeWs(Text.stripUrls(Text.stripHtml(col(textCol))))
     df.withColumn("clean_text", clean)
       .withColumn("n_tokens", Text.tokenCount(col("clean_text")).cast(LongType))
@@ -97,7 +97,7 @@ object CorpusPipeline {
     // chain both consume it, and identical child plans share one shuffle
     // stage — the cleanup regexes and language scores run ONCE instead of
     // once per branch (same exchange-reuse trick as the ngram query)
-    val annotated = annotate(df, idCol, textCol).repartition(col(idCol))
+    val annotated = annotate(df, textCol).repartition(col(idCol))
     val filtered = qualityFilter(annotated, idCol, cfg)
     val exact = exactDedup(filtered, idCol)
     val near = nearDedup(exact, idCol, "clean_text", cfg.nearDupMinBp)

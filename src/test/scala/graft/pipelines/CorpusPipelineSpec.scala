@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
 class CorpusPipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  // long shared text so a one-word change stays above the near-dup
+  // threshold (one changed trailing token touches only 3 of ~38 shingles)
+  private val base = ('a' to 'z').map(c => s"word$c").mkString(" ") +
+    " the quick brown fox jumps over the lazy dog again and again"
 
   private def docs = Seq(
-    (1L, s"<p>$base</p> more context here https://x.example/1"),
-    (2L, s"<b>$base</b> more context here https://x.example/2"), // near-dup of 1
-    (3L, base + " entirely different tail content follows here now"),
+    (1L, s"<p>$base today</p> https://x.example/1"),
+    (2L, s"<b>$base today</b> https://x.example/2"), // exact dup of 1 after cleanup
+    (3L, "entirely different tail content follows here now for this document"),
     (4L, "too short"),                       // fails minTokens
     (5L, "spam spam spam spam spam spam ok"), // fails repetition gate
-    (6L, s"<p>$base</p> more context here https://x.example/6")) // exact dup of 1 after cleanup? no — near-dup
+    (6L, s"<p>$base today also</p> https://x.example/6")) // NEAR dup of 1: one appended word
     .toDF("doc_id", "text")
 
   test("curate: cleanup, quality gate, exact+near dedup, stable split") {
@@ -25,9 +28,17 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.Config(minTokens = 5L, maxTopTokenBp = 5000L, nearDupMinBp = 8000L))
       .orderBy("doc_id").collect()
     val ids = out.map(_.getLong(0)).toSeq
-    // 4 (short) and 5 (repetitive) gated; 1/2/6 clean to near-identical
-    // texts -> only the smallest id survives near-dedup; 3 survives
+    // 4 (short) and 5 (repetitive) gated; 2 cleans to EXACTLY doc 1's text
+    // (exact dedup); 6 appends one word to 1's text — a shingle superset,
+    // so every LSH band almost surely survives and the pair is found and
+    // 6 dropped (near dedup); 3 survives
     assert(ids == Seq(1L, 3L))
+    // and near-dedup specifically was the stage that removed 6: exact
+    // dedup alone would have kept it
+    val exactOnly = CorpusPipeline.exactDedup(
+      CorpusPipeline.annotate(docs, "text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactOnly.contains(6L))
     // cleanup really happened
     val t1 = out(0).getAs[String]("clean_text")
     assert(!t1.contains("<p>") && !t1.contains("https://") && !t1.contains("  "))
@@ -43,7 +54,7 @@ class CorpusPipelineSpec extends SparkSpec {
     val d = Seq((10L, "same words here"), (7L, "same words here"), (8L, "other words here"))
       .toDF("doc_id", "text")
     val out = CorpusPipeline.exactDedup(
-      CorpusPipeline.annotate(d, "doc_id", "text"), "doc_id")
+      CorpusPipeline.annotate(d, "text"), "doc_id")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(out == Seq(7L, 8L))
   }
