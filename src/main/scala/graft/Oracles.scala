@@ -235,6 +235,25 @@ object Oracles {
         | COUNT(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
+    "pivot_events" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "unpivot_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+        |WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
     "cube_events" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         | coalesce(bin, 'ALL') AS bin,

@@ -281,6 +281,29 @@ object Queries {
         col("sum_qty"), col("n_rows"), col("gid"))
       .orderBy(col("gid"), col("returnflag"), col("linestatus"))
 
+  /** Pivot: one column per event type, one row per user — the wide-format
+    * reshape (explicit value list, so the plan needs no discovery pass). */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Unpivot (melt): lineitem quantity/price/discount columns to long
+    * format — the inverse reshape, built-in since Spark 3.4. */
+  def unpivotLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   /** Sketch aggregates — the mergeable, bounded-memory scale path for
     * cardinality and quantiles (HLL++ and a quantile summary; both
     * partial-aggregate cleanly across any partitioning). No DuckDB oracle:
@@ -781,6 +804,8 @@ object Queries {
     "q1_rollup" -> q1Rollup _,
     "cube_events" -> cubeEvents _,
     "sketch_events" -> sketchEvents _,
+    "pivot_events" -> pivotEvents _,
+    "unpivot_lineitem" -> unpivotLineitem _,
     "running_revenue" -> runningRevenue _,
     "median_order_cents" -> medianOrderCents _,
     "asof_join" -> asofJoin _,
