@@ -65,6 +65,26 @@ object Oracles {
       s"(CASE WHEN ${dotE("v", s"($lits)")} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Shared by ngram_jaccard_pairs (direct co-occurrence plan) and
+    * jaccard_ppjoin (prefix-filtered plan) — same declared semantics:
+    * exact Jaccard over the df-capped shingle sets. */
+  private val ngramJaccardSql =
+    s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+       |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
+       |ex0 AS (SELECT doc_id, unnest(sh) AS x FROM sets),
+       |ex AS (SELECT doc_id, x FROM (
+       | SELECT doc_id, x, count(*) OVER (PARTITION BY x) AS df FROM ex0)
+       | WHERE df <= ${Queries.NgramMaxDf}),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+       |pairs AS (
+       | SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS inter
+       | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_1, id_2,
+       | CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) AS jaccard_bp
+       |FROM pairs JOIN sizes na ON id_1 = na.doc_id JOIN sizes nb ON id_2 = nb.doc_id
+       |WHERE CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) >= 8000
+       |ORDER BY id_1, id_2""".stripMargin
+
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -615,19 +635,33 @@ object Oracles {
          |ORDER BY id_1, id_2""".stripMargin
     },
 
-    "ngram_jaccard_pairs" ->
-      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
-         |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
-         |ex AS (SELECT doc_id, unnest(sh) AS x FROM sets),
-         |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
-         |pairs AS (
-         | SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS inter
-         | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT id_1, id_2,
-         | CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) AS jaccard_bp
-         |FROM pairs JOIN sizes na ON id_1 = na.doc_id JOIN sizes nb ON id_2 = nb.doc_id
-         |WHERE CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) >= 8000
-         |ORDER BY id_1, id_2""".stripMargin,
+    "ngram_jaccard_pairs" -> ngramJaccardSql,
+    "jaccard_ppjoin" -> ngramJaccardSql,
+
+    "ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, $quantE AS v FROM embeddings),
+         |cent0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS c FROM cent0),
+         |ascore AS (SELECT e.vec_id, e.v, cent.l, ${dotE("e.v", "cent.c")} AS s
+         | FROM e CROSS JOIN cent),
+         |assign AS (SELECT vec_id, v, l AS list FROM (
+         | SELECT vec_id, v, l,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l ASC) AS rn
+         | FROM ascore) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |qscore AS (SELECT q.query_id, q.qv, cent.l, ${dotE("q.qv", "cent.c")} AS s
+         | FROM q CROSS JOIN cent),
+         |probe AS (SELECT query_id, qv, l AS list FROM (
+         | SELECT query_id, qv, l,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, l DESC) AS rn
+         | FROM qscore) WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${dotE("p.qv", "a.v")} AS dot
+         | FROM probe p JOIN assign a ON p.list = a.list WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, dot,
+         | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS "rank"
+         | FROM cand)
+         |SELECT query_id, neighbor_id, dot, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
 
     "cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $quantE AS qv FROM embeddings WHERE vec_id < 8),

@@ -7,8 +7,8 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
 import graft.operators.{AsOf, Dedup, Flatten, Intervals, Sessionize}
-import graft.dedup.{MinHash, SimHash}
-import graft.similarity.Similarity
+import graft.dedup.{Jaccard, MinHash, SimHash}
+import graft.similarity.{IVF, Similarity}
 import graft.text.{Hashing, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
@@ -722,6 +722,14 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Document-frequency cap shared by the shingle-join queries: shingles in
+    * more than this many documents are dropped from the sets before the
+    * self-join (stop-shingle guard — one boilerplate shingle otherwise
+    * concentrates the whole shuffle on a single key). 2000 is far above the
+    * testdata's max df (29 at sf0.01, 236 at sf0.1), so the gate results
+    * equal the unfiltered answer while the capped path stays oracle-pinned. */
+  val NgramMaxDf = 2000L
+
   /** Exact all-pairs Jaccard >= 0.8 by exploded co-occurrence counting.
     * (graft.dedup.Jaccard.pairs is the prefix-filtered formulation of the
     * same result — asymptotically better on web-scale corpora, but its
@@ -731,15 +739,21 @@ object Queries {
     val d = t(s, dir, "documents")
     val sets = MinHash.withShingles(d, "doc_id", "text", native = true)
       .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
-    // one explicit exchange on x feeds BOTH self-join sides and the sizes
-    // aggregate: identical child plans -> Spark reuses the shuffle stage, so
-    // the (expensive, interpreted) shingle pipeline runs exactly once
-    // instead of once per plan branch
+    // one explicit exchange on x feeds the df window, BOTH self-join sides,
+    // and the sizes aggregate: identical child plans -> Spark reuses the
+    // shuffle stage, so the (expensive, interpreted) shingle pipeline runs
+    // exactly once instead of once per plan branch
     val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
       .repartition(col("x"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .filter(col("df") <= NgramMaxDf)
+      .select(col("doc_id"), col("x"))
     // set sizes from the exploded rows (sh is already distinct), NOT
     // size(sh): an aggregate attribute can't be inlined by constraint
-    // inference into a quadratic interpreted filter over the shingle tree
+    // inference into a quadratic interpreted filter over the shingle tree.
+    // Counting after the df filter makes the semantics "jaccard over the
+    // df-capped sets" — exact, and identical to unfiltered when the cap
+    // exceeds the corpus max df.
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = exploded.as("a")
       .join(exploded.as("b"),
@@ -755,6 +769,28 @@ object Queries {
       .filter(col("jaccard_bp") >= 8000)
       .select("id_1", "id_2", "jaccard_bp")
       .orderBy(col("id_1"), col("id_2"))
+  }
+
+  /** The prefix-filtered (PPJoin-family) formulation of ngram_jaccard_pairs
+    * — the scale path, pinned by the exact same oracle SQL, run with the
+    * df cap active so the capped candidate generation is oracle-covered. */
+  def jaccardPpjoin(s: SparkSession, dir: String): DataFrame =
+    Jaccard.pairs(t(s, dir, "documents"), "doc_id", "text", minBp = 8000L,
+      native = true, maxDf = NgramMaxDf)
+      .orderBy(col("id_1"), col("id_2"))
+
+  /** IVF ANN top-k at nprobe < nlist — the list-partitioned scale path for
+    * cosine_topk (each query scans nprobe/nlist of the corpus instead of all
+    * of it). Build and search are fully deterministic (centroids = quantized
+    * vectors of the nlist smallest ids, integer dots, fixed tie-breaks), so
+    * the DuckDB oracle replays the identical pipeline and the approximate
+    * result is hash-pinned, not just rows-counted. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = IVF.build(emb, "vec_id", "embedding", nlist = 16)
+    IVF.search(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 10, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -845,7 +881,9 @@ object Queries {
     "simhash_neardup" -> simhashNearDup _,
     "dedup_keeplast_salted" -> dedupKeeplastSalted _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
+    "jaccard_ppjoin" -> jaccardPpjoin _,
     "cosine_topk" -> cosineTopK _,
+    "ivf_topk" -> ivfTopK _,
     "embedding_neardup" -> embeddingNearDup _,
     "multimodal_meta" -> multimodalMeta _)
 }

@@ -27,17 +27,38 @@ import org.apache.spark.sql.types._
 object Jaccard {
 
   /** All pairs with floor(10000*|A∩B|/|A∪B|) >= minBp over 3-gram shingle
-    * sets of `textCol`. Output: (id_1, id_2, jaccard_bp), id_1 < id_2. */
+    * sets of `textCol`. Output: (id_1, id_2, jaccard_bp), id_1 < id_2.
+    *
+    * `maxDf` caps shingle document frequency: shingles present in more than
+    * `maxDf` documents are dropped from the sets before anything else runs
+    * (the standard stop-shingle guard — a single corpus-wide boilerplate
+    * shingle otherwise turns the equi-join into a full quadratic shuffle on
+    * one key). With the cap above the corpus max df the filter passes
+    * everything and the result is the unfiltered exact answer. */
   def pairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minBp: Long,
-      native: Boolean = false): DataFrame = {
+      native: Boolean = false,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val sets = MinHash.withShingles(df, idCol, textCol, native)
+    val raw = MinHash.withShingles(df, idCol, textCol, native)
       .select(col(idCol).as("__id"), array_distinct(col("__sh")).as("__set"))
       .filter(size(col("__set")) > 0)
+    val sets =
+      if (maxDf == Long.MaxValue) raw
+      else {
+        // redefine each set as {x : df(x) <= maxDf}: one exchange on the
+        // shingle feeds the df window, one on the id rebuilds the arrays
+        raw
+          .select(col("__id"), explode(col("__set")).as("__x"))
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__x"))))
+          .filter(col("__df") <= maxDf)
+          .groupBy(col("__id"))
+          .agg(sort_array(collect_list(col("__x"))).as("__set"))
+          .filter(size(col("__set")) > 0)
+      }
     val exploded = sets
       .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
       .repartition(col("__x"))
