@@ -61,9 +61,14 @@ object AvroSchemas {
           toSparkValue(rec.get(f.pos()), f.schema())
         }.toSeq)
       case Schema.Type.MAP =>
-        datum.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, v) =>
-          k.toString -> toSparkValue(v, schema.getValueType)
-        }.toMap
+        // ListMap keeps the datum's encounter order: data-dependent CSV
+        // headers (format/RecordConverterFactory.kt:115-127) name map-key
+        // columns in the order the first record yields them, so the Spark
+        // map value must iterate the same way the reference's converter does
+        scala.collection.immutable.ListMap(
+          datum.asInstanceOf[java.util.Map[Any, Any]].asScala.toSeq.map { case (k, v) =>
+            k.toString -> toSparkValue(v, schema.getValueType)
+          }: _*)
       case Schema.Type.ARRAY =>
         datum.asInstanceOf[java.util.Collection[Any]].asScala
           .map(toSparkValue(_, schema.getElementType)).toSeq
@@ -120,9 +125,10 @@ object AvroSchemas {
         datum.asInstanceOf[java.util.Collection[Any]].asScala
           .map(toSparkValueAs(_, schema.getElementType, at.elementType)).toSeq
       case (mt: MapType, Schema.Type.MAP) =>
-        datum.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, v) =>
-          k.toString -> toSparkValueAs(v, schema.getValueType, mt.valueType)
-        }.toMap
+        scala.collection.immutable.ListMap(
+          datum.asInstanceOf[java.util.Map[Any, Any]].asScala.toSeq.map { case (k, v) =>
+            k.toString -> toSparkValueAs(v, schema.getValueType, mt.valueType)
+          }: _*)
       case _ => toSparkValue(datum, schema)
     }
   }

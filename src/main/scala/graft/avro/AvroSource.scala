@@ -29,6 +29,84 @@ import scala.jdk.CollectionConverters._
   */
 object AvroSource {
 
+  /** Bounded retry with linear backoff, the reference's storage fault
+    * tolerance (source/S3SourceStorage.kt:110-136): 3 attempts, sleep
+    * (attempt+1)*backoff between them, FileNotFound short-circuits (a
+    * raced deletion is not a transient fault). */
+  def faultTolerant[T](attempts: Int = 3, backoffMs: Long = 1000L)(f: Int => T): T = {
+    var last: Exception = null
+    var i = 0
+    while (i < attempts) {
+      try return f(i)
+      catch {
+        case fnf: java.io.FileNotFoundException => throw fnf
+        case e: Exception =>
+          last = e
+          if (i < attempts - 1) Thread.sleep((i + 1) * backoffMs)
+      }
+      i += 1
+    }
+    throw last
+  }
+
+  /** Move a corrupt file aside as `<name>.corrupted[-i]` (first free
+    * suffix, matching worker/FileCache.kt:172-201) so the next pass does
+    * not trip over it again. Returns the quarantine path, or None if the
+    * rename failed (another task may have raced it). */
+  def quarantine(fs: org.apache.hadoop.fs.FileSystem,
+                 path: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    val candidates = Iterator.single("") ++ (0 until 100).iterator.map(i => s"-$i")
+    val free = candidates
+      .map(s => new org.apache.hadoop.fs.Path(path.getParent, s"${path.getName}.corrupted$s"))
+      .find(p => !fs.exists(p))
+    free.filter { target =>
+      try fs.rename(path, target) catch { case _: Exception => false }
+    }
+  }
+
+  /** Structural validation of an Avro object-container: walk the blocks
+    * (count, size, data, sync) at the byte level — no datum decode — and
+    * verify every sync marker, with EOF legal only at a block boundary.
+    * Needed because DataFileStream treats EOF ANYWHERE as a clean end of
+    * file: a truncated container silently yields fewer records instead of
+    * an error (the reference merely logs the count mismatch,
+    * worker/RestructureWorker.kt:76-80; quarantine needs a hard signal).
+    * Cost: one streamed pass over the file, IO-bound, no allocation per
+    * record. */
+  def validateContainer(open: () => java.io.InputStream): Boolean = {
+    val in = open()
+    try {
+      val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(in, null)
+      val magic = new Array[Byte](4)
+      dec.readFixed(magic)
+      if (!java.util.Arrays.equals(magic, Array[Byte]('O', 'b', 'j', 1))) return false
+      var n = dec.readMapStart()
+      while (n != 0) {
+        var i = 0L
+        while (i < n) { dec.skipString(); dec.skipBytes(); i += 1 }
+        n = dec.mapNext()
+      }
+      val sync = new Array[Byte](16)
+      dec.readFixed(sync)
+      val blockSync = new Array[Byte](16)
+      while (!dec.isEnd) {
+        dec.readLong() // record count
+        var remaining = dec.readLong() // block byte size
+        while (remaining > 0) {
+          val step = math.min(remaining, Int.MaxValue.toLong).toInt
+          dec.skipFixed(step)
+          remaining -= step
+        }
+        dec.readFixed(blockSync)
+        if (!java.util.Arrays.equals(sync, blockSync)) return false
+      }
+      true
+    } catch {
+      case _: java.io.EOFException => false // EOF inside a block: truncated
+      case _: org.apache.avro.AvroRuntimeException => false
+    } finally in.close()
+  }
+
   /** Writer schema of one container file, read from its header (driver or
     * executor side; only the header block is consumed). */
   def writerSchema(open: () => java.io.InputStream): Schema = {
@@ -43,22 +121,44 @@ object AvroSource {
     * distinct schema shape, in first-seen order. The header reads happen on
     * the driver: cheap (one small read per file) and required for planning;
     * for very large file counts this could itself be a Spark job. */
-  def schemaGroups(spark: SparkSession, paths: Seq[String]): Seq[(Schema, Seq[String])] = {
+  def schemaGroups(spark: SparkSession, paths: Seq[String],
+                   tolerant: Boolean = false,
+                   backoffMs: Long = 1000L): Seq[(Schema, Seq[String])] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val grouped = scala.collection.mutable.LinkedHashMap.empty[Long, (Schema, scala.collection.mutable.ArrayBuffer[String])]
     paths.foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
-      val schema = writerSchema(() => fs.open(hp))
-      val fp = AvroSchemas.fingerprint(schema)
-      grouped.getOrElseUpdate(fp, (schema, scala.collection.mutable.ArrayBuffer.empty))._2 += p
+      val schema =
+        if (!tolerant) Some(writerSchema(() => fs.open(hp)))
+        else
+          try Some(faultTolerant(backoffMs = backoffMs)(_ => writerSchema(() => fs.open(hp))))
+          catch {
+            case _: java.io.FileNotFoundException => None // raced deletion: skip
+            case _: Exception => quarantine(fs, hp); None // corrupt header
+          }
+      schema.foreach { s =>
+        val fp = AvroSchemas.fingerprint(s)
+        grouped.getOrElseUpdate(fp, (s, scala.collection.mutable.ArrayBuffer.empty))._2 += p
+      }
     }
     grouped.values.map { case (s, ps) => (s, ps.toSeq) }.toSeq
   }
 
   /** Read a set of same-schema container files into a DataFrame with
-    * `_file` and `_row_index` metadata columns prepended. */
-  def read(spark: SparkSession, paths: Seq[String], avroSchema: Schema): DataFrame = {
+    * `_file` and `_row_index` metadata columns prepended.
+    *
+    * `tolerant` turns on the reference's storage fault tolerance
+    * (S3SourceStorage.kt:110-136 + FileCache.kt:172-201): each file is
+    * read all-or-nothing with bounded retries, and a file that still fails
+    * (truncated container, bad block) is quarantined as `.corrupted` and
+    * contributes NO rows — so its offset range stays out of the committed
+    * state and a repaired re-upload reprocesses cleanly. All-or-nothing
+    * requires buffering one file per task, safe here because sink files
+    * are bounded by the upstream flush policy; the non-tolerant path
+    * streams. */
+  def read(spark: SparkSession, paths: Seq[String], avroSchema: Schema,
+           tolerant: Boolean = false, backoffMs: Long = 1000L): DataFrame = {
     val sparkType = AvroSchemas.toSparkType(avroSchema).asInstanceOf[StructType]
     val fullSchema = StructType(
       StructField("_file", StringType, nullable = false) +:
@@ -75,8 +175,7 @@ object AvroSource {
         val schema = new Schema.Parser().parse(schemaJson)
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(serConf.value)
-        if (fs.getFileStatus(hp).getLen == 0) Iterator.empty // zero-length guard (P8)
-        else {
+        def openRows(): (DataFileStream[GenericRecord], java.io.InputStream, Iterator[Row]) = {
           val in = fs.open(hp)
           val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord](schema))
           var i = -1L
@@ -87,7 +186,36 @@ object AvroSource {
                 AvroSchemas.toSparkValue(rec.get(f), avroFieldSchema(schema, f))
               })
           }
+          (stream, in, it)
+        }
+        // zero-length guard (P8); in tolerant mode a vanished file (races
+        // with quarantine when the plan executes more than once) reads as
+        // empty rather than failing the stage
+        val len =
+          try fs.getFileStatus(hp).getLen
+          catch { case _: java.io.FileNotFoundException if tolerant => -1L }
+        if (len <= 0) Iterator.empty
+        else if (!tolerant) {
+          val (stream, in, it) = openRows()
           new AutoCloseIterator(it, () => { stream.close(); in.close() })
+        } else {
+          try {
+            faultTolerant(backoffMs = backoffMs) { _ =>
+              // structural check first: DataFileStream reads a truncated
+              // container as a clean short file, so corruption must be
+              // detected at the byte level to be distinguishable
+              if (!validateContainer(() => fs.open(hp)))
+                throw new java.io.IOException(s"invalid avro container: $path")
+              val (stream, in, it) = openRows()
+              try it.toVector.iterator // all-or-nothing: buffer before emitting
+              finally { stream.close(); in.close() }
+            }
+          } catch {
+            case _: java.io.FileNotFoundException => Iterator.empty // raced deletion
+            case scala.util.control.NonFatal(_) =>
+              quarantine(fs, hp) // corrupt container: set it aside, emit nothing
+              Iterator.empty
+          }
         }
       }
     spark.createDataFrame(rdd, fullSchema)

@@ -32,7 +32,23 @@ final case class RestructureConfig(
     maxFilesPerTopic: Option[Int] = None,
     minimumFileAgeMs: Long = 60000L,
     dedup: Map[String, DedupConfig] = Map.empty,
-    dedupDefault: DedupConfig = DedupConfig())
+    dedupDefault: DedupConfig = DedupConfig(),
+    // data-dependent CSV headers for map/array payloads: per-key and
+    // per-index columns measured from the batch (the reference's
+    // first-record-derived header, format/RecordConverterFactory.kt:115-127,
+    // as a per-topic schema union). Off -> maps/arrays JSON-encode into one
+    // column.
+    csvDataHeaders: Boolean = true,
+    // when set, concurrent app instances coordinate through per-topic locks
+    // and merge-commit the shared state file under a state lock
+    // (accounting/RedisRemoteLockManager.kt:18-44 semantics, file-backed)
+    lockDir: Option[String] = None,
+    // storage fault tolerance (source/S3SourceStorage.kt:110-136,
+    // worker/FileCache.kt:172-201): bounded retries on reads; a file that
+    // still fails is quarantined as `.corrupted` and its range stays out
+    // of the committed state
+    faultTolerance: Boolean = true,
+    retryBackoffMs: Long = 1000L)
 
 /** One source file of one topic: a contiguous offset range of a
   * topic-partition, metadata parsed from the filename
@@ -128,8 +144,10 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     */
   def readTopic(topic: String, files: Seq[TopicFile]): Seq[DataFrame] = {
     val byPath = files.map(f => f.path -> f).toMap
-    AvroSource.schemaGroups(spark, files.map(_.path)).map { case (schema, paths) =>
-      val df = AvroSource.read(spark, paths, schema)
+    AvroSource.schemaGroups(spark, files.map(_.path),
+      tolerant = config.faultTolerance, backoffMs = config.retryBackoffMs).map { case (schema, paths) =>
+      val df = AvroSource.read(spark, paths, schema,
+        tolerant = config.faultTolerance, backoffMs = config.retryBackoffMs)
       val meta = spark.createDataFrame(
         paths.map { p =>
           val f = byPath(p)
@@ -209,8 +227,19 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     */
   def write(topic: String, df: DataFrame): Unit = {
     val payload = df.schema.fields.map(_.name).filterNot(metaCols.contains)
-    val flatCols = Flatten.flattenColumns(
-      StructType(df.schema.fields.filter(f => payload.contains(f.name))))
+    val payloadStruct = StructType(df.schema.fields.filter(f => payload.contains(f.name)))
+    val flatCols =
+      if (config.format == "csv" && config.csvDataHeaders &&
+          Flatten.needsCsvLayout(payloadStruct)) {
+        // two-pass data-dependent header: measure map keys (first-seen by
+        // offset) and array lengths over the batch, then expand in place —
+        // every bin file of the topic gets the same header (per-topic
+        // schema union of the reference's per-file first-record header)
+        val layout = Flatten.csvLayout(
+          df.select((payload.map(n => col(s"`$n`")) :+ col("_offset")).toSeq: _*),
+          Some("_offset"))
+        Flatten.csvColumns(payloadStruct, layout)
+      } else Flatten.flattenColumns(payloadStruct)
     val out = df.select(
       (Seq(col("_project"), col("_user"), col("_bin"), col("_offset"), col("_partition"), col("_mtime")) ++
         flatCols): _*)
@@ -282,53 +311,101 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     * write reprocesses the batch; dedup keeps the output idempotent). */
   def run(): RestructureResult = {
     val state = loadState()
+    val lockMgr = config.lockDir.map(d =>
+      new FileRemoteLockManager(spark.sparkContext.hadoopConfiguration, new Path(d)))
     var filesProcessed = 0L
     var recordsWritten = 0L
     val topics = listTopics()
     topics.foreach { topic =>
-      val files = plan(topic, state)
-      if (files.nonEmpty) {
-        filesProcessed += files.size
-        readTopic(topic, files).foreach { df =>
-          val unseen = filterSeen(df, state)
-          // A3 counters ride the write job itself — no extra pass. The
-          // listener-based Observation is required here: DataFrameWriter
-          // plans its own QueryExecution over the logical plan, so reading
-          // observedMetrics off this DataFrame's QueryExecution would
-          // consult a never-executed plan (always 0).
-          val obs = org.apache.spark.sql.Observation()
-          val observed = dedup(topic, unseen)
-            .observe(obs, count(lit(1)).as("records"))
-          writeSidecar(topic, df)
-          write(topic, observed)
-          recordsWritten += obs.get.get("records").map(_.asInstanceOf[Long]).getOrElse(0L)
-          Intervals.collectRanges(processedRanges(unseen)).entries.foreach {
-            case (tp, r) => state.add(tp, r.from, r.to, r.lastProcessed)
+      def process(): Unit = {
+        // with concurrent instances, re-check the plan against the LATEST
+        // committed state once the topic lock is held — another instance
+        // may have finished this topic between our load and our lock
+        if (lockMgr.isDefined) state.addAll(loadState())
+        val files = plan(topic, state)
+        if (files.nonEmpty) {
+          filesProcessed += files.size
+          readTopic(topic, files).foreach { df =>
+            val unseen = filterSeen(df, state)
+            // A3 counters ride the write job itself — no extra pass. The
+            // listener-based Observation is required here: DataFrameWriter
+            // plans its own QueryExecution over the logical plan, so reading
+            // observedMetrics off this DataFrame's QueryExecution would
+            // consult a never-executed plan (always 0).
+            val obs = org.apache.spark.sql.Observation()
+            val observed = dedup(topic, unseen)
+              .observe(obs, count(lit(1)).as("records"))
+            writeSidecar(topic, df)
+            write(topic, observed)
+            recordsWritten += obs.get.get("records").map(_.asInstanceOf[Long]).getOrElse(0L)
+            val added = Intervals.collectRanges(processedRanges(unseen))
+            commitState(state, added, lockMgr) // S10 — commit after write
           }
-          saveState(state) // S10 — commit after write
         }
+      }
+      lockMgr match {
+        case Some(m) => m.withLock(topic)(process()) // None -> another instance owns it
+        case None    => process()
       }
     }
     RestructureResult(topics.size, filesProcessed, recordsWritten)
   }
 
+  /** Merge `added` into the in-memory state and commit. With a lock manager
+    * the commit is read-merge-write under a dedicated state lock — two
+    * instances that processed DIFFERENT topics both land their ranges in
+    * the shared file with neither update lost (the reference gets this from
+    * Redis's single-writer semantics,
+    * accounting/OffsetRedisPersistence.kt:38-82). */
+  private def commitState(
+      state: OffsetRangeSet,
+      added: OffsetRangeSet,
+      lockMgr: Option[RemoteLockManager]): Unit = {
+    state.addAll(added)
+    lockMgr match {
+      case Some(m) =>
+        m.withLockRetrying("__state") {
+          val disk = loadState()
+          disk.addAll(added)
+          saveState(disk)
+          state.addAll(disk) // see other instances' progress for later plans
+        }
+      case None => saveState(state)
+    }
+  }
+
+  /** Load state; a legacy reference deployment's CSV offsets file
+    * (`offsetFrom,offsetTo,partition,topic[,lastModified]` header,
+    * accounting/OffsetFilePersistence.kt:95-121) is detected by its header
+    * and imported transparently — the next save rewrites it as JSON. */
   def loadState(): OffsetRangeSet = {
     val p = new Path(config.stateFile)
     val sfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sfs.exists(p)) new OffsetRangeSet
     else {
       val in = sfs.open(p)
-      try OffsetRangeSet.fromJson(
-        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-      finally in.close()
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      if (text.startsWith("offsetFrom,")) OffsetRangeSet.fromCsv(text)
+      else OffsetRangeSet.fromJson(text)
     }
   }
 
+  /** Atomic state write: temp file in the same directory, then rename —
+    * rename is atomic on local (rename(2)) and HDFS filesystems, so a
+    * concurrent reader sees either the old or the new state, never a
+    * truncated file. */
   def saveState(state: OffsetRangeSet): Unit = {
     val p = new Path(config.stateFile)
     val sfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = sfs.create(p, true)
+    if (p.getParent != null) sfs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val os = sfs.create(tmp, true)
     try os.write(state.toJson.getBytes("UTF-8")) finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }
 

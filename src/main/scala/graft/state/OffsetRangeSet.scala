@@ -89,7 +89,10 @@ object OffsetRangeSet {
       val f = line.split(",", -1)
       require(f.length >= 4, s"bad offsets CSV line: $line")
       val mtime = if (f.length >= 5 && f(4).nonEmpty) Instant.parse(f(4)) else Instant.EPOCH
-      set.add(TopicPartition(f(3), f(2).toInt), f(0).toLong, f(1).toLong, mtime)
+      // the reference strips quotes some CSV writers wrap the topic in
+      // (accounting/OffsetFilePersistence.kt:64-70)
+      val topic = f(3).dropWhile(_ == '"').reverse.dropWhile(_ == '"').reverse
+      set.add(TopicPartition(topic, f(2).toInt), f(0).toLong, f(1).toLong, mtime)
     }
     set
   }

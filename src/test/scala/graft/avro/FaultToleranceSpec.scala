@@ -1,0 +1,90 @@
+package graft.avro
+
+import graft.SparkSpec
+import graft.restructure.{DedupConfig, Restructure, RestructureConfig, RestructureFixture}
+import graft.state.TopicPartition
+import org.apache.hadoop.fs.Path
+
+import java.io.File
+import java.nio.file.{Files, StandardOpenOption}
+
+/** Storage fault tolerance (source/S3SourceStorage.kt:110-136,
+  * worker/FileCache.kt:172-201): bounded retries, corrupt-file quarantine,
+  * and the end-to-end guarantee that a truncated Avro container neither
+  * fails the job nor pollutes the committed offset state.
+  */
+class FaultToleranceSpec extends SparkSpec {
+
+  test("faultTolerant retries transient failures, rethrows FileNotFound immediately") {
+    var calls = 0
+    val out = AvroSource.faultTolerant(backoffMs = 1L) { i =>
+      calls += 1
+      if (i < 2) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+
+    var fnfCalls = 0
+    intercept[java.io.FileNotFoundException] {
+      AvroSource.faultTolerant(backoffMs = 1L) { _ =>
+        fnfCalls += 1
+        throw new java.io.FileNotFoundException("gone")
+      }
+    }
+    assert(fnfCalls == 1) // not a transient fault: no retries
+
+    var always = 0
+    intercept[RuntimeException] {
+      AvroSource.faultTolerant(backoffMs = 1L) { _ =>
+        always += 1; throw new RuntimeException("persistent")
+      }
+    }
+    assert(always == 3)
+  }
+
+  test("quarantine picks the first free .corrupted suffix") {
+    val dir = Files.createTempDirectory("graft-quarantine").toFile
+    val f = new File(dir, "t+0+0000000000.avro")
+    Files.write(f.toPath, Array[Byte](1, 2, 3))
+    Files.write(new File(dir, f.getName + ".corrupted").toPath, Array[Byte](9))
+    val fs = new Path(dir.toString).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = AvroSource.quarantine(fs, new Path(f.toString))
+    assert(target.exists(_.getName == f.getName + ".corrupted-0"))
+    assert(!f.exists())
+  }
+
+  test("truncated avro file: job completes, file quarantined, range excluded from state") {
+    val (dir, base) = RestructureFixture.setup()
+    val cfg = base.copy(retryBackoffMs = 1L, dedupDefault = DedupConfig(enable = false))
+    // corrupt the SECOND file (offset 21) by truncating MID-BLOCK (a cut
+    // at the trailing sync marker reads as a clean EOF — avro only fails
+    // when a datum itself is clipped); the header stays intact so schema
+    // grouping still sees it
+    val corrupt = new File(dir,
+      "in/application_server_status/partition=1/application_server_status+1+0000000021.avro")
+    RestructureFixture.writeAvro(corrupt,
+      (0 until 200).map(i => RestructureFixture.record(RestructureFixture.t2 + i, s"S$i")))
+    val ch = java.nio.channels.FileChannel.open(corrupt.toPath, StandardOpenOption.WRITE)
+    try ch.truncate(corrupt.length() * 2 / 3) finally ch.close()
+
+    val job = new Restructure(spark, cfg)
+    val r = job.run() // must not throw
+    assert(r.files == 2) // both were planned...
+    assert(r.records == 3) // ...but only the healthy file's records landed
+
+    // corrupt file set aside, original gone
+    assert(!corrupt.exists())
+    assert(new File(corrupt.getParent, corrupt.getName + ".corrupted").exists())
+
+    // state covers ONLY the healthy file's range: a repaired re-upload of
+    // offset 21 will be reprocessed
+    val state = job.loadState()
+    assert(state.entries.map { case (tp, r) => (tp.topic, tp.partition, r.from, r.to) } ==
+      Seq(("application_server_status", 1, 18L, 20L)))
+    assert(!state.contains(TopicPartition("application_server_status", 1), 21L,
+      java.time.Instant.EPOCH))
+
+    // the healthy file's 3 records (dedup off) are all in the output
+    assert(job.readOutput("application_server_status", dedup = false).count() == 3)
+  }
+}

@@ -13,7 +13,9 @@ import java.nio.file.Files
   * §3.2): Avro sink files -> per-(project,user,hour) flattened CSV with
   * dedup, schema sidecar, offset state, and incremental re-run.
   */
-class RestructureSpec extends SparkSpec {
+/** Shared avro sink fixture: two files of one topic, 4 records, 1 duplicate
+  * (also used by LocksSpec's concurrent-instance test). */
+object RestructureFixture {
 
   private val schemaJson =
     """{"type":"record","name":"Envelope","fields":[
@@ -29,7 +31,7 @@ class RestructureSpec extends SparkSpec {
 
   private val schema = new Schema.Parser().parse(schemaJson)
 
-  private def record(time: Double, status: String): GenericRecord = {
+  def record(time: Double, status: String): GenericRecord = {
     val key = new GenericData.Record(schema.getField("key").schema())
     key.put("projectId", "STAGING_PROJECT")
     key.put("userId", "user1")
@@ -44,7 +46,7 @@ class RestructureSpec extends SparkSpec {
     rec
   }
 
-  private def writeAvro(file: File, records: Seq[GenericRecord]): Unit = {
+  def writeAvro(file: File, records: Seq[GenericRecord]): Unit = {
     file.getParentFile.mkdirs()
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, file)
@@ -53,10 +55,10 @@ class RestructureSpec extends SparkSpec {
   }
 
   // 2020-01-28T13:59 and 14:01 UTC — the two hour bins of the reference test
-  private val t1 = 1580219940.0
-  private val t2 = 1580220060.0
+  val t1 = 1580219940.0
+  val t2 = 1580220060.0
 
-  private def setup(): (File, RestructureConfig) = {
+  def setup(): (File, RestructureConfig) = {
     val dir = Files.createTempDirectory("graft-restructure").toFile
     val topicDir = new File(dir, "in/application_server_status/partition=1")
     // offsets 18-20: two records in bin 13:00 (one duplicated), one in 14:00
@@ -76,6 +78,10 @@ class RestructureSpec extends SparkSpec {
       dedupDefault = DedupConfig(enable = true))
     (dir, cfg)
   }
+}
+
+class RestructureSpec extends SparkSpec {
+  import RestructureFixture.{record, setup, t1, t2, writeAvro}
 
   test("restructure: topic discovery, hourly bins, flatten, dedup, state, incremental") {
     val (dir, cfg) = setup()
