@@ -461,7 +461,7 @@ object Oracles {
       val bandSelects = (0 until Bands).map { b =>
         s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m2"
       }.mkString(" UNION ALL ")
-      s"""WITH cl AS (SELECT doc_id, ${cleanOf("text")} AS clean_text FROM documents),
+      s"""WITH RECURSIVE cl AS (SELECT doc_id, ${cleanOf("text")} AS clean_text FROM documents),
          |a0 AS (SELECT doc_id, clean_text,
          |  CAST(len(${tokensOf("clean_text")}) AS BIGINT) AS n_tokens, $scores FROM cl),
          |ann AS (SELECT doc_id, clean_text, n_tokens,
@@ -483,12 +483,21 @@ object Oracles {
          |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
          | FROM bands2 a JOIN bands2 b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
          |sets2 AS (SELECT doc_id, list_distinct(sh) AS st FROM s2),
-         |dropped AS (SELECT DISTINCT id_2 AS doc_id FROM (
+         |npairs AS (SELECT id_1, id_2 FROM (
          |  SELECT id_1, id_2,
          |   len(list_intersect(sa.st, sb.st)) AS inter,
          |   len(sa.st) + len(sb.st) AS szsum
          |  FROM cand JOIN sets2 sa ON id_1 = sa.doc_id JOIN sets2 sb ON id_2 = sb.doc_id)
          | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 9000),
+         |nedges AS (SELECT id_1 AS u, id_2 AS v FROM npairs
+         |           UNION SELECT id_2, id_1 FROM npairs),
+         |reach(node, lab) AS (
+         |  SELECT u, u FROM nedges
+         |  UNION
+         |  SELECT e.u, r.lab FROM nedges e JOIN reach r ON r.node = e.v),
+         |dropped AS (SELECT node AS doc_id FROM
+         |  (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node)
+         | WHERE node <> comp),
          |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
          |SELECT doc_id, clean_text, n_tokens, pred_lang,
          | CASE WHEN (doc_id * $TokenHashA) % $P % 100 < 80 THEN 'train'
@@ -633,6 +642,32 @@ object Oracles {
          |FROM scored
          |WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000
          |ORDER BY id_1, id_2""".stripMargin
+    },
+
+    "neardup_components" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m"
+      }.mkString(" UNION ALL ")
+      // min reachable id via recursive closure over the symmetric pair graph
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS ($bandSelects),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
+         |pairs AS (SELECT id_1, id_2 FROM (
+         |  SELECT id_1, id_2,
+         |   len(list_intersect(sa.st, sb.st)) AS inter,
+         |   len(sa.st) + len(sb.st) AS szsum
+         |  FROM cand JOIN sets sa ON id_1 = sa.doc_id JOIN sets sb ON id_2 = sb.doc_id)
+         | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000),
+         |edges AS (SELECT id_1 AS u, id_2 AS v FROM pairs
+         |          UNION SELECT id_2, id_1 FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v)
+         |SELECT node AS doc_id, MIN(lab) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     },
 
     "ngram_jaccard_pairs" -> ngramJaccardSql,

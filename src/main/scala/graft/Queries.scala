@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
-import graft.operators.{AsOf, Dedup, Flatten, Intervals, Sessionize}
+import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, Sessionize}
 import graft.dedup.{Jaccard, MinHash, SimHash}
 import graft.similarity.{IVF, Similarity}
 import graft.text.{Hashing, Text}
@@ -722,6 +722,20 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Connected components over the minhash near-duplicate pair graph: the
+    * clustering finisher for LSH dedup. Output: every doc incident to a
+    * near-pair with its component id (= smallest doc_id reachable through
+    * near-duplicate links), so transitive chains a~b~c resolve to one
+    * canonical doc. Oracle: DuckDB recursive CTE computing min reachable
+    * id over the same pair graph. */
+  def neardupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      minBp = 5000L, native = true)
+    ConnectedComponents.run(pairs, "id_1", "id_2")
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document-frequency cap shared by the shingle-join queries: shingles in
     * more than this many documents are dropped from the sets before the
     * self-join (stop-shingle guard — one boilerplate shingle otherwise
@@ -878,6 +892,7 @@ object Queries {
     "minhash_signature" -> minhashSignature _,
     "minhash_pairs" -> minhashPairs _,
     "minhash_neardup" -> minhashNearDup _,
+    "neardup_components" -> neardupComponents _,
     "simhash_neardup" -> simhashNearDup _,
     "dedup_keeplast_salted" -> dedupKeeplastSalted _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,

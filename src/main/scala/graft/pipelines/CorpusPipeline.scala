@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.dedup.{MinHash, SimHash}
+import graft.operators.ConnectedComponents
 import graft.text.{Hashing, Text}
 
 /** The composed training-data curation pipeline: the individual operators
@@ -67,13 +68,17 @@ object CorpusPipeline {
     df.join(keep, idCol)
   }
 
-  /** Near dedup: drop the higher id of every MinHash-near pair (transitive
-    * chains collapse toward the smallest id per discovered pair; exact
-    * clustering would need a connected-components pass — documented
-    * trade-off, same as most production LSH dedups). */
+  /** Near dedup with exact clustering: MinHash near-pairs become an edge
+    * list, a connected-components pass collapses transitive chains (a~b~c
+    * keeps only min(a,b,c) even when a and c never matched directly), and
+    * every non-canonical member is dropped. The per-pair shortcut (drop
+    * id_2 of each pair) under-merges exactly when a component's second-
+    * smallest id appears only on the left of its pairs. */
   def nearDedup(df: DataFrame, idCol: String, textCol: String, minBp: Long): DataFrame = {
-    val drop = MinHash.nearDuplicates(df, idCol, textCol, minBp, native = true)
-      .select(col("id_2").as(idCol)).distinct()
+    val pairs = MinHash.nearDuplicates(df, idCol, textCol, minBp, native = true)
+    val drop = ConnectedComponents.run(pairs, "id_1", "id_2")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
 
