@@ -274,6 +274,16 @@ object Oracles {
         |WHERE l_orderkey <= 100
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
+    // exact twins + literal TRUE flags: the compare fails iff the Spark
+    // sketches (HLL++ distinct, approx median) leave their error bounds
+    "sketch_events" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | COUNT(*) AS n,
+        | TRUE AS hll_within_tol,
+        | TRUE AS median_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "cube_events" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         | coalesce(bin, 'ALL') AS bin,

@@ -310,13 +310,30 @@ object Queries {
     * sketch layouts are engine-specific, so the driver records the weaker
     * rows-only check — the exact twins (count_distinct in timestamp_sets,
     * percentile in median_order_cents) carry the hash-checked semantics. */
+  /** Approximate sketches with a REAL pass/fail signal: the output carries
+    * the exact aggregates plus booleans asserting the sketch landed inside
+    * its error bound — HLL++ at rsd 0.05 within 3*rsd of the exact distinct
+    * count, KLL-style approx median (rank error <= 1/accuracy = 0.001)
+    * between the exact 0.45/0.55 quantiles. The DuckDB oracle computes the
+    * same exact values with literal TRUE flags, so the hash compare fails
+    * iff a sketch ever leaves its bound — deterministic, since both
+    * sketches are order-independent over a fixed dataset. */
   def sketchEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("__hll"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("__amed"),
+        expr("percentile(value, 0.45)").as("__lo"),
+        expr("percentile(value, 0.55)").as("__hi"),
         count(lit(1)).as("n"))
+      .select(
+        col("event_type"), col("exact_users"), col("n"),
+        (abs(col("__hll") - col("exact_users")).cast(DoubleType) <=
+          col("exact_users").cast(DoubleType) * 0.15).as("hll_within_tol"),
+        (col("__amed") >= col("__lo") && col("__amed") <= col("__hi"))
+          .as("median_within_tol"))
       .orderBy(col("event_type"))
 
   /** CUBE grouping sets over the event stream: all four aggregation levels

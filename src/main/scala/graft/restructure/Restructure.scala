@@ -48,7 +48,14 @@ final case class RestructureConfig(
     // still fails is quarantined as `.corrupted` and its range stays out
     // of the committed state
     faultTolerance: Boolean = true,
-    retryBackoffMs: Long = 1000L)
+    retryBackoffMs: Long = 1000L,
+    // determine a file's final offset from storage metadata instead of its
+    // filename (source/S3SourceStorage.kt:40-59 reads the "endOffset" object
+    // tag, AzureSourceStorage.kt:27-46 the blob metadata). Hadoop's FS API
+    // has no tag surface, so the carrier is a `<file>.meta` properties
+    // sidecar — the shape tag-less stores expose cheaply; filename parse
+    // stays the fallback.
+    endOffsetFromMetadata: Boolean = false)
 
 /** One source file of one topic: a contiguous offset range of a
   * topic-partition, metadata parsed from the filename
@@ -106,13 +113,34 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
             path = s.getPath.toString,
             partition = m.group(2).toInt,
             startOffset = m.group(3).toLong,
-            endOffset = Option(m.group(4)).map(_.toLong),
+            endOffset = metadataEndOffset(s.getPath)
+              .orElse(Option(m.group(4)).map(_.toLong)),
             lastModified = s.getModificationTime,
             length = s.getLen)
         }
       }
     }
     out.toSeq
+  }
+
+  /** endOffset from storage metadata (see RestructureConfig
+    * .endOffsetFromMetadata): one extra metadata read per file, so it only
+    * runs when enabled. A malformed sidecar is ignored — the filename
+    * fallback keeps the pass alive. */
+  private def metadataEndOffset(path: Path): Option[Long] = {
+    if (!config.endOffsetFromMetadata) return None
+    val sidecar = path.suffix(".meta")
+    try {
+      if (!fs.exists(sidecar)) None
+      else {
+        val in = fs.open(sidecar)
+        try {
+          val p = new java.util.Properties()
+          p.load(in)
+          Option(p.getProperty("endOffset")).flatMap(_.trim.toLongOption)
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
   }
 
   /** P5/P6/P8/O1 — prune the file list against age, zero length, and the

@@ -6,10 +6,10 @@ package graft
 class QueriesSmokeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  /** Queries deliberately WITHOUT an oracle twin (engine-specific sketch
-    * layouts; the driver records the weaker rows-only check for these).
-    * Keep this list minimal — hash-checked exact twins are the default. */
-  private val rowsOnly = Set("sketch_events")
+  /** Queries deliberately WITHOUT an oracle twin. Empty since sketch_events
+    * gained its bounded-error twin (exact aggregates + in-tolerance flags);
+    * keep it that way — hash-checked exact twins are the default. */
+  private val rowsOnly = Set.empty[String]
 
   test("every query has a DuckDB oracle (minus the declared rows-only set)") {
     assert(Queries.all.keySet -- rowsOnly == Oracles.all.keySet)

@@ -222,6 +222,21 @@ class RestructureSpec extends SparkSpec {
     assert(new Restructure(spark, cfg).readOutput("application_server_status", dedup = false).count() == 4)
   }
 
+  test("endOffset from a metadata sidecar overrides the filename (S3-tag shape)") {
+    val (dir, cfg) = setup()
+    // the open-ended file (+21, no end) gets a sidecar declaring endOffset
+    val f = new File(dir,
+      "in/application_server_status/partition=1/application_server_status+1+0000000021.avro")
+    Files.write(f.toPath.resolveSibling(f.getName + ".meta"),
+      "endOffset=23\n".getBytes)
+    val without = new Restructure(spark, cfg)
+      .listFiles("application_server_status").sortBy(_.startOffset)
+    assert(without.map(_.endOffset) == Seq(Some(20L), None))
+    val withMeta = new Restructure(spark, cfg.copy(endOffsetFromMetadata = true))
+      .listFiles("application_server_status").sortBy(_.startOffset)
+    assert(withMeta.map(_.endOffset) == Seq(Some(20L), Some(23L)))
+  }
+
   test("restructure: late file appends to an existing bin") {
     val (dir, cfg) = setup()
     val job = new Restructure(spark, cfg)

@@ -85,6 +85,40 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("df cap drops hot boilerplate shingles; capped result == brute force on capped sets") {
+    // every doc opens with the same boilerplate (its leading shingle has
+    // df = corpus size — the skewed hot key); docs 2k/2k+1 share a tail so
+    // genuine near-dups survive the cap
+    // tail tokens must differ under the (length, first char) word code:
+    // per pair k they lead with digit k at three lengths, and the per-doc
+    // closer is a unique letter repeated a unique number of times
+    val docs = (0 until 20).map { i =>
+      val k = i / 2
+      val uniq = ('a' + i).toChar.toString * (i + 1)
+      (i.toLong, s"common boiler plate opening line ${k}a ${k}bb ${k}ccc $uniq")
+    }.toDF("doc_id", "text")
+    val sets = MinHash.withShingles(docs, "doc_id", "text")
+      .select(col("doc_id"), array_distinct(col("__sh")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val df5 = sets.values.flatten.groupBy(identity).map { case (x, xs) => x -> xs.size }
+    def brute(capped: Map[Long, Set[Long]], minBp: Long) = (for {
+      (i, a) <- capped.toSeq; (j, b) <- capped.toSeq
+      if i < j && a.nonEmpty && b.nonEmpty
+      inter = (a & b).size
+      bp = math.floor(inter * 10000.0 / (a.size + b.size - inter)).toLong
+      if bp >= minBp
+    } yield (i, j, bp)).toSet
+    val cappedSets = sets.map { case (id, s) => id -> s.filter(df5(_) <= 5) }
+    val expected = brute(cappedSets, 3000L)
+    val got = graft.dedup.Jaccard.pairs(docs, "doc_id", "text", minBp = 3000L, maxDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+    // the cap really changed the answer: uncapped brute force links the
+    // whole corpus through the boilerplate shingles
+    assert(brute(sets, 3000L) != expected)
+  }
+
   test("minhash candidatePairs finds exact duplicates across all bands") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
