@@ -1,6 +1,6 @@
 package graft
 
-import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service}
+import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service, YamlConfig}
 
 /** CLI entry point, mirroring the reference application's modes
   * (Application.kt:177-207): one-shot restructure, optional cleaner, or
@@ -8,6 +8,7 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service}
   *
   * {{{
   * runMain graft.Main --config app.properties            # one restructure pass
+  * runMain graft.Main --config restructure.yml           # reference-shaped yaml
   * runMain graft.Main --config app.properties --clean    # + cleaner pass
   * runMain graft.Main --config app.properties --service \
   *   --interval 300000 --cleaner-interval 1260000        # polling mode
@@ -15,6 +16,11 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service}
   *   # catch-up pass per topic via the DSv2 Avro source (checkpointed
   *   # under <output>/_checkpoints/<topic>)
   * }}}
+  *
+  * A `.yml`/`.yaml` config is loaded through [[YamlConfig]]: its storage
+  * credentials land in the session's Hadoop configuration, and its
+  * service/cleaner sections provide the mode defaults (explicit CLI flags
+  * still win).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -22,9 +28,9 @@ object Main {
     var service = false
     var stream = false
     var clean = false
-    var interval = 300000L
-    var cleanerInterval = 1260000L
-    var cleanerAgeMs = 7L * 24 * 3600 * 1000
+    var interval: Option[Long] = None
+    var cleanerInterval: Option[Long] = None
+    var cleanerAgeMs: Option[Long] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -32,26 +38,45 @@ object Main {
         case "--service"          => service = true; i += 1
         case "--stream"           => stream = true; i += 1
         case "--clean"            => clean = true; i += 1
-        case "--interval"         => interval = args(i + 1).toLong; i += 2
-        case "--cleaner-interval" => cleanerInterval = args(i + 1).toLong; i += 2
-        case "--cleaner-age-ms"   => cleanerAgeMs = args(i + 1).toLong; i += 2
+        case "--interval"         => interval = Some(args(i + 1).toLong); i += 2
+        case "--cleaner-interval" => cleanerInterval = Some(args(i + 1).toLong); i += 2
+        case "--cleaner-age-ms"   => cleanerAgeMs = Some(args(i + 1).toLong); i += 2
         case other =>
           System.err.println(s"unknown argument: $other"); sys.exit(2)
       }
     }
-    val config = ConfigLoader.fromFile(configPath.getOrElse {
-      System.err.println("usage: graft.Main --config <properties> [--service] [--clean]")
+    val path = configPath.getOrElse {
+      System.err.println(
+        "usage: graft.Main --config <properties|yaml> [--service] [--clean]")
       sys.exit(2); throw new IllegalStateException
-    })
+    }
+    val app = // yaml configs carry the full reference surface
+      if (path.endsWith(".yml") || path.endsWith(".yaml")) Some(YamlConfig.load(path))
+      else None
+    val config = app.map(_.restructure).getOrElse(ConfigLoader.fromFile(path))
     val spark = Sessions.build("graft")
+    app.foreach { a =>
+      a.hadoopConf.foreach { case (k, v) =>
+        spark.sparkContext.hadoopConfiguration.set(k, v)
+      }
+      service = service || a.service.enable
+      clean = clean || a.cleaner.enable
+    }
+    val intervalMs = interval
+      .orElse(app.map(_.service.intervalMs)).getOrElse(300000L)
+    val cleanerIntervalMs = cleanerInterval
+      .orElse(app.map(_.cleaner.intervalMs)).getOrElse(1260000L)
+    val cleanerAge = cleanerAgeMs
+      .orElse(app.map(_.cleaner.ageDays * 24L * 3600 * 1000))
+      .getOrElse(7L * 24 * 3600 * 1000)
     val job = new Restructure(spark, config)
-    val cleaner = new Cleaner(spark, config, cleanerAgeMs)
+    val cleaner = new Cleaner(spark, config, cleanerAge)
     if (service) {
       val svc = new Service(
         restructure = () => println(s"[graft] ${job.run()}"),
         cleaner = if (clean) Some(() => println(s"[graft] cleaned ${cleaner.run()}")) else None,
-        restructureIntervalMs = interval,
-        cleanerIntervalMs = cleanerInterval)
+        restructureIntervalMs = intervalMs,
+        cleanerIntervalMs = cleanerIntervalMs)
       svc.start()
       sys.addShutdownHook { svc.stop(); spark.stop() }
       Thread.currentThread().join() // run until interrupted

@@ -330,9 +330,12 @@ object Queries {
         count(lit(1)).as("n"))
       .select(
         col("event_type"), col("exact_users"), col("n"),
-        (abs(col("__hll") - col("exact_users")).cast(DoubleType) <=
-          col("exact_users").cast(DoubleType) * 0.15).as("hll_within_tol"),
-        (col("__amed") >= col("__lo") && col("__amed") <= col("__hi"))
+        // coalesce: an all-null group has NULL percentiles/sketches, which
+        // is vacuously "within tolerance" (and the compare must see TRUE,
+        // never NULL — driver null-hash behavior is unverified)
+        coalesce(abs(col("__hll") - col("exact_users")).cast(DoubleType) <=
+          col("exact_users").cast(DoubleType) * 0.15, lit(true)).as("hll_within_tol"),
+        coalesce(col("__amed") >= col("__lo") && col("__amed") <= col("__hi"), lit(true))
           .as("median_within_tol"))
       .orderBy(col("event_type"))
 

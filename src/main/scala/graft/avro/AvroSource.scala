@@ -29,10 +29,30 @@ import scala.jdk.CollectionConverters._
   */
 object AvroSource {
 
+  /** Marks a DETERMINISTIC container-corruption failure (bad magic, sync
+    * mismatch, truncation): the bytes on storage are wrong, so retrying is
+    * pointless and quarantine is the correct response. Everything else —
+    * timeouts, throttling, connection resets — is treated as transient:
+    * retried, and if retries exhaust, PROPAGATED so the task fails loudly.
+    * Quarantining on a transient error would silently lose a healthy
+    * file's records forever (its range never commits, but listing only
+    * matches *.avro so it would never be retried either). */
+  final class CorruptContainerException(msg: String)
+      extends java.io.IOException(msg)
+
+  private def isCorruption(e: Throwable): Boolean = e match {
+    case _: CorruptContainerException => true
+    case _: org.apache.avro.AvroRuntimeException => true // bad header/codec
+    case io: java.io.IOException => // DataFileStream's bad-magic signal
+      Option(io.getMessage).exists(_.toLowerCase.contains("not an avro data file"))
+    case _ => false
+  }
+
   /** Bounded retry with linear backoff, the reference's storage fault
     * tolerance (source/S3SourceStorage.kt:110-136): 3 attempts, sleep
-    * (attempt+1)*backoff between them, FileNotFound short-circuits (a
-    * raced deletion is not a transient fault). */
+    * (attempt+1)*backoff between them. FileNotFound (a raced deletion) and
+    * deterministic corruption short-circuit — neither gets better by
+    * waiting. */
   def faultTolerant[T](attempts: Int = 3, backoffMs: Long = 1000L)(f: Int => T): T = {
     var last: Exception = null
     var i = 0
@@ -40,6 +60,7 @@ object AvroSource {
       try return f(i)
       catch {
         case fnf: java.io.FileNotFoundException => throw fnf
+        case e: Exception if isCorruption(e) => throw e
         case e: Exception =>
           last = e
           if (i < attempts - 1) Thread.sleep((i + 1) * backoffMs)
@@ -135,7 +156,9 @@ object AvroSource {
           try Some(faultTolerant(backoffMs = backoffMs)(_ => writerSchema(() => fs.open(hp))))
           catch {
             case _: java.io.FileNotFoundException => None // raced deletion: skip
-            case _: Exception => quarantine(fs, hp); None // corrupt header
+            case e: Exception if isCorruption(e) => quarantine(fs, hp); None
+            // transient error with retries exhausted: fail the pass — the
+            // file is (as far as we know) healthy, so losing it is worse
           }
       schema.foreach { s =>
         val fp = AvroSchemas.fingerprint(s)
@@ -150,10 +173,13 @@ object AvroSource {
     *
     * `tolerant` turns on the reference's storage fault tolerance
     * (S3SourceStorage.kt:110-136 + FileCache.kt:172-201): each file is
-    * read all-or-nothing with bounded retries, and a file that still fails
-    * (truncated container, bad block) is quarantined as `.corrupted` and
-    * contributes NO rows — so its offset range stays out of the committed
-    * state and a repaired re-upload reprocesses cleanly. All-or-nothing
+    * read all-or-nothing with bounded retries; a file that fails the
+    * byte-level container validation (truncated container, bad block) is
+    * quarantined as `.corrupted` and contributes NO rows — so its offset
+    * range stays out of the committed state and a repaired re-upload
+    * reprocesses cleanly — while transient storage errors that exhaust
+    * their retries fail the task instead (quarantining a healthy file
+    * would silently lose it). All-or-nothing
     * requires buffering one file per task, safe here because sink files
     * are bounded by the upstream flush policy; the non-tolerant path
     * streams. */
@@ -205,16 +231,19 @@ object AvroSource {
               // container as a clean short file, so corruption must be
               // detected at the byte level to be distinguishable
               if (!validateContainer(() => fs.open(hp)))
-                throw new java.io.IOException(s"invalid avro container: $path")
+                throw new CorruptContainerException(s"invalid avro container: $path")
               val (stream, in, it) = openRows()
               try it.toVector.iterator // all-or-nothing: buffer before emitting
               finally { stream.close(); in.close() }
             }
           } catch {
             case _: java.io.FileNotFoundException => Iterator.empty // raced deletion
-            case scala.util.control.NonFatal(_) =>
+            case e if isCorruption(e) =>
               quarantine(fs, hp) // corrupt container: set it aside, emit nothing
               Iterator.empty
+            // anything else propagates: Spark retries the task, and a
+            // persistent storage outage fails the job instead of silently
+            // dropping a healthy file's records
           }
         }
       }

@@ -56,13 +56,18 @@ object ConnectedComponents {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      // (a) pull the min label across edges
+      // (a) pull the min label across edges. Checkpointed because BOTH
+      // sides of the pointer-jump self-join consume it — without it the
+      // two-join subtree would execute twice per round. (Old rounds'
+      // checkpoint blocks are freed by the ContextCleaner once the frames
+      // go out of scope.)
       val stepped = sym
         .join(labels, col("__v") === col("node"))
         .groupBy(col("__u").as("node"))
         .agg(min(col("component")).as("__prop"))
         .join(labels, "node")
         .select(col("node"), least(col("component"), col("__prop")).as("component"))
+        .localCheckpoint()
       // (b) pointer jump: component := component(component); the label is
       // always an incident node, so the inner self-join is total
       val next = stepped.as("x")

@@ -69,10 +69,36 @@ final class FileRemoteLockManager(
       val stale =
         try fs.getFileStatus(p).getModificationTime + ttlMs <= System.currentTimeMillis()
         catch { case _: FileNotFoundException => true }
-      if (stale) {
-        try fs.delete(p, false) catch { case _: Exception => () }
-        if (tryCreate(p)) Some(releaser(p)) else None
-      } else None
+      if (stale && breakStale(p) && tryCreate(p)) Some(releaser(p)) else None
+    }
+  }
+
+  /** Break an (apparently) stale lock via atomic rename: of N racing
+    * breakers exactly one wins the rename (the others' renames find no
+    * source, or find the winner's FRESH replacement and restore it after
+    * re-checking its mtime). A plain delete here would race: breaker B
+    * could delete the fresh lock breaker A just created, and two
+    * instances would both hold the topic. The residual TTL-lock window —
+    * a holder that stalls longer than the TTL — is inherent to expiry
+    * locks (the reference's Redis expiry has it too). */
+  private def breakStale(p: Path): Boolean = {
+    val yanked = new Path(dir, s".${p.getName}.break-$uuid")
+    val renamed = try fs.rename(p, yanked) catch { case _: Exception => false }
+    if (!renamed) false // another breaker won (or the holder released)
+    else {
+      val wasStale =
+        try fs.getFileStatus(yanked).getModificationTime + ttlMs <= System.currentTimeMillis()
+        catch { case _: FileNotFoundException => true }
+      if (wasStale) {
+        try fs.delete(yanked, false) catch { case _: Exception => () }
+        true
+      } else {
+        // we yanked a LIVE lock (created between our staleness check and
+        // the rename) — put it back and report failure
+        try { if (!fs.rename(yanked, p)) fs.delete(yanked, false) }
+        catch { case _: Exception => () }
+        false
+      }
     }
   }
 
@@ -94,13 +120,21 @@ final class FileRemoteLockManager(
                    _: java.io.IOException => false }
 
   /** Delete only if still ours (the TTL may have let another instance take
-    * over a broken lock — reference RemoteLock.close semantics). */
+    * over a broken lock — reference RemoteLock.close semantics). Rename
+    * first, THEN check ownership: a read-then-delete would race a breaker
+    * that replaced the file between the two calls and delete the new
+    * holder's live lock. With rename, a mistaken yank of someone else's
+    * lock is detected from the renamed copy and restored. */
   private def releaser(p: Path): AutoCloseable = () =>
     try {
-      val in = fs.open(p)
-      val owner =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        finally in.close()
-      if (owner == uuid) fs.delete(p, false)
+      val yanked = new Path(dir, s".${p.getName}.release-$uuid")
+      if (fs.rename(p, yanked)) {
+        val in = fs.open(yanked)
+        val owner =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        if (owner == uuid) fs.delete(yanked, false)
+        else if (!fs.rename(yanked, p)) fs.delete(yanked, false) // not ours: restore
+      }
     } catch { case _: Exception => () }
 }

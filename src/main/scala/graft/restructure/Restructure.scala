@@ -23,6 +23,9 @@ final case class DedupConfig(
   */
 final case class RestructureConfig(
     inputDir: String,
+    // additional source roots (the reference's paths.inputs is a list);
+    // topics are discovered across all roots and a topic's files merge
+    extraInputDirs: Seq[String] = Seq.empty,
     outputDir: String,
     stateFile: String,
     format: String = "csv", // csv | json
@@ -81,42 +84,51 @@ final case class TopicFile(
   */
 final class Restructure(spark: SparkSession, config: RestructureConfig) {
 
-  private val fs = new Path(config.inputDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def inputRoots: Seq[Path] =
+    (config.inputDir +: config.extraInputDirs).map(new Path(_))
+
+  private def fsOf(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // ------------------------------------------------------------ planning
 
   /** S1 — topic discovery: a directory containing `*.avro` files two levels
     * down is a topic root (`<topic>/partition=<p>/<file>.avro`);
-    * `+tmp` dirs skipped; exclude filter applied (P4). */
-  def listTopics(): Seq[String] = {
-    val root = new Path(config.inputDir)
-    if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && !s.getPath.getName.contains("+tmp"))
-      .map(_.getPath.getName)
-      .filterNot(config.excludeTopics)
-      .sorted
-  }
+    * `+tmp` dirs skipped; exclude filter applied (P4). Topics found in ANY
+    * configured input root count once. */
+  def listTopics(): Seq[String] =
+    inputRoots.flatMap { root =>
+      val rfs = fsOf(root)
+      if (!rfs.exists(root)) Seq.empty[String]
+      else rfs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.contains("+tmp"))
+        .map(_.getPath.getName)
+    }.distinct.filterNot(config.excludeTopics).sorted
 
-  /** S2 — file listing for one topic with filename metadata (F6). */
+  /** S2 — file listing for one topic with filename metadata (F6), merged
+    * across all input roots. */
   def listFiles(topic: String): Seq[TopicFile] = {
-    val dir = new Path(config.inputDir, topic)
-    val it = fs.listFiles(dir, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[TopicFile]
     val re = Strings.FilenameRegex.r
-    while (it.hasNext) {
-      val s: FileStatus = it.next()
-      if (s.isFile && s.getPath.getName.endsWith(".avro")) {
-        re.findFirstMatchIn(s.getPath.getName).foreach { m =>
-          out += TopicFile(
-            topic = topic,
-            path = s.getPath.toString,
-            partition = m.group(2).toInt,
-            startOffset = m.group(3).toLong,
-            endOffset = metadataEndOffset(s.getPath)
-              .orElse(Option(m.group(4)).map(_.toLong)),
-            lastModified = s.getModificationTime,
-            length = s.getLen)
+    inputRoots.foreach { root =>
+      val dir = new Path(root, topic)
+      val rfs = fsOf(dir)
+      if (rfs.exists(dir)) {
+        val it = rfs.listFiles(dir, true)
+        while (it.hasNext) {
+          val s: FileStatus = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".avro")) {
+            re.findFirstMatchIn(s.getPath.getName).foreach { m =>
+              out += TopicFile(
+                topic = topic,
+                path = s.getPath.toString,
+                partition = m.group(2).toInt,
+                startOffset = m.group(3).toLong,
+                endOffset = metadataEndOffset(rfs, s.getPath)
+                  .orElse(Option(m.group(4)).map(_.toLong)),
+                lastModified = s.getModificationTime,
+                length = s.getLen)
+            }
+          }
         }
       }
     }
@@ -127,7 +139,7 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     * .endOffsetFromMetadata): one extra metadata read per file, so it only
     * runs when enabled. A malformed sidecar is ignored — the filename
     * fallback keeps the pass alive. */
-  private def metadataEndOffset(path: Path): Option[Long] = {
+  private def metadataEndOffset(fs: org.apache.hadoop.fs.FileSystem, path: Path): Option[Long] = {
     if (!config.endOffsetFromMetadata) return None
     val sidecar = path.suffix(".meta")
     try {
@@ -266,7 +278,12 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
         val layout = Flatten.csvLayout(
           df.select((payload.map(n => col(s"`$n`")) :+ col("_offset")).toSeq: _*),
           Some("_offset"))
-        Flatten.csvColumns(payloadStruct, layout)
+        val expanded = Flatten.csvColumns(payloadStruct, layout)
+        // degenerate batch (every payload leaf inside maps/arrays that are
+        // all empty): zero expansion columns would leave the writer with
+        // only partition columns, which Spark rejects — fall back to the
+        // JSON-encoded container columns for this batch
+        if (expanded.nonEmpty) expanded else Flatten.flattenColumns(payloadStruct)
       } else Flatten.flattenColumns(payloadStruct)
     val out = df.select(
       (Seq(col("_project"), col("_user"), col("_bin"), col("_offset"), col("_partition"), col("_mtime")) ++

@@ -91,7 +91,10 @@ object YamlConfig {
             over("AZURE_ACCOUNT_KEY", az.str("accountKey"))
               .map(s"fs.azure.account.key.$host" -> _),
             over("AZURE_SAS_TOKEN", az.str("sasToken"))
-              .map(s"fs.azure.sas.token.$host" -> _)).flatten.toMap
+              // ABFS reads the FIXED-token key (fs.azure.sas.fixed.token.
+              // <account host>); fs.azure.sas.token.* is only a provider-
+              // class namespace and would be silently ignored
+              .map(s"fs.azure.sas.fixed.token.$host" -> _)).flatten.toMap
           val endOffsets = az.bool("endOffsetFromMetadata").getOrElse(false)
           ((p: String) => s"abfss://$container@$host/${p.stripPrefix("/")}", conf, endOffsets)
         case "hdfs" =>
@@ -109,7 +112,9 @@ object YamlConfig {
 
     // ---- paths -----------------------------------------------------------
     val paths = root.child("paths")
-    val input = paths.strList("inputs").headOption.getOrElse("/")
+    val inputs = paths.strList("inputs") match {
+      case Nil => Seq("/"); case xs => xs // every listed input is scanned
+    }
     val output = paths.str("output").getOrElse("/output")
 
     // ---- format / dedup --------------------------------------------------
@@ -141,7 +146,8 @@ object YamlConfig {
     val redisUri = env.get("REDIS_URI").orElse(redis.str("uri"))
 
     val restructure = RestructureConfig(
-      inputDir = srcUri(input),
+      inputDir = srcUri(inputs.head),
+      extraInputDirs = inputs.tail.map(srcUri),
       outputDir = tgtUri(output),
       stateFile = tgtUri(s"${output.stripSuffix("/")}/_state/offsets.json"),
       format = formatType,

@@ -42,6 +42,34 @@ class FaultToleranceSpec extends SparkSpec {
     assert(always == 3)
   }
 
+  test("deterministic corruption short-circuits retries; transient errors are not quarantined") {
+    // corruption gives up immediately — the bytes will not get better
+    var corrupt = 0
+    intercept[AvroSource.CorruptContainerException] {
+      AvroSource.faultTolerant(backoffMs = 1L) { _ =>
+        corrupt += 1
+        throw new AvroSource.CorruptContainerException("truncated")
+      }
+    }
+    assert(corrupt == 1)
+
+    // a healthy file behind a flaky store: retries exhaust and the error
+    // PROPAGATES from read (task failure), rather than quarantining — the
+    // file must survive untouched for the next pass
+    val dir = Files.createTempDirectory("graft-transient").toFile
+    val f = new File(dir, "t+0+0000000000+0000000001.avro")
+    RestructureFixture.writeAvro(f, Seq(RestructureFixture.record(1.0, "UP")))
+    val schema = AvroSource.writerSchema(() => new java.io.FileInputStream(f))
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyOpenFileSystem].getName)
+    intercept[org.apache.spark.SparkException] {
+      AvroSource.read(spark, Seq(s"flaky://${f.getAbsolutePath}"), schema,
+        tolerant = true, backoffMs = 1L).count()
+    }
+    assert(f.exists()) // untouched
+    assert(!new File(dir, f.getName + ".corrupted").exists()) // NOT quarantined
+  }
+
   test("quarantine picks the first free .corrupted suffix") {
     val dir = Files.createTempDirectory("graft-quarantine").toFile
     val f = new File(dir, "t+0+0000000000.avro")
@@ -87,4 +115,13 @@ class FaultToleranceSpec extends SparkSpec {
     // the healthy file's 3 records (dedup off) are all in the output
     assert(job.readOutput("application_server_status", dedup = false).count() == 3)
   }
+}
+
+/** Test-only filesystem whose open() always throws a transient-looking
+  * IOException; everything else (status, rename) delegates to local. */
+class FlakyOpenFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flaky"
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+    throw new java.io.IOException("connection reset by peer (simulated)")
 }

@@ -237,6 +237,24 @@ class RestructureSpec extends SparkSpec {
     assert(withMeta.map(_.endOffset) == Seq(Some(20L), Some(23L)))
   }
 
+  test("a second input root contributes topics and files (paths.inputs list)") {
+    val (dir, base) = setup()
+    // second root: another topic, plus more files for the existing one
+    val in2 = new File(dir, "in2")
+    writeAvro(
+      new File(in2, "application_server_status/partition=1/application_server_status+1+0000000022.avro"),
+      Seq(record(t2 + 60, "EXTRA")))
+    writeAvro(
+      new File(in2, "other_topic/partition=0/other_topic+0+0000000000.avro"),
+      Seq(record(t1, "OTHER")))
+    val cfg = base.copy(extraInputDirs = Seq(in2.toString))
+    val job = new Restructure(spark, cfg)
+    assert(job.listTopics() == Seq("application_server_status", "other_topic"))
+    assert(job.listFiles("application_server_status").size == 3) // 2 + 1 merged
+    val r = job.run()
+    assert(r.topics == 2 && r.files == 4)
+  }
+
   test("restructure: late file appends to an existing bin") {
     val (dir, cfg) = setup()
     val job = new Restructure(spark, cfg)

@@ -96,6 +96,21 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(c.redisUri.contains("redis://other:6379"))
   }
 
+  test("multiple input paths all map to roots (none silently dropped)") {
+    val multi =
+      """source:
+        |  type: s3
+        |  s3:
+        |    bucket: b
+        |paths:
+        |  inputs: [/topics1, /topics2, /topics3]
+        |  output: /out
+        |""".stripMargin
+    val r = YamlConfig.fromString(multi).restructure
+    assert(r.inputDir == "s3a://b/topics1")
+    assert(r.extraInputDirs == Seq("s3a://b/topics2", "s3a://b/topics3"))
+  }
+
   test("azure target maps to abfss uri and account-scoped conf keys") {
     val az =
       """source:
