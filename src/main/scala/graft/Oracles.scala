@@ -551,6 +551,22 @@ object Oracles {
          | COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
+    // integer-exact rational tf-idf: floor(tf*N*10000 / (df*len)); `//` is
+    // DuckDB integer division, SUM cast back from HUGEINT
+    "tfidf_top_terms" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term,
+        |  (tf * n_docs * 10000) // (df * CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT)) AS score_bp
+        | FROM tf JOIN dft USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score_bp,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_bp DESC, term) AS BIGINT) AS term_rank
+        | FROM s)
+        |SELECT doc_id, term, term_rank, score_bp FROM r
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+
     "repetition_ratio" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2)

@@ -742,6 +742,33 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** TF-IDF-style salient terms, integer-exact: score = tf/len * N/df as
+    * the rational floor(tf*N*10000 / (df*len)) so both engines agree
+    * bit-for-bit (a log-idf would hang the oracle on libm rounding).
+    * Plan: one exchange on (doc,term) for tf, an aggregate on term for df
+    * joined back (shuffle join — vocabulary can exceed broadcast at
+    * corpus scale), the 1-row N broadcast, and ONE exchange on doc
+    * serving both the length sum and the top-3 ranking window. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    tf.join(dft, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("len", sum(col("tf")).over(wDoc))
+      .withColumn("score_bp", expr("(tf * n_docs * 10000) div (df * len)"))
+      .withColumn("term_rank",
+        row_number().over(wDoc.orderBy(col("score_bp").desc, col("term"))))
+      .filter(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term"), col("term_rank").cast(LongType).as("term_rank"),
+        col("score_bp"))
+      .orderBy(col("doc_id"), col("term_rank"))
+  }
+
   /** Connected components over the minhash near-duplicate pair graph: the
     * clustering finisher for LSH dedup. Output: every doc incident to a
     * near-pair with its component id (= smallest doc_id reachable through
@@ -903,6 +930,7 @@ object Queries {
     "text_quality" -> textQuality _,
     "text_clean" -> textClean _,
     "repetition_ratio" -> repetitionRatio _,
+    "tfidf_top_terms" -> tfidfTopTerms _,
     "pii_redact" -> piiRedact _,
     "stable_split" -> stableSplit _,
     "corpus_curate" -> corpusCurate _,
