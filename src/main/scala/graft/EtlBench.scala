@@ -78,6 +78,7 @@ object EtlBench {
       outputDir = s"$dir/out",
       stateFile = s"$dir/state/offsets.json",
       minimumFileAgeMs = 0L,
+      faultTolerance = sys.env.get("GRAFT_ETL_TOLERANT").forall(_ == "1"),
       dedupDefault = DedupConfig(enable = true))
     val job = new Restructure(spark, cfg)
     val start = System.nanoTime()

@@ -85,6 +85,24 @@ object AvroSource {
     }
   }
 
+  /** Per-JVM cache of container-validation verdicts keyed by
+    * (path, mtime, length): the restructure write path executes the read
+    * plan several times (layout measurement, the write itself, the ranges
+    * pass), and without the cache every execution re-streams every file's
+    * bytes just to re-prove the same verdict. A rewritten file changes its
+    * key, so stale verdicts never apply; the size cap just bounds a
+    * long-running service's footprint. */
+  private val validationCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
+
+  def validateCached(fs: org.apache.hadoop.fs.FileSystem,
+                     hp: org.apache.hadoop.fs.Path): Boolean = {
+    val st = fs.getFileStatus(hp)
+    val key = (hp.toString, st.getModificationTime, st.getLen)
+    if (validationCache.size > 65536) validationCache.clear()
+    validationCache.computeIfAbsent(key, _ => validateContainer(() => fs.open(hp)))
+  }
+
   /** Structural validation of an Avro object-container: walk the blocks
     * (count, size, data, sync) at the byte level — no datum decode — and
     * verify every sync marker, with EOF legal only at a block boundary.
@@ -230,7 +248,7 @@ object AvroSource {
               // structural check first: DataFileStream reads a truncated
               // container as a clean short file, so corruption must be
               // detected at the byte level to be distinguishable
-              if (!validateContainer(() => fs.open(hp)))
+              if (!validateCached(fs, hp))
                 throw new CorruptContainerException(s"invalid avro container: $path")
               val (stream, in, it) = openRows()
               try it.toVector.iterator // all-or-nothing: buffer before emitting
