@@ -551,6 +551,25 @@ object Oracles {
          | COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
+    // sequential token-budget packing per (split, shard): exclusive running
+    // sum of token counts in doc_id order, pack = cum // 512
+    "token_pack" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CASE WHEN (doc_id * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |       WHEN (doc_id * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id % 64 AS shard
+         | FROM documents),
+         |c AS (SELECT doc_id, split, shard, n_tokens,
+         |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         | FROM d)
+         |SELECT doc_id, split, shard, n_tokens,
+         | cum_before // 512 AS pack_id,
+         | cum_before % 512 AS pack_offset
+         |FROM c ORDER BY split, shard, doc_id""".stripMargin,
+
     // integer-exact rational tf-idf: floor(tf*N*10000 / (df*len)); `//` is
     // DuckDB integer division, SUM cast back from HUGEINT
     "tfidf_top_terms" ->

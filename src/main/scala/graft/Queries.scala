@@ -742,6 +742,31 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Training-sequence packing: documents are concatenated in (split,
+    * shard, doc_id) order and chunked into fixed token-budget sequences —
+    * each doc gets the pack it STARTS in and its offset there (sequential
+    * chunking, the standard LLM batch-prep shape, not bin packing). The
+    * running sum parallelizes per (split, shard): an unsharded pack order
+    * would serialize each split into one window task at corpus scale, so
+    * the shard key (doc_id mod 64) bounds every task's work while keeping
+    * pack assignment deterministic and engine-independent. */
+  def tokenPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    val split = graft.pipelines.CorpusPipeline
+      .withSplit(d, "doc_id", graft.pipelines.CorpusPipeline.Config())
+      .withColumn("shard", col("doc_id") % 64)
+    val w = Window.partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    split
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("split"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("pack_id"),
+        (col("cum_before") % budget).as("pack_offset"))
+      .orderBy(col("split"), col("shard"), col("doc_id"))
+  }
+
   /** TF-IDF-style salient terms, integer-exact: score = tf/len * N/df as
     * the rational floor(tf*N*10000 / (df*len)) so both engines agree
     * bit-for-bit (a log-idf would hang the oracle on libm rounding).
@@ -931,6 +956,7 @@ object Queries {
     "text_clean" -> textClean _,
     "repetition_ratio" -> repetitionRatio _,
     "tfidf_top_terms" -> tfidfTopTerms _,
+    "token_pack" -> tokenPack _,
     "pii_redact" -> piiRedact _,
     "stable_split" -> stableSplit _,
     "corpus_curate" -> corpusCurate _,
