@@ -37,8 +37,63 @@ object ConnectedComponents {
     * Output: (node, component) for every node incident to an edge, where
     * `component` is the smallest node id reachable from `node`. Column
     * types follow the input id type (must be orderable).
+    *
+    * Size-gated hybrid: near-dup edge lists are tiny relative to the
+    * corpus (pairs that both band-collide AND pass the Jaccard threshold),
+    * so when the edge count is within `driverMaxEdges` the components are
+    * solved by one collect + union-find — one job instead of O(log d)
+    * shuffle rounds. Beyond the gate the distributed loop runs. Both paths
+    * produce the identical (node -> min reachable id) labeling, so the
+    * gate never changes results, only the plan.
     */
-  def run(edges: DataFrame, srcCol: String, dstCol: String, maxRounds: Int = 50): DataFrame = {
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 50,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val integralIds = Seq(srcCol, dstCol).forall { c =>
+      import org.apache.spark.sql.types._
+      edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (driverMaxEdges > 0 && integralIds) {
+      // limit(n+1) bounds the probe: never collects more than the gate
+      val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong - 8).toInt
+      val probe = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .limit(cap)
+        .collect()
+      if (probe.length <= driverMaxEdges) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { row =>
+          val (u, v) = (row.getLong(0), row.getLong(1))
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { // union by min: the smaller root wins
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+          parent.getOrElseUpdate(u, find(u)); parent.getOrElseUpdate(v, find(v))
+        }
+        val labels = parent.keys.toArray.sorted.map(n => (n, find(n)))
+        import spark.implicits._
+        return labels.toSeq.toDF("node", "component")
+      }
+      // fall through: over the gate — run distributed
+    }
+    runDistributed(edges, srcCol, dstCol, maxRounds)
+  }
+
+  /** The distributed min-label-propagation loop (see object doc). */
+  def runDistributed(edges: DataFrame, srcCol: String, dstCol: String, maxRounds: Int = 50): DataFrame = {
     val sym = edges
       .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
       .union(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))

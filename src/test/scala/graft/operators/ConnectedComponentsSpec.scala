@@ -7,9 +7,17 @@ import graft.SparkSpec
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(pairs.toDF("id_1", "id_2"), "id_1", "id_2")
+  /** Runs BOTH the driver union-find fast path and the distributed loop
+    * and asserts they agree — every case pins both implementations. */
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = pairs.toDF("id_1", "id_2")
+    val viaDriver = ConnectedComponents.run(df, "id_1", "id_2")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCluster = ConnectedComponents.run(df, "id_1", "id_2", driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaCluster)
+    viaDriver
+  }
 
   test("single pair") {
     assert(components(Seq((1L, 2L))) == Map(1L -> 1L, 2L -> 1L))
