@@ -191,6 +191,17 @@ object Oracles {
         | FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
+    "q17_small_qty" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 5),
+        |lp AS (SELECT l.* FROM lineitem l JOIN pk ON l_partkey = p_partkey),
+        |a AS (SELECT l_partkey AS a_partkey, SUM(l_quantity) AS sum_q, COUNT(*) AS cnt_q
+        |      FROM lp GROUP BY 1)
+        |SELECT CAST(coalesce(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) // 7
+        |         AS avg_yearly_cents,
+        |       COUNT(*) AS n_rows
+        |FROM lp JOIN a ON l_partkey = a_partkey
+        |WHERE l_quantity * 5 * cnt_q < sum_q""".stripMargin,
+
     "q18_big_orders" ->
       """SELECT c_custkey, c_name, o_orderkey,
         | CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, sum_qty

@@ -217,6 +217,30 @@ object Queries {
           .cast(LongType)).as("revenue_cents"),
         count(lit(1)).as("n_rows"))
 
+  /** Small-quantity-order revenue (TPC-H Q17 shape): lineitems under 20%
+    * of their part's average quantity, for a filtered brand. The per-part
+    * average is computed AFTER the broadcast semi-restriction to the
+    * filtered parts — per-part sums don't change, and the aggregate runs
+    * over the narrowed fact instead of the full table. The fractional
+    * 0.2*avg compare is cross-multiplied (q*5*cnt < sum) so both engines
+    * compare exactly; the yearly average is integer division by 7. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val pk = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val lp = t(s, dir, "lineitem")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+    val avgq = lp.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("l_quantity")).as("sum_q"), count(lit(1)).as("cnt_q"))
+    lp.join(avgq, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") * 5 * col("cnt_q") < col("sum_q"))
+      .agg(
+        coalesce(sum(round(col("l_extendedprice") * 100).cast(LongType)), lit(0L))
+          .as("total_cents"),
+        count(lit(1)).as("n_rows"))
+      .select(expr("total_cents div 7").as("avg_yearly_cents"), col("n_rows"))
+  }
+
   /** Top supplier by windowed revenue (TPC-H Q15 shape): aggregate, take
     * the scalar max of the aggregate (broadcast), keep the suppliers that
     * attain it — ties all surface, deterministically ordered. */
@@ -918,6 +942,7 @@ object Queries {
     "q9_product_profit" -> q9ProductProfit _,
     "q10_returned_top" -> q10ReturnedTop _,
     "q13_order_dist" -> q13OrderDist _,
+    "q17_small_qty" -> q17SmallQty _,
     "q18_big_orders" -> q18BigOrders _,
     "q19_disjunctive" -> q19Disjunctive _,
     "q12_priority_buckets" -> q12PriorityBuckets _,
