@@ -40,9 +40,14 @@ object AvroSource {
   final class CorruptContainerException(msg: String)
       extends java.io.IOException(msg)
 
+  /** IMPORTANT: AvroRuntimeException is NOT corruption evidence —
+    * DataFileStream wraps transient IOExceptions from the underlying
+    * stream in AvroRuntimeException (hasNext/next), so treating it as
+    * deterministic would quarantine a healthy file on a connection reset.
+    * Only the validator's own verdict (which is length-aware, see
+    * validateContainer) and the unambiguous bad-magic signal qualify. */
   private def isCorruption(e: Throwable): Boolean = e match {
     case _: CorruptContainerException => true
-    case _: org.apache.avro.AvroRuntimeException => true // bad header/codec
     case io: java.io.IOException => // DataFileStream's bad-magic signal
       Option(io.getMessage).exists(_.toLowerCase.contains("not an avro data file"))
     case _ => false
@@ -100,7 +105,10 @@ object AvroSource {
     val st = fs.getFileStatus(hp)
     val key = (hp.toString, st.getModificationTime, st.getLen)
     if (validationCache.size > 65536) validationCache.clear()
-    validationCache.computeIfAbsent(key, _ => validateContainer(() => fs.open(hp)))
+    // a transient short stream THROWS out of the lambda (retried by the
+    // caller, nothing cached) — only deterministic verdicts are memoized
+    validationCache.computeIfAbsent(key,
+      _ => validateContainer(() => fs.open(hp), expectedLen = st.getLen))
   }
 
   /** Structural validation of an Avro object-container: walk the blocks
@@ -112,8 +120,26 @@ object AvroSource {
     * worker/RestructureWorker.kt:76-80; quarantine needs a hard signal).
     * Cost: one streamed pass over the file, IO-bound, no allocation per
     * record. */
-  def validateContainer(open: () => java.io.InputStream): Boolean = {
-    val in = open()
+  /** Counts bytes actually delivered by the wrapped stream, so EOF inside
+    * the validator can be attributed: fewer bytes than the file's known
+    * length = the STREAM died (transient), full length = the FILE is
+    * truncated relative to its own structure (deterministic). */
+  private final class CountingInputStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    var count = 0L
+    override def read(): Int = { val b = super.read(); if (b >= 0) count += 1; b }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(buf, off, len); if (n > 0) count += n; n
+    }
+    override def skip(n: Long): Long = { val s = super.skip(n); count += s; s }
+  }
+
+  def validateContainer(open: () => java.io.InputStream, expectedLen: Long = -1L): Boolean = {
+    val in = new CountingInputStream(open())
+    // EOF/decode failure with the stream short of the file's known length
+    // is a transient IO fault, not evidence about the bytes on storage —
+    // surface it as IOException so the retry loop re-runs validation
+    def shortStream(): Boolean = expectedLen >= 0 && in.count < expectedLen
     try {
       val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(in, null)
       val magic = new Array[Byte](4)
@@ -141,8 +167,16 @@ object AvroSource {
       }
       true
     } catch {
-      case _: java.io.EOFException => false // EOF inside a block: truncated
-      case _: org.apache.avro.AvroRuntimeException => false
+      case e: java.io.EOFException =>
+        if (shortStream())
+          throw new java.io.IOException(
+            s"stream ended after ${in.count} of $expectedLen bytes", e)
+        false // EOF at the file's real end inside a block: truncated
+      case e: org.apache.avro.AvroRuntimeException =>
+        if (shortStream())
+          throw new java.io.IOException(
+            s"stream ended after ${in.count} of $expectedLen bytes", e)
+        false
     } finally in.close()
   }
 
@@ -175,8 +209,13 @@ object AvroSource {
           catch {
             case _: java.io.FileNotFoundException => None // raced deletion: skip
             case e: Exception if isCorruption(e) => quarantine(fs, hp); None
-            // transient error with retries exhausted: fail the pass — the
-            // file is (as far as we know) healthy, so losing it is worse
+            case e: Exception =>
+              // ambiguous failure (header decode errors wrap transient IO
+              // and real corruption alike): let the length-aware validator
+              // arbitrate — only its deterministic false quarantines,
+              // anything else re-raises so the pass fails loudly
+              val corrupt = try !validateCached(fs, hp) catch { case _: Exception => false }
+              if (corrupt) { quarantine(fs, hp); None } else throw e
           }
       schema.foreach { s =>
         val fp = AvroSchemas.fingerprint(s)

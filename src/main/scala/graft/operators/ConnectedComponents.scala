@@ -61,9 +61,13 @@ object ConnectedComponents {
       }
     }
     if (driverMaxEdges > 0 && integralIds) {
-      // limit(n+1) bounds the probe: never collects more than the gate
+      // limit(n+1) bounds the probe: never collects more than the gate.
+      // Null ids are dropped here exactly as the distributed path's
+      // null-rejecting joins drop them.
       val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong - 8).toInt
-      val probe = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      val probe = edges
+        .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+        .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
         .limit(cap)
         .collect()
       if (probe.length <= driverMaxEdges) {
@@ -85,7 +89,12 @@ object ConnectedComponents {
         }
         val labels = parent.keys.toArray.sorted.map(n => (n, find(n)))
         import spark.implicits._
+        // cast back to the input id type: the output schema must not
+        // depend on which side of the size gate the data landed
+        val idType = edges.schema(srcCol).dataType
         return labels.toSeq.toDF("node", "component")
+          .select(col("node").cast(idType).as("node"),
+            col("component").cast(idType).as("component"))
       }
       // fall through: over the gate — run distributed
     }

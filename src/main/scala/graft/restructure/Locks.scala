@@ -73,32 +73,38 @@ final class FileRemoteLockManager(
     }
   }
 
-  /** Break an (apparently) stale lock via atomic rename: of N racing
-    * breakers exactly one wins the rename (the others' renames find no
-    * source, or find the winner's FRESH replacement and restore it after
-    * re-checking its mtime). A plain delete here would race: breaker B
-    * could delete the fresh lock breaker A just created, and two
-    * instances would both hold the topic. The residual TTL-lock window —
-    * a holder that stalls longer than the TTL — is inherent to expiry
-    * locks (the reference's Redis expiry has it too). */
+  /** Break an (apparently) stale lock under a BREAK MARKER: breakers must
+    * first win `<name>.lock.break` (atomic O_EXCL create), so at most one
+    * instance touches the stale lock file at a time and nobody can delete
+    * or rename a FRESH lock another breaker just created — the failure
+    * mode of naive delete-then-create (two holders) and of unserialized
+    * rename-based breaking (a yanked live lock leaves the path briefly
+    * empty for a third instance). While holding the marker, staleness is
+    * re-checked immediately before the delete. The marker has a short TTL
+    * of its own so a crashed breaker cannot wedge the lock. Residual
+    * window — a holder stalled past the lock TTL loses the lock — is
+    * inherent to expiry locks (the reference's Redis expiry shares it). */
+  private val breakMarkerTtlMs = 60000L
+
   private def breakStale(p: Path): Boolean = {
-    val yanked = new Path(dir, s".${p.getName}.break-$uuid")
-    val renamed = try fs.rename(p, yanked) catch { case _: Exception => false }
-    if (!renamed) false // another breaker won (or the holder released)
-    else {
-      val wasStale =
-        try fs.getFileStatus(yanked).getModificationTime + ttlMs <= System.currentTimeMillis()
-        catch { case _: FileNotFoundException => true }
-      if (wasStale) {
-        try fs.delete(yanked, false) catch { case _: Exception => () }
+    val marker = new Path(dir, s"${p.getName}.break")
+    try {
+      val st = fs.getFileStatus(marker)
+      if (st.getModificationTime + breakMarkerTtlMs > System.currentTimeMillis())
+        return false // live breaker at work
+      try fs.delete(marker, false) catch { case _: Exception => () } // crashed breaker
+    } catch { case _: FileNotFoundException => () }
+    if (!tryCreate(marker)) return false // another breaker won the marker
+    try {
+      val stillStale =
+        try fs.getFileStatus(p).getModificationTime + ttlMs <= System.currentTimeMillis()
+        catch { case _: FileNotFoundException => return true } // already gone
+      if (stillStale) {
+        try fs.delete(p, false) catch { case _: Exception => () }
         true
-      } else {
-        // we yanked a LIVE lock (created between our staleness check and
-        // the rename) — put it back and report failure
-        try { if (!fs.rename(yanked, p)) fs.delete(yanked, false) }
-        catch { case _: Exception => () }
-        false
-      }
+      } else false // refreshed under us: not stale after all
+    } finally {
+      try fs.delete(marker, false) catch { case _: Exception => () }
     }
   }
 
@@ -119,22 +125,27 @@ final class FileRemoteLockManager(
                    _: org.apache.hadoop.fs.FileAlreadyExistsException |
                    _: java.io.IOException => false }
 
+  private def readOwner(p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
   /** Delete only if still ours (the TTL may have let another instance take
-    * over a broken lock — reference RemoteLock.close semantics). Rename
-    * first, THEN check ownership: a read-then-delete would race a breaker
-    * that replaced the file between the two calls and delete the new
-    * holder's live lock. With rename, a mistaken yank of someone else's
-    * lock is detected from the renamed copy and restored. */
+    * over a broken lock — reference RemoteLock.close semantics). The
+    * common case reads the owner first and never touches a lock that is
+    * no longer ours; when it IS ours, the delete goes through a rename so
+    * a break that replaces the file between the read and the delete is
+    * detected on the renamed copy and restored rather than deleted. */
   private def releaser(p: Path): AutoCloseable = () =>
     try {
-      val yanked = new Path(dir, s".${p.getName}.release-$uuid")
-      if (fs.rename(p, yanked)) {
-        val in = fs.open(yanked)
-        val owner =
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          finally in.close()
-        if (owner == uuid) fs.delete(yanked, false)
-        else if (!fs.rename(yanked, p)) fs.delete(yanked, false) // not ours: restore
+      val owner0 = try readOwner(p) catch { case _: Exception => null }
+      if (owner0 == uuid) {
+        val yanked = new Path(dir, s".${p.getName}.release-$uuid")
+        if (fs.rename(p, yanked)) {
+          if (readOwner(yanked) == uuid) fs.delete(yanked, false)
+          else if (!fs.rename(yanked, p)) fs.delete(yanked, false) // not ours: restore
+        }
       }
     } catch { case _: Exception => () }
 }

@@ -4,12 +4,15 @@ import org.yaml.snakeyaml.Yaml
 
 import scala.jdk.CollectionConverters._
 
-/** Polling-service settings (reference config/RestructureConfig.kt ServiceConfig). */
-final case class ServiceSettings(enable: Boolean = false, intervalMs: Long = 30000L)
+/** Polling-service settings (reference ServiceConfig: interval default 300 s,
+  * RestructureConfig.kt:121-125). */
+final case class ServiceSettings(enable: Boolean = false, intervalMs: Long = 300000L)
 
-/** Cleaner settings (reference CleanerConfig: interval seconds, age days). */
+/** Cleaner settings (reference CleanerConfig: DISABLED by default, interval
+  * 1260 s, age 7 days — RestructureConfig.kt:134-141; a yaml without a
+  * cleaner section must not delete anything). */
 final case class CleanerSettings(
-    enable: Boolean = true,
+    enable: Boolean = false,
     intervalMs: Long = 1260000L,
     ageDays: Int = 7)
 
@@ -87,14 +90,17 @@ object YamlConfig {
               e.replaceFirst("^https?://", "").takeWhile(_ != '.')))
             .getOrElse(throw new IllegalArgumentException("azure resource needs an account"))
           val host = s"$account.dfs.core.windows.net"
-          val conf = Seq(
+          val sas = over("AZURE_SAS_TOKEN", az.str("sasToken"))
+          val conf = (Seq(
             over("AZURE_ACCOUNT_KEY", az.str("accountKey"))
               .map(s"fs.azure.account.key.$host" -> _),
-            over("AZURE_SAS_TOKEN", az.str("sasToken"))
-              // ABFS reads the FIXED-token key (fs.azure.sas.fixed.token.
-              // <account host>); fs.azure.sas.token.* is only a provider-
-              // class namespace and would be silently ignored
-              .map(s"fs.azure.sas.fixed.token.$host" -> _)).flatten.toMap
+            // ABFS reads the FIXED-token key (fs.azure.sas.fixed.token.
+            // <account host>); fs.azure.sas.token.* is only a provider-
+            // class namespace and would be silently ignored
+            sas.map(s"fs.azure.sas.fixed.token.$host" -> _)) ++
+            // ...and only consults it at all under auth type SAS — the
+            // SharedKey default would ignore the token and demand a key
+            Seq(sas.map(_ => s"fs.azure.account.auth.type.$host" -> "SAS"))).flatten.toMap
           val endOffsets = az.bool("endOffsetFromMetadata").getOrElse(false)
           ((p: String) => s"abfss://$container@$host/${p.stripPrefix("/")}", conf, endOffsets)
         case "hdfs" =>
@@ -165,9 +171,9 @@ object YamlConfig {
       restructure = restructure,
       service = ServiceSettings(
         enable = service.bool("enable").getOrElse(false),
-        intervalMs = service.int("interval").map(_ * 1000L).getOrElse(30000L)),
+        intervalMs = service.int("interval").map(_ * 1000L).getOrElse(300000L)),
       cleaner = CleanerSettings(
-        enable = cleaner.bool("enable").getOrElse(true),
+        enable = cleaner.bool("enable").getOrElse(false),
         intervalMs = cleaner.int("interval").map(_ * 1000L).getOrElse(1260000L),
         ageDays = cleaner.int("age").getOrElse(7)),
       worker = WorkerSettings(

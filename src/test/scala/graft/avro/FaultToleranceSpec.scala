@@ -70,6 +70,46 @@ class FaultToleranceSpec extends SparkSpec {
     assert(!new File(dir, f.getName + ".corrupted").exists()) // NOT quarantined
   }
 
+  test("AvroRuntimeException is retried, not treated as corruption (it wraps transient IO)") {
+    // DataFileStream rethrows stream IOExceptions as AvroRuntimeException:
+    // short-circuiting it would quarantine healthy files on blips
+    var calls = 0
+    val out = AvroSource.faultTolerant(backoffMs = 1L) { i =>
+      calls += 1
+      if (i < 2) throw new org.apache.avro.AvroRuntimeException(
+        new java.io.IOException("connection reset"))
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+  }
+
+  test("validator: short STREAM is transient IOException; short FILE is corruption") {
+    val dir = Files.createTempDirectory("graft-validate").toFile
+    val f = new File(dir, "t+0+0000000000+0000000099.avro")
+    RestructureFixture.writeAvro(f,
+      (0 until 100).map(i => RestructureFixture.record(1.0 + i, s"S$i")))
+    val full = f.length()
+
+    // the stream dies 10 bytes early but the FILE is known to be longer:
+    // transient — must throw, must NOT return a (cacheable) false
+    intercept[java.io.IOException] {
+      AvroSource.validateContainer(
+        () => new java.io.ByteArrayInputStream(
+          Files.readAllBytes(f.toPath).dropRight(10)),
+        expectedLen = full)
+    }
+
+    // the same bytes when the file really IS that short: deterministic
+    assert(!AvroSource.validateContainer(
+      () => new java.io.ByteArrayInputStream(
+        Files.readAllBytes(f.toPath).dropRight(10)),
+      expectedLen = full - 10))
+
+    // intact container at its real length: valid
+    assert(AvroSource.validateContainer(
+      () => new java.io.FileInputStream(f), expectedLen = full))
+  }
+
   test("quarantine picks the first free .corrupted suffix") {
     val dir = Files.createTempDirectory("graft-quarantine").toFile
     val f = new File(dir, "t+0+0000000000.avro")

@@ -144,7 +144,10 @@ class YamlConfigSpec extends AnyFunSuite {
         |""".stripMargin
     val c = YamlConfig.fromString(h)
     assert(c.restructure.inputDir == "hdfs://nn1/topics")
-    assert(!c.service.enable && c.cleaner.enable && c.worker.enable)
+    // reference defaults: service off, CLEANER OFF (a config without a
+    // cleaner section must never delete), worker on, 300 s poll interval
+    assert(!c.service.enable && !c.cleaner.enable && c.worker.enable)
+    assert(c.service.intervalMs == 300000L)
     assert(c.restructure.minimumFileAgeMs == 60000L)
   }
 
