@@ -252,6 +252,83 @@ object Oracles {
         |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
 
+    "q8_market_share" ->
+      """WITH vol AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(l_extendedprice*(1 - l_discount)*100) AS BIGINT) AS cents,
+        |  sn.n_name AS supp_nation
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA')
+        |SELECT o_year,
+        | CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+        | CAST(SUM(cents) AS BIGINT) AS total_cents,
+        | CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 10000
+        |   // SUM(cents) AS BIGINT) AS share_bp
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (
+        | SELECT l_partkey,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM lineitem
+        | WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |   JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
+        | GROUP BY l_partkey),
+        |t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v)
+        |SELECT l_partkey, value_cents FROM v CROSS JOIN t
+        |WHERE value_cents * 1000 > total_cents
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        | AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH sp AS (
+        | SELECT l_suppkey, l_partkey,
+        |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01' THEN l_quantity ELSE 0 END)
+        |   AS BIGINT) AS qty_1996,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS qty_total
+        | FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        | GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM sp WHERE 2*qty_1996 > qty_total)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |  l_shipdate > o_orderdate + INTERVAL 30 DAY AS is_late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F')
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM l l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE l1.is_late
+        | AND EXISTS (SELECT 1 FROM l l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM l l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |   AND l3.is_late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
     "q1_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,

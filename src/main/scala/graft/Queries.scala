@@ -290,6 +290,149 @@ object Queries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** National market share (TPC-H Q8 shape): a seven-table star flattened
+    * into three broadcast legs plus one fact-fact join (lineitem x orders).
+    * The share ratio is emitted as exact integer numerator/denominator plus
+    * `nation_cents * 10000 div total_cents` basis points, never a float. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = t(s, dir, "part")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val asiaCust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val asiaOrders = t(s, dir, "orders")
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+    val isNation = col("supp_nation") === "NATION_3"
+    t(s, dir, "lineitem")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast(LongType))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(isNation, col("cents")).otherwise(0L)).as("nation_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(
+        col("o_year"), col("nation_cents"), col("total_cents"),
+        expr("nation_cents * 10000 div total_cents").as("share_bp"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Important parts by supplied value (TPC-H Q11 shape): per-part value
+    * restricted to one nation's suppliers, kept when it exceeds 1/1000 of
+    * the national total. The scalar-subquery threshold is a 1-row broadcast
+    * over the same aggregate child, so the exchange is planned once and
+    * reused; the fraction compare is integer cross-multiplication. */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val nationSupp = t(s, dir, "supplier")
+      .join(
+        broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = t(s, dir, "lineitem")
+      .join(broadcast(nationSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast(LongType)).as("value_cents"))
+    value
+      .crossJoin(broadcast(value.agg(sum(col("value_cents")).as("total_cents"))))
+      .filter(col("value_cents") * 1000 > col("total_cents"))
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** Supplier count by part attributes (TPC-H Q16 shape): the part
+    * restriction broadcasts BEFORE the (partkey, suppkey) distinct so the
+    * dedup exchange carries only qualifying lines, the excluded-supplier
+    * NOT IN is a broadcast anti join, and the final rollup is a
+    * count-distinct over the pre-deduped pairs. */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(
+        col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Excess-share suppliers (TPC-H Q20 shape): nested semi-join chain —
+    * suppliers whose 1996 shipments of 'small *' parts exceed half their
+    * all-time shipments of that part (2*qty_1996 > qty_total, exact
+    * integers), restricted to one region. The inner aggregate computes both
+    * windows in ONE pass over the part-restricted fact. */
+  def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = t(s, dir, "part")
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val in1996 =
+      col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+    val excess = t(s, dir, "lineitem")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(in1996, col("l_quantity")).otherwise(0d)).cast(LongType).as("qty_1996"),
+        sum(col("l_quantity")).cast(LongType).as("qty_total"))
+      .filter(col("qty_1996") * 2 > col("qty_total"))
+      .select(col("l_suppkey"))
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Suppliers who kept orders waiting (TPC-H Q21 shape). The classic
+    * double-correlated EXISTS / NOT EXISTS over the fact is rewritten as
+    * ONE per-order aggregate — distinct suppliers and distinct LATE
+    * suppliers — joined back to the late lines: a late line counts iff its
+    * order has another supplier (n_supp >= 2) and no OTHER late supplier
+    * (n_late_supp == 1). Two fact self-joins become one reusable exchange.
+    * "Late" = shipped more than 30 days after the order date. */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    val lines = t(s, dir, "lineitem")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+    val perOrder = lines
+      .groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(
+        count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    val asiaSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    lines.filter(col("is_late"))
+      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** ROLLUP grouping sets over the Q1 aggregate, with the grouping id made
     * explicit and null group labels coalesced to 'ALL'. */
   def q1Rollup(s: SparkSession, dir: String): DataFrame =
@@ -948,6 +1091,11 @@ object Queries {
     "q12_priority_buckets" -> q12PriorityBuckets _,
     "q15_top_supplier" -> q15TopSupplier _,
     "q22_rich_inactive" -> q22RichInactive _,
+    "q8_market_share" -> q8MarketShare _,
+    "q11_important_parts" -> q11ImportantParts _,
+    "q16_supplier_cnt" -> q16SupplierCnt _,
+    "q20_excess_suppliers" -> q20ExcessSuppliers _,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers _,
     "q1_rollup" -> q1Rollup _,
     "cube_events" -> cubeEvents _,
     "sketch_events" -> sketchEvents _,
