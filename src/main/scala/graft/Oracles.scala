@@ -639,6 +639,56 @@ object Oracles {
          | COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
+    // n-gram overlap of each train doc (source <> src0) against the eval
+    // corpus (source = src0): distinct-shingle membership counts
+    "decontaminate" ->
+      s"""WITH c AS (SELECT doc_id, source, $codesE AS codes FROM documents),
+         |sets AS (SELECT doc_id, source, list_distinct($shinglesE) AS sh FROM c),
+         |ex AS (SELECT doc_id, source, unnest(sh) AS x FROM sets),
+         |ev AS (SELECT DISTINCT x FROM ex WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, x FROM ex WHERE source <> 'src0'),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM tr GROUP BY 1),
+         |ov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         | FROM tr WHERE x IN (SELECT x FROM ev) GROUP BY 1)
+         |SELECT s.doc_id, n_sh,
+         | coalesce(n_overlap, 0) AS n_overlap,
+         | CAST(coalesce(n_overlap, 0) * 10000 // greatest(n_sh, 1) AS BIGINT) AS overlap_bp,
+         | CAST(coalesce(n_overlap, 0) * 10000 // greatest(n_sh, 1) AS BIGINT) >= 2000
+         |  AS contaminated
+         |FROM sizes s LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // exact-quota hash-ranked sampling per source domain
+    "domain_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CASE WHEN source IN ('src0', 'src1') THEN 10000
+         |       WHEN source IN ('src2', 'src3') THEN 5000
+         |       ELSE 2500 END AS rate_bp,
+         |  (doc_id * $TokenHashA) % $P AS h FROM documents),
+         |r AS (SELECT doc_id, source, rate_bp,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT)
+         |   AS sample_rank,
+         |  COUNT(*) OVER (PARTITION BY source) AS n_docs FROM d)
+         |SELECT doc_id, source, sample_rank FROM r
+         |WHERE sample_rank <= greatest(1, n_docs * rate_bp // 10000)
+         |ORDER BY source, sample_rank""".stripMargin,
+
+    // per (source, lang) doc/token/char totals + duplicate rate via the
+    // rolling-hash fingerprint
+    "corpus_report" ->
+      s"""WITH d AS (SELECT source, lang, n_chars,
+         |  CAST(len($tokensE) AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), $codesE),
+         |   (h, c) -> (h*$FpB + c) % $FpM) AS fp
+         | FROM documents)
+         |SELECT source, lang,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         | CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+         | CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+         | CAST((COUNT(*) - COUNT(DISTINCT fp)) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // sequential token-budget packing per (split, shard): exclusive running
     // sum of token counts in doc_id order, pack = cum // 512
     "token_pack" ->

@@ -842,6 +842,81 @@ object Queries {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Benchmark decontamination: every training document is scored by how
+    * many of its distinct 3-word shingles also occur anywhere in the held-out
+    * eval corpus (here: `source = 'src0'`). This is the standard n-gram
+    * overlap check run before training so eval answers don't leak into the
+    * corpus. The eval shingle set is deduped and broadcast — eval benchmarks
+    * are tiny next to a 100 TB training corpus, so the train side streams
+    * map-side with no shuffle of the fact table for the membership probe;
+    * the only exchanges are the two per-doc count aggregates. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(call_function("graft_shingles", col("text")))).as("x"))
+    val evalSh = sh.filter(col("source") === "src0").select(col("x")).distinct()
+    val train = sh.filter(col("source") =!= "src0").select(col("doc_id"), col("x"))
+    val overlap = train
+      .join(broadcast(evalSh), Seq("x"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    train
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_bp", expr("n_overlap * 10000 div greatest(n_sh, 1)"))
+      .withColumn("contaminated", col("overlap_bp") >= 2000)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Domain mixing by exact quota: each source gets a target sampling rate
+    * (the mixing weights a training run assigns per domain), the quota is the
+    * exact integer share of that domain's row count, and membership is the
+    * hash-ranked prefix — deterministic across runs, engines, and
+    * partitionings, unlike rand()-based sampling. One window pass per domain
+    * computes both the count and the rank, so the whole operator is a single
+    * exchange on `source`; at 100 TB a skewed mega-domain would switch to the
+    * rate-threshold form (hash % 10000 < rate_bp, no sort) — same
+    * determinism, no per-domain ordering. */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val rateBp = when(col("source").isin("src0", "src1"), 10000L)
+      .when(col("source").isin("src2", "src3"), 5000L)
+      .otherwise(2500L)
+    val h = (col("doc_id") * Hashing.TokenHashA) % Hashing.P
+    val bySource = Window.partitionBy(col("source"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), rateBp.as("rate_bp"), h.as("h"))
+      .withColumn("sample_rank",
+        row_number().over(bySource.orderBy(col("h"), col("doc_id"))).cast(LongType))
+      .withColumn("n_docs", count(lit(1)).over(bySource))
+      .filter(col("sample_rank") <=
+        greatest(lit(1L), expr("n_docs * rate_bp div 10000")))
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  /** Corpus health report: per (source, lang) document counts, exact token
+    * and char totals, distinct-fingerprint count, and the implied duplicate
+    * rate in basis points — the summary table a curation run prints before
+    * and after dedup. One scan, one hash aggregate; the count-distinct is
+    * per-group over the rolling-hash fingerprint. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        call_function("graft_fingerprint", col("text")).as("fp"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("fp")).as("n_unique"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("dup_bp", expr("(n_docs - n_unique) * 10000 div n_docs"))
+      .orderBy(col("source"), col("lang"))
+
   /** Gopher-style repetition signal: basis-point share of the most frequent
     * token — explode + two-level aggregate, exact integer output. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame =
@@ -1132,6 +1207,9 @@ object Queries {
     "token_pack" -> tokenPack _,
     "pii_redact" -> piiRedact _,
     "stable_split" -> stableSplit _,
+    "decontaminate" -> decontaminate _,
+    "domain_mix" -> domainMix _,
+    "corpus_report" -> corpusReport _,
     "corpus_curate" -> corpusCurate _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
