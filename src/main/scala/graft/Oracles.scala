@@ -639,6 +639,22 @@ object Oracles {
          | COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
+    // top document-frequency shingles (boilerplate candidates)
+    "boilerplate_ngrams" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
+         |ex AS (SELECT doc_id, unnest(sh) AS x FROM sets)
+         |SELECT x, CAST(COUNT(*) AS BIGINT) AS df FROM ex
+         |GROUP BY x HAVING COUNT(*) >= 3
+         |ORDER BY df DESC, x LIMIT 50""".stripMargin,
+
+    // fixed-width 64-token length histogram per language
+    "length_histogram" ->
+      s"""SELECT lang,
+         | CAST(len($tokensE) AS BIGINT) // 64 * 64 AS bucket_start,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket_start""".stripMargin,
+
     // n-gram overlap of each train doc (source <> src0) against the eval
     // corpus (source = src0): distinct-shingle membership counts
     "decontaminate" ->

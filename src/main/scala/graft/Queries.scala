@@ -399,37 +399,38 @@ object Queries {
   }
 
   /** Suppliers who kept orders waiting (TPC-H Q21 shape). The classic
-    * double-correlated EXISTS / NOT EXISTS over the fact is rewritten as
-    * ONE per-order aggregate — distinct suppliers and distinct LATE
-    * suppliers — joined back to the late lines: a late line counts iff its
-    * order has another supplier (n_supp >= 2) and no OTHER late supplier
-    * (n_late_supp == 1). Two fact self-joins become one reusable exchange.
-    * "Late" = shipped more than 30 days after the order date. */
+    * double-correlated EXISTS / NOT EXISTS over the fact is rewritten
+    * without any fact self-join OR count-distinct Expand: one partial-agg'd
+    * shuffle collapses the lines to (order, supplier, n_late_lines), a
+    * single window pass over each order derives the supplier count and the
+    * late-supplier count, and a late supplier's lines count iff the order
+    * has another supplier (n_supp >= 2) and no OTHER late supplier
+    * (n_late_supp == 1). "Late" = shipped more than 30 days after the
+    * order date. */
   def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
-    val lines = t(s, dir, "lineitem")
+    val perSupp = t(s, dir, "lineitem")
       .join(
         t(s, dir, "orders").filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
-    val perOrder = lines
-      .groupBy(col("l_orderkey").as("g_orderkey"))
-      .agg(
-        count_distinct(col("l_suppkey")).as("n_supp"),
-        count_distinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("n_late_lines"))
+    val byOrder = Window.partitionBy(col("l_orderkey"))
     val asiaSupp = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(
         broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"))
-    lines.filter(col("is_late"))
-      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
-      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).over(byOrder))
+      .filter(col("n_late_lines") > 0 && col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
@@ -917,6 +918,34 @@ object Queries {
       .withColumn("dup_bp", expr("(n_docs - n_unique) * 10000 div n_docs"))
       .orderBy(col("source"), col("lang"))
 
+  /** Boilerplate detection: the shingles shared by the most documents
+    * (navigation chrome, license headers, cookie banners — the n-grams a
+    * curation run strips or caps). Distinct-per-doc explode, then one hash
+    * aggregate and a deterministic top-50; at scale the aggregate is
+    * partial-agg'd map-side and the top-k is a TakeOrdered, so nothing
+    * quadratic ever materializes. */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("graft_shingles", col("text")))).as("x"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .orderBy(col("df").desc, col("x"))
+      .limit(50)
+
+  /** Token-length histogram per language: fixed-width 64-token buckets,
+    * exact integer bucket edges (no float log-scale, so the histogram hashes
+    * identically on any engine). The shape a curation run inspects before
+    * choosing min/max-length gates. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .select(col("lang"), expr("n_tokens div 64 * 64").as("bucket_start"))
+      .groupBy(col("lang"), col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("bucket_start"))
+
   /** Gopher-style repetition signal: basis-point share of the most frequent
     * token — explode + two-level aggregate, exact integer output. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame =
@@ -1207,6 +1236,8 @@ object Queries {
     "token_pack" -> tokenPack _,
     "pii_redact" -> piiRedact _,
     "stable_split" -> stableSplit _,
+    "boilerplate_ngrams" -> boilerplateNgrams _,
+    "length_histogram" -> lengthHistogram _,
     "decontaminate" -> decontaminate _,
     "domain_mix" -> domainMix _,
     "corpus_report" -> corpusReport _,
