@@ -367,10 +367,10 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
         // committed state once the topic lock is held — another instance
         // may have finished this topic between our load and our lock
         if (lockMgr.isDefined) state.addAll(loadState())
-        val files = plan(topic, state)
+        val files = Timers.time(spark, "restructure.plan")(plan(topic, state))
         if (files.nonEmpty) {
           filesProcessed += files.size
-          readTopic(topic, files).foreach { df =>
+          Timers.time(spark, "restructure.read")(readTopic(topic, files)).foreach { df =>
             val unseen = filterSeen(df, state)
             // A3 counters ride the write job itself — no extra pass. The
             // listener-based Observation is required here: DataFrameWriter
@@ -380,11 +380,15 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
             val obs = org.apache.spark.sql.Observation()
             val observed = dedup(topic, unseen)
               .observe(obs, count(lit(1)).as("records"))
-            writeSidecar(topic, df)
-            write(topic, observed)
+            Timers.time(spark, "restructure.write") {
+              writeSidecar(topic, df)
+              write(topic, observed)
+            }
             recordsWritten += obs.get.get("records").map(_.asInstanceOf[Long]).getOrElse(0L)
             val added = Intervals.collectRanges(processedRanges(unseen))
-            commitState(state, added, lockMgr) // S10 — commit after write
+            Timers.time(spark, "restructure.commit") {
+              commitState(state, added, lockMgr) // S10 — commit after write
+            }
           }
         }
       }

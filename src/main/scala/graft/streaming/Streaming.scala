@@ -84,6 +84,36 @@ object Streaming {
       .start()
   }
 
+  /** Streaming twin of the keep-first dedup (D2,
+    * [[graft.operators.Dedup]]): each key is emitted exactly once across
+    * micro-batches, and `dropDuplicatesWithinWatermark` evicts a key's
+    * state once the watermark passes its event time — so state is bounded
+    * by the lateness horizon, not by the number of distinct keys ever seen
+    * (the difference between a stream that survives 100 TB and one whose
+    * state store grows monotonically). Duplicates arriving later than the
+    * watermark are the documented trade-off, same as any watermarked
+    * streaming dedup. */
+  def dedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      keyCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): StreamingQuery = {
+    val in = spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+    in.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+
   /** End-to-end STREAMING restructure for one topic: the DSv2 Avro source
     * feeds each micro-batch of new sink files through the same derive ->
     * dedup -> partitioned-write chain as the batch job, with the streaming

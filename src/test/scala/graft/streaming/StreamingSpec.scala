@@ -66,6 +66,25 @@ class StreamingSpec extends SparkSpec {
       (2L, us(10, 5), us(10, 35), 1L)))
   }
 
+  test("dedupStream emits each key once across micro-batches") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // batch 1: id 2 duplicated inside the batch
+    Seq((1L, ts(10, 0), "view"), (2L, ts(10, 5), "click"), (2L, ts(10, 6), "click"))
+      .toDF("event_id", "ts", "event_type")
+      .write.parquet(in)
+    Streaming.dedupStream(spark, in, out, cp).awaitTermination()
+    // batch 2: id 1 re-arrives within the watermark (dropped), id 3 is new
+    Seq((1L, ts(10, 30), "view"), (3L, ts(11, 0), "scroll"))
+      .toDF("event_id", "ts", "event_type")
+      .write.mode("append").parquet(in)
+    Streaming.dedupStream(spark, in, out, cp).awaitTermination()
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("trackOffsets keeps per-key max offset and count across a batch") {
     val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
       .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap
