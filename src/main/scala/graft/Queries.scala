@@ -307,7 +307,7 @@ object Queries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"))
     val asiaOrders = t(s, dir, "orders")
-      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"), year(col("o_orderdate")).cast(LongType).as("o_year"))
     val isNation = col("supp_nation") === "NATION_3"
     t(s, dir, "lineitem")
@@ -409,11 +409,15 @@ object Queries {
     * order date. */
   def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    // partition on l_orderkey ALONE: hash(ok) satisfies the (ok, sk)
+    // aggregate's clustering AND the order window's, so one exchange feeds
+    // both stages instead of one each
     val perSupp = t(s, dir, "lineitem")
       .join(
         t(s, dir, "orders").filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(sum(when(late, 1L).otherwise(0L)).as("n_late_lines"))
     val byOrder = Window.partitionBy(col("l_orderkey"))
@@ -857,16 +861,15 @@ object Queries {
         explode(array_distinct(call_function("graft_shingles", col("text")))).as("x"))
     val evalSh = sh.filter(col("source") === "src0").select(col("x")).distinct()
     val train = sh.filter(col("source") =!= "src0").select(col("doc_id"), col("x"))
-    val overlap = train
-      .join(broadcast(evalSh), Seq("x"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
+    // left join against the broadcast eval set with a hit flag, so ONE
+    // aggregate (and one pass over the interpreted shingle explode) yields
+    // both the set size and the overlap count
     train
+      .join(broadcast(evalSh.withColumn("__hit", lit(1L))), Seq("x"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"))
-      .join(overlap, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
       .withColumn("overlap_bp", expr("n_overlap * 10000 div greatest(n_sh, 1)"))
       .withColumn("contaminated", col("overlap_bp") >= 2000)
       .orderBy(col("doc_id"))
