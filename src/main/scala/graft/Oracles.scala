@@ -90,6 +90,44 @@ object Oracles {
 
   private val stopIn = inList(Queries.Stopwords)
 
+  /** Brute-force exact top-k (shared by cosine_topk and ann_recall). */
+  private val cosineTopkSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, $quantE AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, $quantE AS cv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, ${dotE("qv", "cv")} AS dot
+       | FROM c, q WHERE neighbor_id <> query_id),
+       |r AS (SELECT query_id, neighbor_id, dot,
+       | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS "rank"
+       | FROM s)
+       |SELECT query_id, neighbor_id, dot, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** Deterministic IVF ANN top-k (shared by ivf_topk and ann_recall). */
+  private val ivfTopkSql =
+    s"""WITH e AS (SELECT vec_id, $quantE AS v FROM embeddings),
+       |cent0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS c FROM cent0),
+       |ascore AS (SELECT e.vec_id, e.v, cent.l, ${dotE("e.v", "cent.c")} AS s
+       | FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id, v, l AS list FROM (
+       | SELECT vec_id, v, l,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l ASC) AS rn
+       | FROM ascore) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |qscore AS (SELECT q.query_id, q.qv, cent.l, ${dotE("q.qv", "cent.c")} AS s
+       | FROM q CROSS JOIN cent),
+       |probe AS (SELECT query_id, qv, l AS list FROM (
+       | SELECT query_id, qv, l,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, l DESC) AS rn
+       | FROM qscore) WHERE rn <= 4),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${dotE("p.qv", "a.v")} AS dot
+       | FROM probe p JOIN assign a ON p.list = a.list WHERE a.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, dot,
+       | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS "rank"
+       | FROM cand)
+       |SELECT query_id, neighbor_id, dot, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+
   // -- the oracle catalog ----------------------------------------------------
 
   val all: Map[String, String] = Map(
@@ -872,41 +910,20 @@ object Oracles {
     "ngram_jaccard_pairs" -> ngramJaccardSql,
     "jaccard_ppjoin" -> ngramJaccardSql,
 
-    "ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, $quantE AS v FROM embeddings),
-         |cent0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
-         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS c FROM cent0),
-         |ascore AS (SELECT e.vec_id, e.v, cent.l, ${dotE("e.v", "cent.c")} AS s
-         | FROM e CROSS JOIN cent),
-         |assign AS (SELECT vec_id, v, l AS list FROM (
-         | SELECT vec_id, v, l,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l ASC) AS rn
-         | FROM ascore) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-         |qscore AS (SELECT q.query_id, q.qv, cent.l, ${dotE("q.qv", "cent.c")} AS s
-         | FROM q CROSS JOIN cent),
-         |probe AS (SELECT query_id, qv, l AS list FROM (
-         | SELECT query_id, qv, l,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, l DESC) AS rn
-         | FROM qscore) WHERE rn <= 4),
-         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${dotE("p.qv", "a.v")} AS dot
-         | FROM probe p JOIN assign a ON p.list = a.list WHERE a.vec_id <> p.query_id),
-         |r AS (SELECT query_id, neighbor_id, dot,
-         | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS "rank"
-         | FROM cand)
-         |SELECT query_id, neighbor_id, dot, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "ivf_topk" -> ivfTopkSql,
 
-    "cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, $quantE AS qv FROM embeddings WHERE vec_id < 8),
-         |c AS (SELECT vec_id AS neighbor_id, $quantE AS cv FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id, ${dotE("qv", "cv")} AS dot
-         | FROM c, q WHERE neighbor_id <> query_id),
-         |r AS (SELECT query_id, neighbor_id, dot,
-         | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS "rank"
-         | FROM s)
-         |SELECT query_id, neighbor_id, dot, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+    // recall@k of the IVF ANN path against the exact brute-force top-k
+    "ann_recall" ->
+      s"""WITH exact AS ($cosineTopkSql),
+         |approx AS ($ivfTopkSql),
+         |m AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+         | FROM exact e JOIN approx a USING (query_id, neighbor_id) GROUP BY 1),
+         |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1)
+         |SELECT query_id, k, coalesce(n_match, 0) AS n_match,
+         | CAST(coalesce(n_match, 0) * 10000 // k AS BIGINT) AS recall_bp
+         |FROM kk LEFT JOIN m USING (query_id) ORDER BY query_id""".stripMargin,
+
+    "cosine_topk" -> cosineTopkSql,
 
     "embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id AS id, $quantE AS v FROM embeddings),

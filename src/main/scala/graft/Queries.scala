@@ -1161,6 +1161,26 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@k quality gate for the ANN path: per query, how many of the
+    * exact brute-force top-k the IVF search recovered at nprobe < nlist.
+    * This is the measurement a pipeline runs before trusting an ANN index
+    * at scale; both legs are deterministic, so the recall numbers
+    * themselves are hash-pinned by the oracle, not just eyeballed. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val k = exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val matched = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_match"))
+    k.join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .withColumn("recall_bp", expr("n_match * 10000 div k"))
+      .orderBy(col("query_id"))
+  }
+
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", 400000L,
       native = true)
@@ -1258,6 +1278,7 @@ object Queries {
     "jaccard_ppjoin" -> jaccardPpjoin _,
     "cosine_topk" -> cosineTopK _,
     "ivf_topk" -> ivfTopK _,
+    "ann_recall" -> annRecall _,
     "embedding_neardup" -> embeddingNearDup _,
     "multimodal_meta" -> multimodalMeta _)
 }
