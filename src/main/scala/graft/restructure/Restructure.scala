@@ -52,6 +52,11 @@ final case class RestructureConfig(
     // of the committed state
     faultTolerance: Boolean = true,
     retryBackoffMs: Long = 1000L,
+    // A4 — per-phase timers (reference --timer flag,
+    // config/CommandLineArgs.kt + Application.kt:185): off by default so
+    // timed code pays nothing; when on, run() prints the sorted report the
+    // reference emits from its shutdown hook
+    enableTimers: Boolean = false,
     // determine a file's final offset from storage metadata instead of its
     // filename (source/S3SourceStorage.kt:40-59 reads the "endOffset" object
     // tag, AzureSourceStorage.kt:27-46 the blob metadata). Hadoop's FS API
@@ -355,6 +360,10 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     * write-then-commit ordering per topic (W3: a crash before the state
     * write reprocesses the batch; dedup keeps the output idempotent). */
   def run(): RestructureResult = {
+    if (config.enableTimers) {
+      Timers.enabled = true
+      Timers.attach(spark)
+    }
     val state = loadState()
     val lockMgr = config.lockDir.map(d =>
       new FileRemoteLockManager(spark.sparkContext.hadoopConfiguration, new Path(d)))
@@ -370,6 +379,10 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
         val files = Timers.time(spark, "restructure.plan")(plan(topic, state))
         if (files.nonEmpty) {
           filesProcessed += files.size
+          // DataFrames are lazy: "read" times the driver-side work only
+          // (header scans, schema grouping); the distributed scan/decode
+          // executes inside the write job, so its task time lands under
+          // "restructure.write" — the phase that RUNS the plan
           Timers.time(spark, "restructure.read")(readTopic(topic, files)).foreach { df =>
             val unseen = filterSeen(df, state)
             // A3 counters ride the write job itself — no extra pass. The
@@ -397,6 +410,7 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
         case None    => process()
       }
     }
+    if (config.enableTimers) println(Timers.report)
     RestructureResult(topics.size, filesProcessed, recordsWritten)
   }
 

@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** A4 — labeled phase timers (reference: util/Timer.kt:27-121): `time`
@@ -37,7 +37,10 @@ object Timers {
 
   private val PhaseKey = "graft.timer.phase"
   private val entries = new ConcurrentHashMap[String, MutableEntry]()
-  private val attachedTo = ConcurrentHashMap.newKeySet[SparkContext]()
+  // weak keys: a stopped context must not be pinned for the JVM lifetime
+  private val attachedTo = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkContext, java.lang.Boolean]()))
 
   /** Disabled timers run the action with zero bookkeeping (reference
     * semantics: `isEnabled` gates all accounting). */
@@ -46,14 +49,21 @@ object Timers {
   private def entry(label: String): MutableEntry =
     entries.computeIfAbsent(label, _ => new MutableEntry)
 
-  /** Stage -> phase label, fed by job-start events, pruned on stage end. */
+  /** Stage -> phase label, fed by job-start events; pruned per JOB (not per
+    * stage: stages skipped thanks to reused shuffle output never complete,
+    * and would leak a per-stage map on a long-lived driver). */
   private val stagePhase = new ConcurrentHashMap[Int, String]()
+  private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
 
   private object Listener extends SparkListener {
     override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
       val phase = jobStart.properties.getProperty(PhaseKey)
-      if (phase != null)
-        jobStart.stageIds.foreach(id => stagePhase.put(id, phase))
+      if (phase != null) {
+        jobStages.put(jobStart.jobId, jobStart.stageIds)
+        // putIfAbsent: a stage shared with a still-running earlier job keeps
+        // its original label — in-flight tasks are not re-attributed
+        jobStart.stageIds.foreach(id => stagePhase.putIfAbsent(id, phase))
+      }
     }
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
       val phase = stagePhase.get(taskEnd.stageId)
@@ -63,10 +73,11 @@ object Timers {
         e.taskNanos.add(taskEnd.taskMetrics.executorRunTime * 1000000L)
       }
     }
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      // task-end events for a stage precede its completion on the bus, so
-      // pruning here keeps the map bounded without losing attributions
-      stagePhase.remove(sc.stageInfo.stageId)
+    override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit = {
+      // task-end events precede job end on the bus, so pruning every stage
+      // of the finished job (including skipped ones) loses no attributions
+      val ids = jobStages.remove(jobEnd.jobId)
+      if (ids != null) ids.foreach(stagePhase.remove(_))
     }
   }
 
@@ -108,6 +119,7 @@ object Timers {
   def reset(): Unit = {
     entries.clear()
     stagePhase.clear()
+    jobStages.clear()
   }
 
   /** Sorted per-label report, same overall shape as the reference's

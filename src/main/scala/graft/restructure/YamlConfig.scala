@@ -165,7 +165,9 @@ object YamlConfig {
       dedupDefault = dedupDefault,
       lockDir = redis.str("lockPrefix")
         .map(p => tgtUri(s"${output.stripSuffix("/")}/_locks/${p.stripSuffix("/")}")),
-      endOffsetFromMetadata = endOffsetsMeta)
+      endOffsetFromMetadata = endOffsetsMeta,
+      // reference --timer flag as a config section
+      enableTimers = root.child("timer").bool("enable").getOrElse(false))
 
     AppConfig(
       restructure = restructure,

@@ -45,6 +45,24 @@ class TimersSpec extends SparkSpec {
     } finally Timers.enabled = false
   }
 
+  test("a config-enabled restructure run records and reports the phases") {
+    Timers.reset()
+    Timers.enabled = false
+    val (_, cfg) = RestructureFixture.setup()
+    try {
+      new Restructure(spark, cfg.copy(enableTimers = true)).run()
+      assert(Timers.enabled) // config flag flipped the global, reference-style
+      val labels = Timers.timings.keySet
+      assert(Set("restructure.plan", "restructure.read", "restructure.write",
+        "restructure.commit").subsetOf(labels))
+      assert(Timers.timings("restructure.write").wallNanos > 0)
+      // the write phase RUNS the lazy plan, so cluster task time lands there
+      val e = awaitTasks("restructure.write")
+      assert(e.tasks > 0)
+      assert(Timers.report.contains("restructure.plan"))
+    } finally Timers.enabled = false
+  }
+
   test("nested labels attribute to the inner phase and restore the outer") {
     Timers.reset()
     Timers.enabled = true

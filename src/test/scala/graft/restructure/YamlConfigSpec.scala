@@ -40,6 +40,8 @@ class YamlConfigSpec extends AnyFunSuite {
       |  enable: true
       |  interval: 600
       |  age: 5
+      |timer:
+      |  enable: true
       |paths:
       |  inputs:
       |    - /topics
@@ -72,6 +74,7 @@ class YamlConfigSpec extends AnyFunSuite {
       DedupConfig(true, Seq("key.sourceId", "value.time"), Seq("value.timeReceived")))
     assert(!r.dedup("topic_c").enable)
     assert(r.lockDir.contains("/data/out/_locks/radar-output/lock"))
+    assert(r.enableTimers)
     assert(c.service == ServiceSettings(enable = true, intervalMs = 45000L))
     assert(c.cleaner == CleanerSettings(enable = true, intervalMs = 600000L, ageDays = 5))
     assert(c.worker == WorkerSettings(enable = true, numThreads = 3, cacheSize = 120))
