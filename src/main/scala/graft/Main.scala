@@ -10,6 +10,7 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service, YamlConfi
   * runMain graft.Main --config app.properties            # one restructure pass
   * runMain graft.Main --config restructure.yml           # reference-shaped yaml
   * runMain graft.Main --config app.properties --clean    # + cleaner pass
+  * runMain graft.Main --config app.properties --timer    # per-phase timers
   * runMain graft.Main --config app.properties --service \
   *   --interval 300000 --cleaner-interval 1260000        # polling mode
   * runMain graft.Main --config app.properties --stream   # one streaming
@@ -28,6 +29,7 @@ object Main {
     var service = false
     var stream = false
     var clean = false
+    var timer = false
     var interval: Option[Long] = None
     var cleanerInterval: Option[Long] = None
     var cleanerAgeMs: Option[Long] = None
@@ -38,6 +40,7 @@ object Main {
         case "--service"          => service = true; i += 1
         case "--stream"           => stream = true; i += 1
         case "--clean"            => clean = true; i += 1
+        case "--timer"            => timer = true; i += 1
         case "--interval"         => interval = Some(args(i + 1).toLong); i += 2
         case "--cleaner-interval" => cleanerInterval = Some(args(i + 1).toLong); i += 2
         case "--cleaner-age-ms"   => cleanerAgeMs = Some(args(i + 1).toLong); i += 2
@@ -53,7 +56,8 @@ object Main {
     val app = // yaml configs carry the full reference surface
       if (path.endsWith(".yml") || path.endsWith(".yaml")) Some(YamlConfig.load(path))
       else None
-    val config = app.map(_.restructure).getOrElse(ConfigLoader.fromFile(path))
+    val config0 = app.map(_.restructure).getOrElse(ConfigLoader.fromFile(path))
+    val config = if (timer) config0.copy(enableTimers = true) else config0
     val spark = Sessions.build("graft")
     app.foreach { a =>
       a.hadoopConf.foreach { case (k, v) =>

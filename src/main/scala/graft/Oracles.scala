@@ -910,6 +910,25 @@ object Oracles {
     "ngram_jaccard_pairs" -> ngramJaccardSql,
     "jaccard_ppjoin" -> ngramJaccardSql,
 
+    // asymmetric containment |A∩B| / min(|A|,|B|) over the same df-capped sets
+    "containment_pairs" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
+         |ex0 AS (SELECT doc_id, unnest(sh) AS x FROM sets),
+         |ex AS (SELECT doc_id, x FROM (
+         | SELECT doc_id, x, count(*) OVER (PARTITION BY x) AS df FROM ex0)
+         | WHERE df <= ${Queries.NgramMaxDf}),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+         |pairs AS (
+         | SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS inter
+         | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_1, id_2, inter,
+         | least(na.n, nb.n) AS min_n,
+         | CAST(inter * 10000 // least(na.n, nb.n) AS BIGINT) AS containment_bp
+         |FROM pairs JOIN sizes na ON id_1 = na.doc_id JOIN sizes nb ON id_2 = nb.doc_id
+         |WHERE CAST(inter * 10000 // least(na.n, nb.n) AS BIGINT) >= 9000
+         |ORDER BY id_1, id_2""".stripMargin,
+
     "ivf_topk" -> ivfTopkSql,
 
     // recall@k of the IVF ANN path against the exact brute-force top-k

@@ -1131,6 +1131,35 @@ object Queries {
       .orderBy(col("id_1"), col("id_2"))
   }
 
+  /** Asymmetric containment pairs: |A∩B| / min(|A|,|B|) — catches a short
+    * document quoted inside a long one, which symmetric Jaccard dilutes
+    * below any useful threshold. Same df-capped exploded co-occurrence
+    * backbone as ngram_jaccard_pairs (one reused exchange feeds the join
+    * sides and the sizes), different final ratio. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = MinHash.withShingles(t(s, dir, "documents"), "doc_id", "text", native = true)
+      .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
+    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
+      .repartition(col("x"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .filter(col("df") <= NgramMaxDf)
+      .select(col("doc_id"), col("x"))
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_1"), col("b.doc_id").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("id_1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_2") === col("nb.doc_id"))
+      .withColumn("min_n", least(col("na.n"), col("nb.n")))
+      .withColumn("containment_bp",
+        expr("inter * 10000 div min_n"))
+      .filter(col("containment_bp") >= 9000)
+      .select("id_1", "id_2", "inter", "min_n", "containment_bp")
+      .orderBy(col("id_1"), col("id_2"))
+  }
+
   /** The prefix-filtered (PPJoin-family) formulation of ngram_jaccard_pairs
     * — the scale path, pinned by the exact same oracle SQL, run with the
     * df cap active so the capped candidate generation is oracle-covered. */
@@ -1276,6 +1305,7 @@ object Queries {
     "dedup_keeplast_salted" -> dedupKeeplastSalted _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "jaccard_ppjoin" -> jaccardPpjoin _,
+    "containment_pairs" -> containmentPairs _,
     "cosine_topk" -> cosineTopK _,
     "ivf_topk" -> ivfTopK _,
     "ann_recall" -> annRecall _,
