@@ -583,6 +583,32 @@ object Oracles {
          |  CAST(coalesce(list_sum(list_transform($tokensE, w -> length(w))), 0) AS BIGINT) AS sum_len
          | FROM documents) ORDER BY doc_id""".stripMargin,
 
+    // integer-weighted heuristic quality ensemble (length + 3 binary rules)
+    "quality_ensemble" ->
+      s"""WITH e AS (SELECT doc_id, unnest($tokensE) AS w FROM documents),
+         |cc AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |  CAST(floor(MAX(c) * 10000.0 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_token_bp
+         | FROM cc GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |  CAST(len($tokensE) AS BIGINT) AS n_tokens,
+         |  CAST(floor(len(list_filter($tokensE, w -> w IN $stopIn)) * 10000.0
+         |    / len($tokensE)) AS BIGINT) AS stop_ratio_bp,
+         |  CAST(floor(CAST(coalesce(list_sum(list_transform($tokensE, w -> length(w))), 0)
+         |    AS BIGINT) * 10000.0 / len($tokensE)) AS BIGINT) AS mean_token_len_bp
+         | FROM documents),
+         |scored AS (SELECT b.doc_id, n_tokens, stop_ratio_bp, top_token_bp,
+         |  mean_token_len_bp,
+         |  CAST(least(n_tokens, 100) * 10
+         |   + CASE WHEN stop_ratio_bp BETWEEN 100 AND 4000 THEN 1000 ELSE 0 END
+         |   + CASE WHEN top_token_bp < 2000 THEN 1000 ELSE 0 END
+         |   + CASE WHEN mean_token_len_bp BETWEEN 30000 AND 120000 THEN 1000 ELSE 0 END
+         |   AS BIGINT) AS score
+         | FROM base b JOIN rep USING (doc_id))
+         |SELECT doc_id, n_tokens, stop_ratio_bp, top_token_bp, mean_token_len_bp,
+         | score, score >= 3000 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
     "corpus_curate" -> {
       // the FULL curation pipeline mirrored stage by stage: cleanup ->
       // annotate (tokens + lang) -> quality gates -> exact dedup ->

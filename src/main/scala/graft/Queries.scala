@@ -963,6 +963,38 @@ object Queries {
         count(lit(1)).as("n_distinct_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Multi-rule quality gate: the heuristic ensemble (Gopher/C4-style) a
+    * curation run applies before any learned classifier — length credit
+    * plus three binary rules (stopword presence, low repetition, sane mean
+    * token length), combined with exact integer weights so the score and
+    * the keep/drop decision hash identically on any engine. The repetition
+    * leg is the only exchange; every other signal is row-local. */
+  def qualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rep = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(floor(max(col("c")).cast(DoubleType) * 10000d /
+        sum(col("c")).cast(DoubleType)).cast(LongType).as("top_token_bp"))
+    val base = docs.select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      Text.stopRatioBp(col("text"), Stopwords).as("stop_ratio_bp"),
+      Text.meanTokenLenBp(col("text")).as("mean_token_len_bp"))
+    base.join(rep, Seq("doc_id"))
+      .withColumn("score",
+        least(col("n_tokens"), lit(100L)) * 10
+          + when(col("stop_ratio_bp").between(100, 4000), 1000L).otherwise(0L)
+          + when(col("top_token_bp") < 2000, 1000L).otherwise(0L)
+          + when(col("mean_token_len_bp").between(30000, 120000), 1000L).otherwise(0L))
+      .withColumn("keep", col("score") >= 3000)
+      .select("doc_id", "n_tokens", "stop_ratio_bp", "top_token_bp",
+        "mean_token_len_bp", "score", "keep")
+      .orderBy(col("doc_id"))
+  }
+
   /** PII redaction: synthetic email/phone spans injected around each doc,
     * then counted and replaced with typed tags. */
   def piiRedact(s: SparkSession, dir: String): DataFrame = {
@@ -1282,6 +1314,7 @@ object Queries {
     "text_tokens" -> textTokens _,
     "bpe_tokens" -> bpeTokens _,
     "text_quality" -> textQuality _,
+    "quality_ensemble" -> qualityEnsemble _,
     "text_clean" -> textClean _,
     "repetition_ratio" -> repetitionRatio _,
     "tfidf_top_terms" -> tfidfTopTerms _,
