@@ -128,6 +128,29 @@ object Oracles {
        |SELECT query_id, neighbor_id, dot, "rank" FROM r WHERE "rank" <= 10
        |ORDER BY query_id, "rank"""".stripMargin
 
+  /** Banded-LSH near-duplicate pairs at >= 0.5 Jaccard (shared by
+    * minhash_neardup and neardup_by_source). */
+  private val minhashNearDupSql: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m"
+    }.mkString(" UNION ALL ")
+    s"""$minhashCtes, bands AS ($bandSelects),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+       | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
+       |scored AS (
+       | SELECT id_1, id_2,
+       |  len(list_intersect(sa.st, sb.st)) AS inter,
+       |  len(sa.st) + len(sb.st) AS szsum
+       | FROM cand JOIN sets sa ON id_1 = sa.doc_id JOIN sets sb ON id_2 = sb.doc_id)
+       |SELECT id_1, id_2,
+       | CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) AS jaccard_bp
+       |FROM scored
+       |WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000
+       |ORDER BY id_1, id_2""".stripMargin
+  }
+
   // -- the oracle catalog ----------------------------------------------------
 
   val all: Map[String, String] = Map(
@@ -719,6 +742,17 @@ object Oracles {
          | CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket_start""".stripMargin,
 
+    // per-doc duplicated-shingle occurrence share (Gopher dup-ngram signal)
+    "dup_ngrams" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |sh AS (SELECT doc_id, unnest($shinglesE) AS x FROM c),
+         |cc AS (SELECT doc_id, x, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sh_total,
+         | CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+         | CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000 // SUM(c) AS BIGINT)
+         |  AS dup_ngram_bp
+         |FROM cc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // n-gram overlap of each train doc (source <> src0) against the eval
     // corpus (source = src0): distinct-shingle membership counts
     "decontaminate" ->
@@ -886,26 +920,18 @@ object Oracles {
          |WHERE bit_count(xor(x.sig, y.sig)) <= 2 ORDER BY id_1, id_2""".stripMargin
     },
 
-    "minhash_neardup" -> {
-      val bandSelects = (0 until Bands).map { b =>
-        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m"
-      }.mkString(" UNION ALL ")
-      s"""$minhashCtes, bands AS ($bandSelects),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
-         |scored AS (
-         | SELECT id_1, id_2,
-         |  len(list_intersect(sa.st, sb.st)) AS inter,
-         |  len(sa.st) + len(sb.st) AS szsum
-         | FROM cand JOIN sets sa ON id_1 = sa.doc_id JOIN sets sb ON id_2 = sb.doc_id)
-         |SELECT id_1, id_2,
-         | CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) AS jaccard_bp
-         |FROM scored
-         |WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000
-         |ORDER BY id_1, id_2""".stripMargin
-    },
+    "minhash_neardup" -> minhashNearDupSql,
+
+    // near-duplicate pair counts by (source, source) — which domains mirror
+    // each other; pair legs joined back to documents for their sources
+    "neardup_by_source" ->
+      s"""WITH nd AS ($minhashNearDupSql)
+         |SELECT least(da.source, db.source) AS source_1,
+         | greatest(da.source, db.source) AS source_2,
+         | CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM nd JOIN documents da ON nd.id_1 = da.doc_id
+         |JOIN documents db ON nd.id_2 = db.doc_id
+         |GROUP BY 1, 2 ORDER BY n_pairs DESC, source_1, source_2""".stripMargin,
 
     "neardup_components" -> {
       val bandSelects = (0 until Bands).map { b =>

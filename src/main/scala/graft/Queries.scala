@@ -1048,6 +1048,43 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Gopher's duplicated-n-gram fraction: per document, the basis-point
+    * share of shingle occurrences belonging to a shingle that repeats
+    * WITHIN the document (the other repetition axis from `repetition_ratio`,
+    * which looks at single tokens). Explode + two-level aggregate, exact
+    * integers. */
+  def dupNgrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("x"))
+      .groupBy(col("doc_id"), col("x"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_sh_total"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ngram_bp", expr("n_dup * 10000 div n_sh_total"))
+      .orderBy(col("doc_id"))
+
+  /** Near-duplicate pair counts by source pair: which domains mirror each
+    * other — the report that drives per-source dedup policy. The pair legs
+    * join back to the documents table for their sources; pairs are LSH
+    * band candidates (never all-pairs), so the joins carry only the
+    * near-dup graph, not the corpus. */
+  def neardupBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    MinHash.nearDuplicates(docs, "doc_id", "text", minBp = 5000L, native = true)
+      .join(src.as("da"), col("id_1") === col("da.doc_id"))
+      .join(src.as("db"), col("id_2") === col("db.doc_id"))
+      .select(
+        least(col("da.source"), col("db.source")).as("source_1"),
+        greatest(col("da.source"), col("db.source")).as("source_2"))
+      .groupBy(col("source_1"), col("source_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("source_1"), col("source_2"))
+  }
+
   /** Training-sequence packing: documents are concatenated in (split,
     * shard, doc_id) order and chunked into fixed token-budget sequences —
     * each doc gets the pack it STARTS in and its offset there (sequential
@@ -1333,6 +1370,8 @@ object Queries {
     "minhash_signature" -> minhashSignature _,
     "minhash_pairs" -> minhashPairs _,
     "minhash_neardup" -> minhashNearDup _,
+    "neardup_by_source" -> neardupBySource _,
+    "dup_ngrams" -> dupNgrams _,
     "neardup_components" -> neardupComponents _,
     "simhash_neardup" -> simhashNearDup _,
     "dedup_keeplast_salted" -> dedupKeeplastSalted _,
