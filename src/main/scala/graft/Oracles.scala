@@ -1004,6 +1004,65 @@ object Oracles {
          |SELECT id_1, id_2, dot FROM p WHERE dot >= 400000
          |ORDER BY id_1, id_2""".stripMargin,
 
+    // SemDeDup: IVF assignment (same deterministic quantizer as ivf_topk),
+    // then within-cluster smaller-id twin above the dot threshold => drop
+    "semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, $quantE AS v FROM embeddings),
+         |cent0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS c FROM cent0),
+         |ascore AS (SELECT e.vec_id, e.v, cent.l, ${dotE("e.v", "cent.c")} AS s
+         | FROM e CROSS JOIN cent),
+         |assign AS (SELECT vec_id, v, l AS list FROM (
+         | SELECT vec_id, v, l,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l ASC) AS rn
+         | FROM ascore) WHERE rn = 1),
+         |dup AS (SELECT DISTINCT x.vec_id
+         | FROM assign x JOIN assign y ON x.list = y.list AND x.vec_id > y.vec_id
+         | WHERE ${dotE("x.v", "y.v")} >= 400000)
+         |SELECT a.vec_id, CAST(a.list AS BIGINT) AS list, (d.vec_id IS NULL) AS keep
+         |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // corpus-global keep-first dedup of 32-token chunks, docs re-assembled
+    "chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |idx AS (SELECT doc_id, tk, unnest(range(((len(tk) - 1) // 32) + 1)) AS chunk_idx
+        | FROM toks),
+        |chunks AS (SELECT doc_id, chunk_idx,
+        |  array_to_string(list_slice(tk, chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' ') AS chunk
+        | FROM idx),
+        |flagged AS (SELECT doc_id, chunk_idx, chunk,
+        |  (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1) AS keep
+        | FROM chunks)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep), '') AS dedup_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // purchases joined to the containing click session of the same user
+    "range_join" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) > 172800000000
+        |   THEN 1 ELSE 0 END AS flag
+        | FROM events WHERE event_type = 'click'),
+        |y AS (SELECT user_id, ts,
+        |  SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM x),
+        |sess AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(epoch_us(ts)) AS session_start_us,
+        |  MAX(epoch_us(ts)) AS session_end_us,
+        |  COUNT(*) AS n_events
+        | FROM y GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_us, s.session_id,
+        | s.session_start_us, s.session_end_us, s.n_events
+        |FROM p JOIN sess s ON p.user_id = s.user_id
+        | AND p.ts_us BETWEEN s.session_start_us AND s.session_end_us
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin)

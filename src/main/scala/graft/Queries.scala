@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
-import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, Sessionize}
+import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, RangeJoin, Sessionize}
 import graft.dedup.{Jaccard, MinHash, SimHash}
-import graft.similarity.{IVF, Similarity}
-import graft.text.{Hashing, Text}
+import graft.similarity.{IVF, SemanticDedup, Similarity}
+import graft.text.{ChunkDedup, Hashing, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
   * tables (TESTDATA.md). Each query has a DuckDB oracle twin in
@@ -1284,6 +1284,42 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** SemDeDup-style semantic dedup: IVF-cluster the embeddings, drop every
+    * vector with a smaller-id twin scoring >= the threshold inside its
+    * cluster. The within-cluster self-join is the whole cost — quadratic
+    * per cluster, never corpus-wide — and both the clustering and the
+    * integer scoring are deterministic, so keep/drop verdicts hash-match
+    * the DuckDB replay. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    SemanticDedup.prune(t(s, dir, "embeddings"), "vec_id", "embedding",
+      nlist = 16, minDot = 400000L)
+      .orderBy(col("vec_id"))
+
+  /** Corpus-global exact span dedup (C4-style): 32-token chunks, corpus-
+    * wide keep-first on identical chunks, documents re-assembled from the
+    * survivors. One exchange on chunk text, one back on doc id. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    ChunkDedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 32)
+      .orderBy(col("doc_id"))
+
+  /** Point-in-interval range join via bucketized equi-join (never a
+    * nested-loop cross product): purchase events matched to the 2-day-gap
+    * click session of the same user whose [start, end] span contains them.
+    * Intervals explode to day buckets; points own exactly one bucket, so
+    * each qualifying pair is emitted once. */
+  def rangeJoinSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sessions = Sessionize.sessions(
+      ev.filter(col("event_type") === "click"), Seq("user_id"), "ts", "event_id", 172800L)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    RangeJoin.pointInInterval(purchases, "ts_us", sessions,
+        "session_start_us", "session_end_us", Seq("user_id"), bucketWidth = 86400L * 1000000L)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("session_id"),
+        col("session_start_us"), col("session_end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Binary-column plumbing: byte length + content hash of an opaque binary
@@ -1382,5 +1418,8 @@ object Queries {
     "ivf_topk" -> ivfTopK _,
     "ann_recall" -> annRecall _,
     "embedding_neardup" -> embeddingNearDup _,
+    "semantic_dedup" -> semanticDedup _,
+    "chunk_dedup" -> chunkDedup _,
+    "range_join" -> rangeJoinSessions _,
     "multimodal_meta" -> multimodalMeta _)
 }

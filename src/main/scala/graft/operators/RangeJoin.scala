@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join without a cross product.
+  *
+  * Spark plans a bare `p.ts BETWEEN i.lo AND i.hi` join as a broadcast
+  * nested loop — fine when one side is tiny, quadratic when both sides are
+  * large. This operator turns the range predicate into an EQUI-join on a
+  * bucketized axis: every interval explodes to the fixed-width buckets it
+  * covers, every point maps to exactly one bucket, and the hash join on
+  * (keys…, bucket) followed by the exact BETWEEN filter reproduces the
+  * range semantics. Each qualifying (point, interval) pair is emitted
+  * exactly once because a point owns a single bucket.
+  *
+  * Scale: shuffle volume is linear — |points| + Σ(interval span /
+  * bucketWidth) rows — so pick `bucketWidth` near the typical interval
+  * length to keep the per-interval bucket count O(1). Time-skewed hot
+  * buckets shard further over any equi-keys supplied in `keys`; with no
+  * keys and heavy skew, salt the bucket id on both sides.
+  */
+object RangeJoin {
+
+  /** Floor-division bucket id as an exact integer expression (`div` after
+    * subtracting the positive modulus, so negative values floor instead of
+    * truncating toward zero). */
+  private def bucketExpr(c: String, width: Long): String =
+    s"(($c) - pmod($c, ${width}L)) div ${width}L"
+
+  /** Inner-join `points` to the `intervals` rows whose `[loCol, hiCol]`
+    * (inclusive) range contains `pointCol`, matching equal `keys` columns.
+    * All three bound columns must be integral (e.g. epoch micros). Output:
+    * key columns + point columns + interval columns.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      keys: Seq[String] = Nil,
+      bucketWidth: Long = 3600L * 1000000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val pb = points.withColumn("__bucket", expr(bucketExpr(pointCol, bucketWidth)))
+    val ib = intervals
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn("__bucket", explode(sequence(
+        expr(bucketExpr(loCol, bucketWidth)),
+        expr(bucketExpr(hiCol, bucketWidth)))))
+    pb.join(ib, keys :+ "__bucket")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}
