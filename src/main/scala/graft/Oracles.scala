@@ -1063,6 +1063,27 @@ object Oracles {
         | AND p.ts_us BETWEEN s.session_start_us AND s.session_end_us
         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
+    // integer-exact unigram surprisal: bitlen(total) - bitlen(count) per token
+    "unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+        |scored AS (SELECT doc_id,
+        |  length(bin(tot.total)) - length(bin(cnt)) AS bits
+        | FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+        | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_token
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // deterministic shuffle: hash rank -> shard, per-shard position
+    "shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id, (doc_id * $TokenHashB) % $P AS h FROM documents)
+         |SELECT doc_id, h % 16 AS shard,
+         | CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin)

@@ -1295,6 +1295,52 @@ object Queries {
       nlist = 16, minDot = 400000L)
       .orderBy(col("vec_id"))
 
+  /** Integer-exact unigram-LM quality signal: token surprisal measured in
+    * whole bits as bitlen(total_tokens) - bitlen(token_count) — i.e.
+    * floor(log2) differences, no floating point, so the per-document sums
+    * hash-match across engines. High millibits/token flags rare-token
+    * gibberish; low flags boilerplate. Physical shape: one exchange to
+    * count the vocabulary, reused by the token join (the aggregate output
+    * is already partitioned on token), one exchange back on doc id; the
+    * 1-row total joins via crossJoin(broadcast). At web scale the vocab
+    * join can swap to broadcast(top-V) + OOV default without changing the
+    * declared semantics. */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("total"))) - length(bin(col("cnt")))).cast(LongType).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("surprisal_bits"))
+      .withColumn("millibits_per_token", expr("surprisal_bits * 1000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic training-order shuffle + sharding: every document gets a
+    * pseudo-random rank from the shared multiplicative hash, lands in
+    * shard = hash mod numShards, and takes its position from the per-shard
+    * rank order — reproducible on any engine or partitioning. Scale note:
+    * each shard's position window sorts one shard on one task, so the
+    * shard count grows with the corpus (shards ≈ output files of a few GB
+    * each); the hash rank keys a production run would take from
+    * xxhash64(content) instead of the id-multiplicative form the oracle
+    * can replay. */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val shards = 16
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"(doc_id * ${Hashing.TokenHashB}L) % ${Hashing.P}L").as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Corpus-global exact span dedup (C4-style): 32-token chunks, corpus-
     * wide keep-first on identical chunks, documents re-assembled from the
     * survivors. One exchange on chunk text, one back on doc id. */
@@ -1421,5 +1467,7 @@ object Queries {
     "semantic_dedup" -> semanticDedup _,
     "chunk_dedup" -> chunkDedup _,
     "range_join" -> rangeJoinSessions _,
+    "unigram_surprisal" -> unigramSurprisal _,
+    "shuffle_shards" -> shuffleShards _,
     "multimodal_meta" -> multimodalMeta _)
 }
