@@ -1302,14 +1302,17 @@ object Queries {
     * gibberish; low flags boilerplate. Physical shape: one exchange to
     * count the vocabulary, reused by the token join (the aggregate output
     * is already partitioned on token), one exchange back on doc id; the
-    * 1-row total joins via crossJoin(broadcast). At web scale the vocab
-    * join can swap to broadcast(top-V) + OOV default without changing the
-    * declared semantics. */
+    * 1-row total joins via crossJoin(broadcast) and is computed as
+    * sum(size(tokens)) — same number as sum(vocab counts) from one cheap
+    * column scan, with no explode and no second vocabulary aggregation.
+    * At web scale the vocab join can swap to broadcast(top-V) + OOV
+    * default without changing the declared semantics. */
   def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val total = t(s, dir, "documents")
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("total"))
     toks.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
