@@ -1077,6 +1077,21 @@ object Oracles {
         | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_token
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // epoch upsampling: floor(epochs) copies + hash-gated fractional copy
+    "epoch_upsample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CASE WHEN source IN ('src0', 'src1') THEN 32500
+         |       WHEN source IN ('src2', 'src3') THEN 20000
+         |       ELSE 10000 END AS rate_bp,
+         |  (doc_id * $TokenHashB) % $P % 10000 AS h FROM documents),
+         |c AS (SELECT doc_id, source,
+         |  rate_bp // 10000 + CASE WHEN h < rate_bp % 10000 THEN 1 ELSE 0 END AS n
+         | FROM d)
+         |SELECT * FROM (
+         | SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy_id FROM c
+         | WHERE n > 0)
+         |ORDER BY doc_id, copy_id""".stripMargin,
+
     // deterministic shuffle: hash rank -> shard, per-shard position
     "shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id, (doc_id * $TokenHashB) % $P AS h FROM documents)

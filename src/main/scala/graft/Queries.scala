@@ -1344,6 +1344,29 @@ object Queries {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Deterministic epoch upsampling — the >1-epoch complement of
+    * domain_mix's quota subsampling: each source gets an epoch factor in
+    * basis points (32500 = 3.25 epochs); every document emits
+    * floor(epochs) copies plus one more iff its hash rank falls below the
+    * fractional part. Row-local + explode: the only data growth is the
+    * output itself (epochs x corpus), there is no shuffle before the
+    * ordered emission, and membership in the fractional epoch is
+    * hash-deterministic on any engine or partitioning. */
+  def epochUpsample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1"), 32500L)
+      .when(col("source").isin("src2", "src3"), 20000L)
+      .otherwise(10000L)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), rate.as("rate_bp"),
+        expr(s"(doc_id * ${Hashing.TokenHashB}L) % ${Hashing.P}L % 10000").as("h"))
+      .withColumn("n_copies",
+        expr("rate_bp div 10000") + when(col("h") < expr("rate_bp % 10000"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
   /** Corpus-global exact span dedup (C4-style): 32-token chunks, corpus-
     * wide keep-first on identical chunks, documents re-assembled from the
     * survivors. One exchange on chunk text, one back on doc id. */
@@ -1472,5 +1495,6 @@ object Queries {
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
     "shuffle_shards" -> shuffleShards _,
+    "epoch_upsample" -> epochUpsample _,
     "multimodal_meta" -> multimodalMeta _)
 }
