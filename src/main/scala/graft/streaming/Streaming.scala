@@ -114,6 +114,45 @@ object Streaming {
       .start()
   }
 
+  /** Streaming corpus intake — the incremental twin of CorpusPipeline's
+    * stateless stages: cleanup + annotate fuse into the scan projection
+    * (row-local, no state), the token-count quality gate drops short docs
+    * before any state is touched, and exact dedup keys on the cleaned-text
+    * fingerprint inside the watermark horizon. State is bounded by the
+    * lateness horizon exactly as [[dedupStream]] — fingerprints evict when
+    * the watermark passes, so the store is O(docs per horizon), never
+    * O(corpus). The batch pipeline's corpus-global passes (repetition
+    * gate, near-dedup, split) stay batch by design: they need corpus-wide
+    * aggregation; run them over this stream's output as periodic
+    * compaction. */
+  def curateStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      minTokens: Long = 5L,
+      watermark: String = "2 hours"): StreamingQuery = {
+    val in = spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+    graft.pipelines.CorpusPipeline.annotate(in, textCol)
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("__fp", graft.text.Text.fingerprint(col("clean_text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .select(col(idCol), col(tsCol), col("clean_text"), col("n_tokens"), col("pred_lang"))
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+
   /** End-to-end STREAMING restructure for one topic: the DSv2 Avro source
     * feeds each micro-batch of new sink files through the same derive ->
     * dedup -> partitioned-write chain as the batch job, with the streaming

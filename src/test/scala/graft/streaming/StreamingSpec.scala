@@ -85,6 +85,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("curateStream gates quality and dedups by fingerprint across batches") {
+    val dir = Files.createTempDirectory("graft-stream-curate").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val longA = "the quick brown fox jumps over the dog"
+    val longB = "pack my box with five dozen liquor jugs"
+    // batch 1: doc 2 duplicates doc 1's text; doc 3 is too short
+    Seq((1L, ts(10, 0), longA), (2L, ts(10, 5), longA), (3L, ts(10, 6), "too short"))
+      .toDF("doc_id", "ts", "text")
+      .write.parquet(in)
+    Streaming.curateStream(spark, in, out, cp).awaitTermination()
+    // batch 2: doc 4 re-duplicates doc 1 within the watermark; doc 5 is new
+    Seq((4L, ts(10, 30), longA), (5L, ts(11, 0), longB))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(in)
+    Streaming.curateStream(spark, in, out, cp).awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(1L, 5L))
+    assert(rows.forall(_._2 >= 5L))
+  }
+
   test("trackOffsets keeps per-key max offset and count across a batch") {
     val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
       .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap
