@@ -1077,6 +1077,36 @@ object Oracles {
         | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_token
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // incremental cross-corpus dedup: new batch (id >= 250) survives unless
+    // exact-fingerprint or band-collision+Jaccard matched vs the reference
+    "incremental_dedup" -> {
+      val ms = (0 until K).map(j => s"${minhashE(j)} AS m$j").mkString(", ")
+      val bandSelects = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m")
+        .mkString(" UNION ALL ")
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |s AS (SELECT doc_id, $shinglesE AS sh FROM c),
+         |m AS (SELECT doc_id, $ms FROM s),
+         |bands AS ($bandSelects),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
+         |fps AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+         |  (h, cd) -> (h*$FpB + cd) % $FpM) AS fp FROM c),
+         |exact_drop AS (SELECT DISTINCT n.doc_id FROM fps n JOIN fps r
+         |  ON n.fp = r.fp AND n.doc_id >= 250 AND r.doc_id < 250),
+         |cand AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS rid
+         |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k
+         |  WHERE a.doc_id >= 250 AND b.doc_id < 250),
+         |near_drop AS (SELECT DISTINCT nid AS doc_id FROM cand
+         |  JOIN sets sa ON nid = sa.doc_id JOIN sets sb ON rid = sb.doc_id
+         |  WHERE CAST(floor(len(list_intersect(sa.st, sb.st)) * 10000.0 /
+         |   (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))) AS BIGINT)
+         |   >= 8000)
+         |SELECT doc_id FROM documents WHERE doc_id >= 250
+         | AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
+         | AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // epoch upsampling: floor(epochs) copies + hash-gated fractional copy
     "epoch_upsample" ->
       s"""WITH d AS (SELECT doc_id, source,

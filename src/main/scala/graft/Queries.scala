@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
 import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, RangeJoin, Sessionize}
-import graft.dedup.{Jaccard, MinHash, SimHash}
+import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.similarity.{IVF, SemanticDedup, Similarity}
 import graft.text.{ChunkDedup, Hashing, Text}
 
@@ -1344,6 +1344,21 @@ object Queries {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Incremental cross-corpus dedup (the crawl-refresh shape): docs with
+    * id >= 250 are the "new batch", the rest the already-curated
+    * reference; a new doc survives unless it exactly fingerprints or LSH-
+    * band-collides (verified at >= 0.8 exact Jaccard) against the
+    * reference. Both guards are one-sided joins — the reference is never
+    * self-joined or re-deduplicated. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Incremental.survivors(
+      docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+      "doc_id", "text", minBp = 8000L, native = true)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic epoch upsampling — the >1-epoch complement of
     * domain_mix's quota subsampling: each source gets an epoch factor in
     * basis points (32500 = 3.25 epochs); every document emits
@@ -1496,5 +1511,6 @@ object Queries {
     "unigram_surprisal" -> unigramSurprisal _,
     "shuffle_shards" -> shuffleShards _,
     "epoch_upsample" -> epochUpsample _,
+    "incremental_dedup" -> incrementalDedup _,
     "multimodal_meta" -> multimodalMeta _)
 }

@@ -1,0 +1,46 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tokens with pairwise-distinct word codes (the code is length + first
+  // char, so "w10".."w79" would all collapse to ONE code and starve the
+  // shingle sets)
+  private val toks = (0 until 80).map(i => ("" + ('a' + i % 26).toChar) * (1 + i / 26))
+  private val refText1 = toks.mkString(" ")
+  private val refText2 = (100 to 130).map(i => s"v$i").mkString(" ")
+  // near-dup of refText1: only the last token differs (3-shingle Jaccard
+  // 77/79 ~ 0.975; all 4 LSH bands collide on this data — checked offline)
+  private val nearText = (toks.dropRight(1) :+ "ZZZZ").mkString(" ")
+
+  test("new docs drop on exact fingerprint or verified band collision") {
+    val ref = Seq((1L, refText1), (2L, refText2)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, refText1),                       // exact duplicate of ref 1
+      (11L, nearText),                       // near duplicate of ref 1
+      (12L, "totally different words only")) // clean
+      .toDF("doc_id", "text")
+    val out = Incremental.survivors(fresh, ref, "doc_id", "text", minBp = 8000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(12L))
+  }
+
+  test("within-batch duplicates are not this operator's concern") {
+    val ref = Seq((1L, refText1)).toDF("doc_id", "text")
+    val dup = "same text repeated across the new batch only"
+    val fresh = Seq((20L, dup), (21L, dup)).toDF("doc_id", "text")
+    val out = Incremental.survivors(fresh, ref, "doc_id", "text", minBp = 8000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(20L, 21L)) // both survive: neither is in the reference
+  }
+
+  test("an empty reference drops nothing") {
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fresh = Seq((30L, refText1), (31L, refText2)).toDF("doc_id", "text")
+    val out = Incremental.survivors(fresh, ref, "doc_id", "text", minBp = 8000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(30L, 31L))
+  }
+}
