@@ -1129,6 +1129,39 @@ object Oracles {
          | CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM h ORDER BY shard, pos""".stripMargin,
 
+    // full-outer symmetric difference of two distinct key sets
+    "cust_retention" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE year(o_orderdate) = 1994),
+        |b AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE year(o_orderdate) = 1995)
+        |SELECT COALESCE(a.ck, b.ck) AS custkey,
+        | CASE WHEN a.ck IS NOT NULL AND b.ck IS NOT NULL THEN 'retained'
+        |      WHEN a.ck IS NOT NULL THEN 'churned'
+        |      ELSE 'acquired' END AS status
+        |FROM a FULL OUTER JOIN b ON a.ck = b.ck
+        |ORDER BY custkey""".stripMargin,
+
+    // per-nation revenue quartiles via partitioned ntile
+    "nation_quartiles" ->
+      """WITH rev AS (SELECT c_custkey, c_nationkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |q AS (SELECT c_nationkey, cents, c_custkey,
+        |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |   ORDER BY cents DESC, c_custkey) AS BIGINT) AS quartile FROM rev)
+        |SELECT c_nationkey, quartile, COUNT(*) AS n_cust,
+        | CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM q GROUP BY 1, 2 ORDER BY c_nationkey, quartile""".stripMargin,
+
+    // fake-codec 4x4 -> 2x2 nearest-neighbor resize, sample positions replayed
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        | '0002000201' || hex(encode(substr(text, 1, 1))) ||
+        |  hex(encode(substr(text, 3, 1))) || hex(encode(substr(text, 9, 1))) ||
+        |  hex(encode(substr(text, 11, 1))) AS out_hex
+        |FROM documents WHERE length(text) >= 16 ORDER BY doc_id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin)

@@ -1407,6 +1407,43 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Year-over-year customer retention via FULL OUTER join of two distinct
+    * key sets (the symmetric-difference shape: retained / churned /
+    * acquired). Both legs prune to distinct keys before the join, so the
+    * full-outer shuffles key sets, not order rows. */
+  def custRetention(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val a = o.filter(col("y") === 1994).select(col("o_custkey").as("ck")).distinct()
+      .withColumn("in_a", lit(true))
+    val b = o.filter(col("y") === 1995).select(col("o_custkey").as("ck")).distinct()
+      .withColumn("in_b", lit(true))
+    a.join(b, Seq("ck"), "full_outer")
+      .select(col("ck").as("custkey"),
+        when(col("in_a").isNotNull && col("in_b").isNotNull, "retained")
+          .when(col("in_a").isNotNull, "churned")
+          .otherwise("acquired").as("status"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Per-nation revenue quartiles: ntile over a PARTITIONED window (one
+    * sorted partition per nation — parallel at any scale, unlike a global
+    * ntile), rolled up to quartile totals. Deterministic tie-break on the
+    * customer key. */
+  def nationRevenueQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+    rev
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("cents").desc, col("c_custkey"))).cast(LongType))
+      .groupBy(col("c_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("c_nationkey"), col("quartile"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Binary-column plumbing: byte length + content hash of an opaque binary
@@ -1419,6 +1456,24 @@ object Queries {
         octet_length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"),
         sha2(col("text"), 256).as("sha"))
       .orderBy(col("doc_id"))
+
+  /** The fake-codec resize kernel pinned cross-engine: a 4x4x1 payload is
+    * synthesized from the first 16 text bytes behind the [w,h,c] header,
+    * nearest-neighbor-resized to 2x2 by the mapPartitions operator, and
+    * hex-dumped; the oracle replays the exact sample positions in SQL. This
+    * makes the multimodal PLUMBING (header layout, decode guard, sampling
+    * arithmetic, binary column round-trip) hash-checked even though the
+    * production codec stays a stub. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents")
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"),
+        concat(unhex(lit("0004000401")),
+          substring(col("text"), 1, 16).cast(BinaryType)).as("payload"))
+    graft.multimodal.Multimodal.resize(src, "payload", 2, 2)
+      .select(col("doc_id"), hex(col("payload")).as("out_hex"))
+      .orderBy(col("doc_id"))
+  }
 
   /** The catalog: name -> query. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1512,5 +1567,8 @@ object Queries {
     "shuffle_shards" -> shuffleShards _,
     "epoch_upsample" -> epochUpsample _,
     "incremental_dedup" -> incrementalDedup _,
+    "cust_retention" -> custRetention _,
+    "nation_quartiles" -> nationRevenueQuartiles _,
+    "multimodal_resize" -> multimodalResize _,
     "multimodal_meta" -> multimodalMeta _)
 }
