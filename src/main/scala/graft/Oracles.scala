@@ -1160,7 +1160,9 @@ object Oracles {
         | '0002000201' || hex(encode(substr(text, 1, 1))) ||
         |  hex(encode(substr(text, 3, 1))) || hex(encode(substr(text, 9, 1))) ||
         |  hex(encode(substr(text, 11, 1))) AS out_hex
-        |FROM documents WHERE length(text) >= 16 ORDER BY doc_id""".stripMargin,
+        |FROM documents
+        |WHERE length(text) >= 16 AND octet_length(encode(substr(text, 1, 16))) = 16
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha

@@ -1164,32 +1164,41 @@ object Queries {
     * same result — asymptotically better on web-scale corpora, but its
     * extra stages cost more than they save at this sf, so the benched
     * query keeps the direct plan; both are pinned by the same oracle.) */
-  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  /** Shared backbone of ngram_jaccard_pairs and containment_pairs: the
+    * df-capped exploded (doc_id, shingle) co-occurrence rows plus per-doc
+    * capped set sizes. One explicit exchange on x feeds the df window,
+    * BOTH self-join sides, and the sizes aggregate: identical child plans
+    * -> Spark reuses the shuffle stage, so the (expensive, interpreted)
+    * shingle pipeline runs exactly once instead of once per plan branch.
+    * Sizes come from the exploded rows (sh is already distinct), NOT
+    * size(sh): an aggregate attribute can't be inlined by constraint
+    * inference into a quadratic interpreted filter over the shingle tree;
+    * counting after the df filter makes the semantics "over the df-capped
+    * sets" — exact, and identical to unfiltered when the cap exceeds the
+    * corpus max df. Returns (exploded, sizes, pair intersections). */
+  private def dfCappedPairBackbone(d: DataFrame): (DataFrame, DataFrame) = {
     val sets = MinHash.withShingles(d, "doc_id", "text", native = true)
       .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
-    // one explicit exchange on x feeds the df window, BOTH self-join sides,
-    // and the sizes aggregate: identical child plans -> Spark reuses the
-    // shuffle stage, so the (expensive, interpreted) shingle pipeline runs
-    // exactly once instead of once per plan branch
     val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
       .repartition(col("x"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
       .filter(col("df") <= NgramMaxDf)
       .select(col("doc_id"), col("x"))
-    // set sizes from the exploded rows (sh is already distinct), NOT
-    // size(sh): an aggregate attribute can't be inlined by constraint
-    // inference into a quadratic interpreted filter over the shingle tree.
-    // Counting after the df filter makes the semantics "jaccard over the
-    // df-capped sets" — exact, and identical to unfiltered when the cap
-    // exceeds the corpus max df.
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = exploded.as("a")
+    (exploded, sizes)
+  }
+
+  /** Pair intersection counts over the backbone's exploded rows. */
+  private def pairIntersections(exploded: DataFrame): DataFrame =
+    exploded.as("a")
       .join(exploded.as("b"),
         col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_1"), col("b.doc_id").as("id_2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val (exploded, sizes) = dfCappedPairBackbone(t(s, dir, "documents"))
+    pairIntersections(exploded)
       .join(sizes.as("na"), col("id_1") === col("na.doc_id"))
       .join(sizes.as("nb"), col("id_2") === col("nb.doc_id"))
       .withColumn("jaccard_bp",
@@ -1206,19 +1215,8 @@ object Queries {
     * backbone as ngram_jaccard_pairs (one reused exchange feeds the join
     * sides and the sizes), different final ratio. */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sets = MinHash.withShingles(t(s, dir, "documents"), "doc_id", "text", native = true)
-      .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
-    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
-      .repartition(col("x"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
-      .filter(col("df") <= NgramMaxDf)
-      .select(col("doc_id"), col("x"))
-    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_1"), col("b.doc_id").as("id_2"))
-      .agg(count(lit(1)).as("inter"))
+    val (exploded, sizes) = dfCappedPairBackbone(t(s, dir, "documents"))
+    pairIntersections(exploded)
       .join(sizes.as("na"), col("id_1") === col("na.doc_id"))
       .join(sizes.as("nb"), col("id_2") === col("nb.doc_id"))
       .withColumn("min_n", least(col("na.n"), col("nb.n")))
@@ -1465,8 +1463,13 @@ object Queries {
     * arithmetic, binary column round-trip) hash-checked even though the
     * production codec stays a stub. */
   def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    // the 16-char prefix must also be 16 BYTES (pure ASCII): the payload is
+    // built from UTF-8 bytes while the oracle samples characters, so a
+    // multi-byte char in the prefix would silently desynchronize the two —
+    // gate on byte length up front (the oracle applies the same predicate)
     val src = t(s, dir, "documents")
-      .filter(length(col("text")) >= 16)
+      .filter(length(col("text")) >= 16 &&
+        octet_length(substring(col("text"), 1, 16)) === 16)
       .select(col("doc_id"),
         concat(unhex(lit("0004000401")),
           substring(col("text"), 1, 16).cast(BinaryType)).as("payload"))

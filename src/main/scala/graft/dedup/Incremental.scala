@@ -43,10 +43,17 @@ object Incremental {
       .join(fp(refDocs).select(col("__fp")), Seq("__fp"), "left_semi")
       .select(col("__id"))
 
+    // docs under 3 tokens have EMPTY shingle sets and all share the P-1
+    // sentinel signature — without this prefilter every short new doc
+    // band-collides with every short reference doc (an M x N candidate
+    // blow-up) only for the Jaccard verify to discard each pair; dropping
+    // them from the band legs is semantics-neutral (the exact-fingerprint
+    // guard still catches short duplicates)
     def bandKeys(d: DataFrame) = {
       val keys = (0 until Hashing.Bands)
         .map(b => concat_ws("#", lit(b), col(s"band_$b")))
-      MinHash.bands(d, idCol, textCol, native = native)
+      MinHash.bands(d.filter(size(split(col(textCol), " ")) >= 3),
+          idCol, textCol, native = native)
         .select(col(idCol).as("__id"), explode(array(keys: _*)).as("__key"))
     }
     def sets(d: DataFrame) = MinHash.withShingles(d, idCol, textCol, native)

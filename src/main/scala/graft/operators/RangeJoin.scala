@@ -32,6 +32,12 @@ object RangeJoin {
     * (inclusive) range contains `pointCol`, matching equal `keys` columns.
     * All three bound columns must be integral (e.g. epoch micros). Output:
     * key columns + point columns + interval columns.
+    *
+    * `maxBucketsPerInterval` fails the job LOUDLY (raise_error, naming the
+    * offending span) instead of letting one corrupt open-ended interval —
+    * a year-9999 sentinel against an hour-wide bucket — expand to a
+    * billion-element sequence and OOM a task. Size it to the widest
+    * legitimate interval / bucketWidth.
     */
   def pointInInterval(
       points: DataFrame,
@@ -40,14 +46,22 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       keys: Seq[String] = Nil,
-      bucketWidth: Long = 3600L * 1000000L): DataFrame = {
+      bucketWidth: Long = 3600L * 1000000L,
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val pb = points.withColumn("__bucket", expr(bucketExpr(pointCol, bucketWidth)))
+    val loB = expr(bucketExpr(loCol, bucketWidth))
+    val hiB = expr(bucketExpr(hiCol, bucketWidth))
     val ib = intervals
       .filter(col(hiCol) >= col(loCol))
       .withColumn("__bucket", explode(sequence(
-        expr(bucketExpr(loCol, bucketWidth)),
-        expr(bucketExpr(hiCol, bucketWidth)))))
+        when(hiB - loB >= maxBucketsPerInterval, raise_error(concat(
+          lit(s"RangeJoin: interval spans more than $maxBucketsPerInterval " +
+            s"buckets of width $bucketWidth ([" ),
+          col(loCol), lit(", "), col(hiCol),
+          lit("]); widen bucketWidth or fix the interval")))).otherwise(loB),
+        hiB)))
     pb.join(ib, keys :+ "__bucket")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")

@@ -54,15 +54,24 @@ object Timers {
     * and would leak a per-stage map on a long-lived driver). */
   private val stagePhase = new ConcurrentHashMap[Int, String]()
   private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
+  // stage -> number of live labeled jobs referencing it: a stage shared via
+  // shuffle reuse with a still-running job must keep its mapping until the
+  // LAST referencing job ends, or that job's remaining task-end events
+  // would silently lose attribution
+  private val stageRefs = new ConcurrentHashMap[Int, Integer]()
 
   private object Listener extends SparkListener {
     override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
-      val phase = jobStart.properties.getProperty(PhaseKey)
+      // properties is nullable on SparkListenerJobStart (e.g. replayed logs)
+      val phase = Option(jobStart.properties).map(_.getProperty(PhaseKey)).orNull
       if (phase != null) {
         jobStages.put(jobStart.jobId, jobStart.stageIds)
-        // putIfAbsent: a stage shared with a still-running earlier job keeps
-        // its original label — in-flight tasks are not re-attributed
-        jobStart.stageIds.foreach(id => stagePhase.putIfAbsent(id, phase))
+        jobStart.stageIds.foreach { id =>
+          stageRefs.merge(id, Int.box(1), (a, b) => Int.box(a + b))
+          // putIfAbsent: a stage shared with a still-running earlier job
+          // keeps its original label — in-flight tasks are not re-attributed
+          stagePhase.putIfAbsent(id, phase)
+        }
       }
     }
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
@@ -74,10 +83,16 @@ object Timers {
       }
     }
     override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit = {
-      // task-end events precede job end on the bus, so pruning every stage
-      // of the finished job (including skipped ones) loses no attributions
+      // task-end events precede job end on the bus, so pruning a stage once
+      // its last referencing job finishes loses no attributions
       val ids = jobStages.remove(jobEnd.jobId)
-      if (ids != null) ids.foreach(stagePhase.remove(_))
+      if (ids != null) ids.foreach { id =>
+        val left = stageRefs.merge(id, Int.box(-1), (a, b) => Int.box(a + b))
+        if (left == null || left <= 0) {
+          stageRefs.remove(id)
+          stagePhase.remove(id)
+        }
+      }
     }
   }
 

@@ -99,11 +99,12 @@ object Streaming {
       outputDir: String,
       checkpointDir: String,
       keyCols: Seq[String] = Seq("event_id"),
-      watermark: String = "2 hours"): StreamingQuery = {
+      watermark: String = "2 hours",
+      tsCol: String = "ts"): StreamingQuery = {
     val in = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .parquet(inputDir)
-    in.withWatermark("ts", watermark)
+    in.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
       .writeStream
       .outputMode("append")

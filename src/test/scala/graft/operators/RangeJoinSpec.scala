@@ -36,6 +36,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(2L, 3L))
   }
 
+  test("an interval wider than maxBucketsPerInterval fails loudly, not OOM") {
+    val points = Seq((1L, 5L)).toDF("pid", "p")
+    val intervals = Seq((10L, 0L, Long.MaxValue / 2)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi",
+        keys = Nil, bucketWidth = 16L, maxBucketsPerInterval = 1000L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("equi-keys restrict matches and each pair is emitted exactly once") {
     val points = Seq(("u1", 1L, 50L), ("u2", 2L, 50L)).toDF("u", "pid", "p")
     val intervals = Seq(("u1", 10L, 0L, 100L), ("u2", 11L, 60L, 100L))
