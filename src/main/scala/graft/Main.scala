@@ -16,6 +16,9 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service, YamlConfi
   * runMain graft.Main --config app.properties --stream   # one streaming
   *   # catch-up pass per topic via the DSv2 Avro source (checkpointed
   *   # under <output>/_checkpoints/<topic>)
+  * runMain graft.Main --curate --input docs.parquet --output out/
+  *   # corpus curation: cleanup -> quality gate -> exact + near dedup ->
+  *   # deterministic split, written partitioned by split (no --config)
   * }}}
   *
   * A `.yml`/`.yaml` config is loaded through [[YamlConfig]]: its storage
@@ -30,6 +33,9 @@ object Main {
     var stream = false
     var clean = false
     var timer = false
+    var curate = false
+    var input: Option[String] = None
+    var output: Option[String] = None
     var interval: Option[Long] = None
     var cleanerInterval: Option[Long] = None
     var cleanerAgeMs: Option[Long] = None
@@ -41,12 +47,28 @@ object Main {
         case "--stream"           => stream = true; i += 1
         case "--clean"            => clean = true; i += 1
         case "--timer"            => timer = true; i += 1
+        case "--curate"           => curate = true; i += 1
+        case "--input"            => input = Some(args(i + 1)); i += 2
+        case "--output"           => output = Some(args(i + 1)); i += 2
         case "--interval"         => interval = Some(args(i + 1).toLong); i += 2
         case "--cleaner-interval" => cleanerInterval = Some(args(i + 1).toLong); i += 2
         case "--cleaner-age-ms"   => cleanerAgeMs = Some(args(i + 1).toLong); i += 2
         case other =>
           System.err.println(s"unknown argument: $other"); sys.exit(2)
       }
+    }
+    if (curate) {
+      val (in, out) = (input, output) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ =>
+          System.err.println("usage: graft.Main --curate --input <parquet> --output <dir>")
+          sys.exit(2); throw new IllegalStateException
+      }
+      val spark = Sessions.build("graft-curate")
+      val n = runCurate(spark, in, out)
+      println(s"[graft] curated $n docs -> $out")
+      spark.stop()
+      return
     }
     val path = configPath.getOrElse {
       System.err.println(
@@ -112,5 +134,15 @@ object Main {
       }
       spark.stop()
     }
+  }
+
+  /** The --curate mode body (factored out so specs can drive it on a shared
+    * session): curate `in` (a documents-shaped parquet with doc_id + text)
+    * and write the result partitioned by split. Returns curated row count. */
+  def runCurate(spark: org.apache.spark.sql.SparkSession, in: String, out: String): Long = {
+    val curated = pipelines.CorpusPipeline
+      .curate(spark.read.parquet(in), "doc_id", "text")
+    curated.write.mode("overwrite").partitionBy("split").parquet(out)
+    spark.read.parquet(out).count()
   }
 }
