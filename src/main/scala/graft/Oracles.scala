@@ -1129,6 +1129,21 @@ object Oracles {
          | CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM h ORDER BY shard, pos""".stripMargin,
 
+    // per-source token budget: admit docs in hash-rank order until the
+    // cumulative token count passes the budget
+    "token_budget_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  (doc_id * $TokenHashA) % $P AS h,
+         |  CASE WHEN source IN ('src0', 'src1') THEN 1000 ELSE 400 END AS budget
+         | FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens, budget,
+         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |   ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(cum AS BIGINT) AS cum
+         |FROM c WHERE cum <= budget ORDER BY source, cum""".stripMargin,
+
     // full-outer symmetric difference of two distinct key sets
     "cust_retention" ->
       """WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders

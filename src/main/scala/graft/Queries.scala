@@ -1342,6 +1342,26 @@ object Queries {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Token-budget domain mixing — real mixes are specified in TOKENS, not
+    * document counts: per source, documents are admitted in hash-rank
+    * order until the cumulative token count exceeds the source's budget.
+    * One running-sum window per source (the per-source sort is the quota
+    * price, same as domain_mix); membership is deterministic on any
+    * engine or partitioning because the rank order and the token counts
+    * are both exact integers. */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val budget = when(col("source").isin("src0", "src1"), 1000L).otherwise(400L)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        expr(s"(doc_id * ${Hashing.TokenHashA}L) % ${Hashing.P}L").as("h"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
+      .orderBy(col("source"), col("cum"))
+  }
+
   /** Incremental cross-corpus dedup (the crawl-refresh shape): docs with
     * id >= 250 are the "new batch", the rest the already-curated
     * reference; a new doc survives unless it exactly fingerprints or LSH-
@@ -1570,6 +1590,7 @@ object Queries {
     "shuffle_shards" -> shuffleShards _,
     "epoch_upsample" -> epochUpsample _,
     "incremental_dedup" -> incrementalDedup _,
+    "token_budget_mix" -> tokenBudgetMix _,
     "cust_retention" -> custRetention _,
     "nation_quartiles" -> nationRevenueQuartiles _,
     "multimodal_resize" -> multimodalResize _,
