@@ -1179,6 +1179,14 @@ object Oracles {
         |WHERE length(text) >= 16 AND octet_length(encode(substr(text, 1, 16))) = 16
         |ORDER BY doc_id""".stripMargin,
 
+    // stride-2 frame sampling of a synthesized 6-frame array<binary>
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+        | hex(encode(substr(text, t.i * 8 + 1, 8))) AS frame_hex
+        |FROM documents CROSS JOIN (SELECT unnest([0, 2, 4]) AS i) t
+        |WHERE length(text) >= 48 AND octet_length(encode(substr(text, 1, 48))) = 48
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin)

@@ -1498,6 +1498,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Video-shaped frame sampling pinned cross-engine: a 6-frame fake
+    * "video" is synthesized per document (frame i = 8 ASCII bytes of the
+    * text), stride-2 sampled by the posexplode+filter operator, and
+    * hex-dumped. Same ASCII byte-length gate as multimodal_resize so the
+    * byte/char views can never diverge. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val frames =
+      expr("transform(sequence(0, 5), i -> cast(substring(text, i*8+1, 8) as binary))")
+    val src = t(s, dir, "documents")
+      .filter(length(col("text")) >= 48 &&
+        octet_length(substring(col("text"), 1, 48)) === 48)
+      .select(col("doc_id"), frames.as("frames"))
+    graft.multimodal.Multimodal.frameSample(src, "frames", stride = 2)
+      .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        hex(col("frame")).as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** The catalog: name -> query. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -1594,5 +1612,6 @@ object Queries {
     "cust_retention" -> custRetention _,
     "nation_quartiles" -> nationRevenueQuartiles _,
     "multimodal_resize" -> multimodalResize _,
+    "multimodal_frames" -> multimodalFrames _,
     "multimodal_meta" -> multimodalMeta _)
 }
