@@ -40,19 +40,27 @@ object Main {
     var cleanerInterval: Option[Long] = None
     var cleanerAgeMs: Option[Long] = None
     var i = 0
+    // value-taking flags must not run off the end of args with an
+    // ArrayIndexOutOfBoundsException — report the flag instead
+    def value(j: Int): String =
+      if (j < args.length) args(j)
+      else {
+        System.err.println(s"missing value for ${args(j - 1)}")
+        sys.exit(2); throw new IllegalStateException
+      }
     while (i < args.length) {
       args(i) match {
-        case "--config"           => configPath = Some(args(i + 1)); i += 2
+        case "--config"           => configPath = Some(value(i + 1)); i += 2
         case "--service"          => service = true; i += 1
         case "--stream"           => stream = true; i += 1
         case "--clean"            => clean = true; i += 1
         case "--timer"            => timer = true; i += 1
         case "--curate"           => curate = true; i += 1
-        case "--input"            => input = Some(args(i + 1)); i += 2
-        case "--output"           => output = Some(args(i + 1)); i += 2
-        case "--interval"         => interval = Some(args(i + 1).toLong); i += 2
-        case "--cleaner-interval" => cleanerInterval = Some(args(i + 1).toLong); i += 2
-        case "--cleaner-age-ms"   => cleanerAgeMs = Some(args(i + 1).toLong); i += 2
+        case "--input"            => input = Some(value(i + 1)); i += 2
+        case "--output"           => output = Some(value(i + 1)); i += 2
+        case "--interval"         => interval = Some(value(i + 1).toLong); i += 2
+        case "--cleaner-interval" => cleanerInterval = Some(value(i + 1).toLong); i += 2
+        case "--cleaner-age-ms"   => cleanerAgeMs = Some(value(i + 1).toLong); i += 2
         case other =>
           System.err.println(s"unknown argument: $other"); sys.exit(2)
       }
@@ -72,7 +80,8 @@ object Main {
     }
     val path = configPath.getOrElse {
       System.err.println(
-        "usage: graft.Main --config <properties|yaml> [--service] [--clean]")
+        "usage: graft.Main --config <properties|yaml> [--service] [--clean] " +
+          "| --curate --input <parquet> --output <dir>")
       sys.exit(2); throw new IllegalStateException
     }
     val app = // yaml configs carry the full reference surface
@@ -142,7 +151,12 @@ object Main {
   def runCurate(spark: org.apache.spark.sql.SparkSession, in: String, out: String): Long = {
     val curated = pipelines.CorpusPipeline
       .curate(spark.read.parquet(in), "doc_id", "text")
-    curated.write.mode("overwrite").partitionBy("split").parquet(out)
+    // rebalance on the partition column before the dynamic-partition write —
+    // same tiny-file fix as Restructure.write (without it every task writes
+    // to every split directory)
+    curated
+      .hint("rebalance", org.apache.spark.sql.functions.col("split"))
+      .write.mode("overwrite").partitionBy("split").parquet(out)
     spark.read.parquet(out).count()
   }
 }

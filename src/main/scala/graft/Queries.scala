@@ -1353,7 +1353,7 @@ object Queries {
     val budget = when(col("source").isin("src0", "src1"), 1000L).otherwise(400L)
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
         expr(s"(doc_id * ${Hashing.TokenHashA}L) % ${Hashing.P}L").as("h"))
       .withColumn("cum", sum(col("n_tokens")).over(
         Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
