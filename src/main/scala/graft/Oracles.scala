@@ -685,8 +685,8 @@ object Oracles {
          | WHERE node <> comp),
          |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
          |SELECT doc_id, clean_text, n_tokens, pred_lang,
-         | CASE WHEN (doc_id * $TokenHashA) % $P % 100 < 80 THEN 'train'
-         |      WHEN (doc_id * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         | CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |      WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
          |      ELSE 'test' END AS split
          |FROM fin ORDER BY doc_id""".stripMargin
     },
@@ -720,8 +720,8 @@ object Oracles {
 
     "stable_split" ->
       s"""SELECT lang,
-         | CASE WHEN (doc_id * $TokenHashA) % $P % 100 < 80 THEN 'train'
-         |      WHEN (doc_id * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         | CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |      WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
          |      ELSE 'test' END AS split,
          | COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
@@ -777,7 +777,7 @@ object Oracles {
          |  CASE WHEN source IN ('src0', 'src1') THEN 10000
          |       WHEN source IN ('src2', 'src3') THEN 5000
          |       ELSE 2500 END AS rate_bp,
-         |  (doc_id * $TokenHashA) % $P AS h FROM documents),
+         |  (doc_id % $P * $TokenHashA) % $P AS h FROM documents),
          |r AS (SELECT doc_id, source, rate_bp,
          |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT)
          |   AS sample_rank,
@@ -808,8 +808,8 @@ object Oracles {
     "token_pack" ->
       s"""WITH d AS (SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  CASE WHEN (doc_id * $TokenHashA) % $P % 100 < 80 THEN 'train'
-         |       WHEN (doc_id * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         |  CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |       WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split,
          |  doc_id % 64 AS shard
          | FROM documents),
@@ -918,6 +918,32 @@ object Oracles {
          |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
          |FROM h x JOIN h y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.sig, y.sig)) <= 2 ORDER BY id_1, id_2""".stripMargin
+    },
+
+    "simhash64_neardup" -> {
+      // 64-bit fingerprint = two independent 32-bit vote halves (TokenHashA
+      // low, TokenHashB high) — identical integer math to
+      // TextHashKernels.simhash64. Bit 63's weight is Long.MinValue; spelled
+      // (-q - 1) so the literal stays BIGINT-typed (a bare
+      // -9223372036854775808 parses as a negated HUGEINT), and placed last
+      // in the left-associated sum so every prefix stays in range.
+      val bitTerms = (0 until 64).map { i =>
+        val (mult, sh) = if (i < 32) (TokenHashA, i) else (TokenHashB, i - 32)
+        val weight =
+          if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+        s"(CASE WHEN 2*coalesce(CAST(list_sum(list_transform(codes, " +
+          s"c -> ((c*$mult) % $P >> $sh) & 1)) AS BIGINT), 0) > len(codes) " +
+          s"THEN $weight ELSE 0 END)"
+      }.mkString(" + ")
+      // blocking-independent brute force, same rationale as simhash_neardup:
+      // a recall gap in the Spark-side 4x16-bit pigeonhole blocks shows up
+      // as a row-count mismatch instead of being replicated here
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |h AS (SELECT doc_id, $bitTerms AS sig FROM c)
+         |SELECT x.doc_id AS id_1, y.doc_id AS id_2,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |FROM h x JOIN h y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 3 ORDER BY id_1, id_2""".stripMargin
     },
 
     "minhash_neardup" -> minhashNearDupSql,
@@ -1086,7 +1112,7 @@ object Oracles {
         .mkString(" UNION ALL ")
       s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
          |s AS (SELECT doc_id, $shinglesE AS sh FROM c),
-         |m AS (SELECT doc_id, $ms FROM s),
+         |m AS (SELECT doc_id, $ms FROM s WHERE len(sh) > 0),
          |bands AS ($bandSelects),
          |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
          |fps AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
@@ -1113,7 +1139,7 @@ object Oracles {
          |  CASE WHEN source IN ('src0', 'src1') THEN 32500
          |       WHEN source IN ('src2', 'src3') THEN 20000
          |       ELSE 10000 END AS rate_bp,
-         |  (doc_id * $TokenHashB) % $P % 10000 AS h FROM documents),
+         |  (doc_id % $P * $TokenHashB) % $P % 10000 AS h FROM documents),
          |c AS (SELECT doc_id, source,
          |  rate_bp // 10000 + CASE WHEN h < rate_bp % 10000 THEN 1 ELSE 0 END AS n
          | FROM d)
@@ -1124,7 +1150,7 @@ object Oracles {
 
     // deterministic shuffle: hash rank -> shard, per-shard position
     "shuffle_shards" ->
-      s"""WITH h AS (SELECT doc_id, (doc_id * $TokenHashB) % $P AS h FROM documents)
+      s"""WITH h AS (SELECT doc_id, (doc_id % $P * $TokenHashB) % $P AS h FROM documents)
          |SELECT doc_id, h % 16 AS shard,
          | CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM h ORDER BY shard, pos""".stripMargin,
@@ -1134,7 +1160,7 @@ object Oracles {
     "token_budget_mix" ->
       s"""WITH d AS (SELECT doc_id, source,
          |  len(string_split(text, ' ')) AS n_tokens,
-         |  (doc_id * $TokenHashA) % $P AS h,
+         |  (doc_id % $P * $TokenHashA) % $P AS h,
          |  CASE WHEN source IN ('src0', 'src1') THEN 1000 ELSE 400 END AS budget
          | FROM documents),
          |c AS (SELECT doc_id, source, n_tokens, budget,

@@ -838,7 +838,7 @@ object Queries {
     * engines, and partitionings (the property a training pipeline needs —
     * rand()-based sampling is none of those). 80/10/10 by bucket. */
   def stableSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = (col("doc_id") * Hashing.TokenHashA) % Hashing.P % 100
+    val bucket = (col("doc_id") % Hashing.P * Hashing.TokenHashA) % Hashing.P % 100
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
@@ -888,7 +888,7 @@ object Queries {
     val rateBp = when(col("source").isin("src0", "src1"), 10000L)
       .when(col("source").isin("src2", "src3"), 5000L)
       .otherwise(2500L)
-    val h = (col("doc_id") * Hashing.TokenHashA) % Hashing.P
+    val h = (col("doc_id") % Hashing.P * Hashing.TokenHashA) % Hashing.P
     val bySource = Window.partitionBy(col("source"))
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), rateBp.as("rate_bp"), h.as("h"))
@@ -1039,6 +1039,19 @@ object Queries {
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", maxBits = 2,
       native = true)
+      .select(col("id_1"), col("id_2"), col("hamming").cast(LongType).as("hamming"))
+      .orderBy(col("id_1"), col("id_2"))
+
+  /** Production-width simhash near-dup: the 64-bit fingerprint (two
+    * independent 32-bit vote halves) with the classic 4x16-bit pigeonhole
+    * blocking (Manku et al., WWW'07 use 64 bits / distance 3). Unlike the
+    * 16-bit variant — whose fingerprint space collides aggressively and
+    * whose pair output grows ~quadratically with corpus size — the 64-bit
+    * candidate blocks stay selective at web scale, so this is the entry a
+    * 100 TB run would use. */
+  def simhash64NearDup(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", maxBits = 3,
+      bits = 64, native = true)
       .select(col("id_1"), col("id_2"), col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("id_1"), col("id_2"))
 
@@ -1329,12 +1342,14 @@ object Queries {
     * shard count grows with the corpus (shards ≈ output files of a few GB
     * each); the hash rank keys a production run would take from
     * xxhash64(content) instead of the id-multiplicative form the oracle
-    * can replay. */
+    * can replay. The id is reduced mod P BEFORE the multiply (as
+    * MinHash.minhash does) so the product stays in Long/BIGINT range — and
+    * the hash stays engine-agnostic — for ids up to 2^63, not just 2^32. */
   def shuffleShards(s: SparkSession, dir: String): DataFrame = {
     val shards = 16
     t(s, dir, "documents")
       .select(col("doc_id"),
-        expr(s"(doc_id * ${Hashing.TokenHashB}L) % ${Hashing.P}L").as("h"))
+        expr(s"(doc_id % ${Hashing.P}L * ${Hashing.TokenHashB}L) % ${Hashing.P}L").as("h"))
       .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast(LongType))
@@ -1354,7 +1369,7 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-        expr(s"(doc_id * ${Hashing.TokenHashA}L) % ${Hashing.P}L").as("h"))
+        expr(s"(doc_id % ${Hashing.P}L * ${Hashing.TokenHashA}L) % ${Hashing.P}L").as("h"))
       .withColumn("cum", sum(col("n_tokens")).over(
         Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
       .filter(col("cum") <= budget)
@@ -1391,7 +1406,7 @@ object Queries {
       .otherwise(10000L)
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), rate.as("rate_bp"),
-        expr(s"(doc_id * ${Hashing.TokenHashB}L) % ${Hashing.P}L % 10000").as("h"))
+        expr(s"(doc_id % ${Hashing.P}L * ${Hashing.TokenHashB}L) % ${Hashing.P}L % 10000").as("h"))
       .withColumn("n_copies",
         expr("rate_bp div 10000") + when(col("h") < expr("rate_bp % 10000"), 1L).otherwise(0L))
       .filter(col("n_copies") > 0)
@@ -1593,6 +1608,7 @@ object Queries {
     "dup_ngrams" -> dupNgrams _,
     "neardup_components" -> neardupComponents _,
     "simhash_neardup" -> simhashNearDup _,
+    "simhash64_neardup" -> simhash64NearDup _,
     "dedup_keeplast_salted" -> dedupKeeplastSalted _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "jaccard_ppjoin" -> jaccardPpjoin _,

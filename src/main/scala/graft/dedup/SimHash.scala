@@ -82,7 +82,13 @@ object SimHash {
     // stage all join branches ((maxBits+1) blocks x 2 sides) reuse — the
     // interpreted bit-vote aggregates are the dominant cost here
     val sigExpr =
-      if (native) { require(bits == SimHashBits); call_function("graft_simhash16", col(textCol)) }
+      if (native) bits match {
+        case SimHashBits => call_function("graft_simhash16", col(textCol))
+        case 64          => call_function("graft_simhash64", col(textCol))
+        case other => throw new IllegalArgumentException(
+          s"no native kernel for $other-bit simhash (have $SimHashBits and 64)")
+      }
+      else if (bits == 64) simhash64(col(textCol))
       else simhash(col(textCol), bits)
     val bounds = blockBounds(bits, maxBits)
     val withSig = bounds.zipWithIndex

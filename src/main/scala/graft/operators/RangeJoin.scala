@@ -53,10 +53,14 @@ object RangeJoin {
     val pb = points.withColumn("__bucket", expr(bucketExpr(pointCol, bucketWidth)))
     val loB = expr(bucketExpr(loCol, bucketWidth))
     val hiB = expr(bucketExpr(hiCol, bucketWidth))
+    // after the hi >= lo filter the true bucket span is non-negative, so a
+    // NEGATIVE hiB - loB means the subtraction wrapped past Long.MaxValue —
+    // treat it as too-wide rather than falling through to a confusing
+    // sequence() length error
     val ib = intervals
       .filter(col(hiCol) >= col(loCol))
       .withColumn("__bucket", explode(sequence(
-        when(hiB - loB >= maxBucketsPerInterval, raise_error(concat(
+        when(hiB - loB >= maxBucketsPerInterval || hiB - loB < 0, raise_error(concat(
           lit(s"RangeJoin: interval spans more than $maxBucketsPerInterval " +
             s"buckets of width $bucketWidth ([" ),
           col(loCol), lit(", "), col(hiCol),

@@ -39,13 +39,21 @@ object CorpusPipeline {
       .withColumn("pred_lang", Text.langIdHeuristic(col("clean_text")))
   }
 
+  /** The stateless (row-local) portion of the quality gate: token-count
+    * minimum + language keep-list. Factored out so the streaming intake
+    * ([[graft.streaming.Streaming.curateStream]]) applies EXACTLY the same
+    * gates as the batch pipeline — a Config with keepLangs set must filter
+    * identically in both. */
+  def rowLocalGate(df: DataFrame, cfg: Config): DataFrame = {
+    val base = df.filter(col("n_tokens") >= cfg.minTokens)
+    if (cfg.keepLangs.isEmpty) base
+    else base.filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
+  }
+
   /** Row-local quality gate (fuses with annotate). The repetition signal
     * needs a per-doc aggregation, so it joins back only when enabled. */
   def qualityFilter(df: DataFrame, idCol: String, cfg: Config): DataFrame = {
-    val base = df.filter(col("n_tokens") >= cfg.minTokens)
-    val langGated =
-      if (cfg.keepLangs.isEmpty) base
-      else base.filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
+    val langGated = rowLocalGate(df, cfg)
     if (cfg.maxTopTokenBp >= 10000L) langGated
     else {
       val rep = langGated
@@ -84,7 +92,7 @@ object CorpusPipeline {
 
   /** Deterministic split column from the shared integer hash. */
   def withSplit(df: DataFrame, idCol: String, cfg: Config): DataFrame = {
-    val bucket = (col(idCol) * Hashing.TokenHashA) % Hashing.P % 100
+    val bucket = (col(idCol) % Hashing.P * Hashing.TokenHashA) % Hashing.P % 100
     df.withColumn("split",
       when(bucket < cfg.trainPct, "train")
         .when(bucket < cfg.trainPct + cfg.valPct, "val")

@@ -117,8 +117,10 @@ object Streaming {
 
   /** Streaming corpus intake — the incremental twin of CorpusPipeline's
     * stateless stages: cleanup + annotate fuse into the scan projection
-    * (row-local, no state), the token-count quality gate drops short docs
-    * before any state is touched, and exact dedup keys on the cleaned-text
+    * (row-local, no state), the row-local quality gates (token-count
+    * minimum + language keep-list, shared verbatim with the batch pipeline
+    * via [[graft.pipelines.CorpusPipeline.rowLocalGate]]) drop docs before
+    * any state is touched, and exact dedup keys on the cleaned-text
     * fingerprint inside the watermark horizon. State is bounded by the
     * lateness horizon exactly as [[dedupStream]] — fingerprints evict when
     * the watermark passes, so the store is O(docs per horizon), never
@@ -134,13 +136,13 @@ object Streaming {
       idCol: String = "doc_id",
       textCol: String = "text",
       tsCol: String = "ts",
-      minTokens: Long = 5L,
+      cfg: graft.pipelines.CorpusPipeline.Config = graft.pipelines.CorpusPipeline.Config(),
       watermark: String = "2 hours"): StreamingQuery = {
     val in = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .parquet(inputDir)
-    graft.pipelines.CorpusPipeline.annotate(in, textCol)
-      .filter(col("n_tokens") >= minTokens)
+    graft.pipelines.CorpusPipeline
+      .rowLocalGate(graft.pipelines.CorpusPipeline.annotate(in, textCol), cfg)
       .withColumn("__fp", graft.text.Text.fingerprint(col("clean_text")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")

@@ -36,6 +36,20 @@ class IncrementalSpec extends SparkSpec {
     assert(out == Seq(20L, 21L)) // both survive: neither is in the reference
   }
 
+  test("short docs (<3 tokens) skip the band legs but still exact-dedup") {
+    // every short doc shares the sentinel minhash signature; without the
+    // band-leg prefilter this corpus would band-join all short pairs M x N
+    val ref = Seq((1L, "ok"), (2L, "hi there"), (3L, refText1)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (40L, "ok"),        // exact dup of a short ref doc -> dropped
+      (41L, "yo"),        // short but unique -> survives
+      (42L, nearText))    // near dup of long ref doc -> dropped
+      .toDF("doc_id", "text")
+    val out = Incremental.survivors(fresh, ref, "doc_id", "text", minBp = 8000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(41L))
+  }
+
   test("an empty reference drops nothing") {
     val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val fresh = Seq((30L, refText1), (31L, refText2)).toDF("doc_id", "text")

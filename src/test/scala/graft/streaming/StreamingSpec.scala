@@ -107,6 +107,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 5L))
   }
 
+  test("curateStream applies the batch pipeline's language gate (keepLangs)") {
+    val dir = Files.createTempDirectory("graft-stream-curate-lang").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val docs = Seq(
+      (1L, ts(0), "the quick brown fox jumps over the dog"),
+      (2L, ts(1), "der schnelle braune fuchs springt und der hund schläft und"))
+    docs.toDF("doc_id", "ts", "text").write.parquet(in)
+    val cfg = graft.pipelines.CorpusPipeline.Config(keepLangs = Set("en"))
+    Streaming.curateStream(spark, in, out, cp, cfg = cfg).awaitTermination()
+    val got = spark.read.parquet(out).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toSeq
+    // identical gate as batch: whatever langs the batch rowLocalGate keeps,
+    // the stream keeps — computed from the same annotate output
+    val batchKept = graft.pipelines.CorpusPipeline
+      .rowLocalGate(graft.pipelines.CorpusPipeline.annotate(
+        docs.toDF("doc_id", "ts", "text"), "text"), cfg)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got.map(_._1).sorted == batchKept)
+    assert(got.forall(_._2 == "en"))
+  }
+
   test("trackOffsets keeps per-key max offset and count across a batch") {
     val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
       .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap

@@ -62,6 +62,23 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("64-bit nearDuplicates (4x16 pigeonhole, native kernel) matches brute force") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog variant$i tail words")
+    }.toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"), SimHash.simhash64(col("text"), native = true).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    val got = SimHash.nearDuplicates(docs, "doc_id", "text", maxBits = 3, bits = 64,
+      native = true)
+      .select(col("id_1"), col("id_2"), col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("prefix-filtered jaccard pairs == brute force over shingle sets") {
     // overlapping near-dup corpus: doc i shares most tokens with doc i+1
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
