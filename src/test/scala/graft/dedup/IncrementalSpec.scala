@@ -50,6 +50,37 @@ class IncrementalSpec extends SparkSpec {
     assert(out == Seq(41L))
   }
 
+  test("persisted index: refresh runs from parquet alone and matches inline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-index").toFile
+    val ref = Seq((1L, refText1), (2L, refText2)).toDF("doc_id", "text")
+    Incremental.saveIndex(
+      Incremental.buildIndex(ref, "doc_id", "text", native = true), dir.toString)
+    // the refresh side: loadIndex is pure parquet scans — the reference
+    // TEXT is not an input anywhere on this path, so nothing reference-side
+    // can be recomputed
+    val idx = Incremental.loadIndex(spark, dir.toString)
+    assert(idx.fps.schema.fieldNames.toSeq == Seq("__id", "__fp"))
+    val fresh = Seq(
+      (10L, refText1),                       // exact duplicate of ref 1
+      (11L, nearText),                       // near duplicate of ref 1
+      (12L, "totally different words only")) // clean
+      .toDF("doc_id", "text")
+    val fromIndex = Incremental
+      .survivors(fresh, idx, "doc_id", "text", 8000L, native = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val inline = Incremental.survivors(fresh, ref, "doc_id", "text", minBp = 8000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fromIndex == Seq(12L))
+    assert(fromIndex == inline)
+    // a second batch reuses the same loaded index unchanged
+    val batch2 = Seq((20L, refText2), (21L, "yet another clean document text"))
+      .toDF("doc_id", "text")
+    val out2 = Incremental
+      .survivors(batch2, idx, "doc_id", "text", 8000L, native = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(21L))
+  }
+
   test("an empty reference drops nothing") {
     val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val fresh = Seq((30L, refText1), (31L, refText2)).toDF("doc_id", "text")
