@@ -102,11 +102,42 @@ object Oracles {
        |SELECT query_id, neighbor_id, dot, "rank" FROM r WHERE "rank" <= 10
        |ORDER BY query_id, "rank"""".stripMargin
 
-  /** Deterministic IVF ANN top-k (shared by ivf_topk and ann_recall). */
-  private val ivfTopkSql =
-    s"""WITH e AS (SELECT vec_id, $quantE AS v FROM embeddings),
+  /** Shared refined-IVF CTE chain (used by ivf_topk and ann_recall): seed
+    * centroids = quantized vectors of the 16 smallest ids; ONE spherical
+    * Lloyd refinement — assign to seeds, per-(list, dim) EXACT integer
+    * floor mean ((s - pmod(s, n)) / n with an exactly-divisible numerator,
+    * so DuckDB's truncating // equals Spark's floor; an emptied list keeps
+    * its seed), then each refined centroid rescaled onto the quantized
+    * unit sphere with floor((coord * QuantScale) / sqrt(dot(c, c))) — the
+    * BIGINT multiply happens before the double divide, the same shape (and
+    * therefore bit-identical IEEE result) as IVF.build's driver-side
+    * rescale. The final assign + probe run against the refined centroids;
+    * `cand` keeps the probe rank `rn` so one chain serves several nprobe
+    * settings. */
+  private def ivfCandCtes(probeMax: Int): String =
+    s"""e AS (SELECT vec_id, $quantE AS v FROM embeddings),
        |cent0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
-       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS c FROM cent0),
+       |cseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS c FROM cent0),
+       |a0s AS (SELECT e.vec_id, e.v, cseed.l, ${dotE("e.v", "cseed.c")} AS s
+       | FROM e CROSS JOIN cseed),
+       |a0 AS (SELECT vec_id, v, l AS list FROM (
+       | SELECT vec_id, v, l,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l ASC) AS rn
+       | FROM a0s) WHERE rn = 1),
+       |dims AS (SELECT CAST(t.d AS BIGINT) AS d FROM UNNEST(range($Dim)) AS t(d)),
+       |m1 AS (SELECT a0.list AS l, dims.d,
+       |  CAST(SUM(a0.v[dims.d + 1]) AS BIGINT) AS s, COUNT(*) AS n
+       | FROM a0 CROSS JOIN dims GROUP BY 1, 2),
+       |craw AS (SELECT cseed.l,
+       |  list(COALESCE((m1.s - ((m1.s % m1.n + m1.n) % m1.n)) // m1.n,
+       |                cseed.c[dims.d + 1]) ORDER BY dims.d) AS c
+       | FROM cseed CROSS JOIN dims
+       | LEFT JOIN m1 ON m1.l = cseed.l AND m1.d = dims.d
+       | GROUP BY cseed.l),
+       |cent AS (SELECT l, CASE WHEN ${dotE("c", "c")} = 0 THEN c
+       |  ELSE list_transform(c, x ->
+       |   CAST(floor((x * $QuantScale) / sqrt(CAST(${dotE("c", "c")} AS DOUBLE))) AS BIGINT))
+       |  END AS c FROM craw),
        |ascore AS (SELECT e.vec_id, e.v, cent.l, ${dotE("e.v", "cent.c")} AS s
        | FROM e CROSS JOIN cent),
        |assign AS (SELECT vec_id, v, l AS list FROM (
@@ -116,12 +147,17 @@ object Oracles {
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
        |qscore AS (SELECT q.query_id, q.qv, cent.l, ${dotE("q.qv", "cent.c")} AS s
        | FROM q CROSS JOIN cent),
-       |probe AS (SELECT query_id, qv, l AS list FROM (
-       | SELECT query_id, qv, l,
+       |probe AS (SELECT query_id, qv, list, rn FROM (
+       | SELECT query_id, qv, l AS list,
        |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, l DESC) AS rn
-       | FROM qscore) WHERE rn <= 4),
-       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${dotE("p.qv", "a.v")} AS dot
-       | FROM probe p JOIN assign a ON p.list = a.list WHERE a.vec_id <> p.query_id),
+       | FROM qscore) WHERE rn <= $probeMax),
+       |cand AS (SELECT p.query_id, p.rn, a.vec_id AS neighbor_id,
+       |  ${dotE("p.qv", "a.v")} AS dot
+       | FROM probe p JOIN assign a ON p.list = a.list WHERE a.vec_id <> p.query_id)""".stripMargin
+
+  /** Deterministic IVF ANN top-k at nprobe 4 (the ivf_topk catalog entry). */
+  private val ivfTopkSql =
+    s"""WITH ${ivfCandCtes(4)},
        |r AS (SELECT query_id, neighbor_id, dot,
        | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS "rank"
        | FROM cand)
@@ -1009,16 +1045,27 @@ object Oracles {
 
     "ivf_topk" -> ivfTopkSql,
 
-    // recall@k of the IVF ANN path against the exact brute-force top-k
+    // recall@k of the refined IVF ANN path against the exact brute-force
+    // top-k, at two probe widths from ONE shared candidate chain (rn <= 4
+    // and rn <= 6 slices of the same probe ranking) — the quality curve a
+    // pipeline reads before picking its scan fraction
     "ann_recall" ->
-      s"""WITH exact AS ($cosineTopkSql),
-         |approx AS ($ivfTopkSql),
-         |m AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
-         | FROM exact e JOIN approx a USING (query_id, neighbor_id) GROUP BY 1),
-         |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1)
-         |SELECT query_id, k, coalesce(n_match, 0) AS n_match,
-         | CAST(coalesce(n_match, 0) * 10000 // k AS BIGINT) AS recall_bp
-         |FROM kk LEFT JOIN m USING (query_id) ORDER BY query_id""".stripMargin,
+      s"""WITH ${ivfCandCtes(6)},
+         |exact AS ($cosineTopkSql),
+         |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1),
+         |cfg AS (SELECT CAST(unnest([4, 6]) AS BIGINT) AS nprobe),
+         |topk AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |  SELECT cfg.nprobe, c.query_id, c.neighbor_id,
+         |   row_number() OVER (PARTITION BY cfg.nprobe, c.query_id
+         |    ORDER BY c.dot DESC, c.neighbor_id ASC) AS rk
+         |  FROM cfg JOIN cand c ON c.rn <= cfg.nprobe) WHERE rk <= 10),
+         |m AS (SELECT t.nprobe, e.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+         | FROM exact e JOIN topk t USING (query_id, neighbor_id) GROUP BY 1, 2)
+         |SELECT kk.query_id, cfg.nprobe, kk.k, coalesce(m.n_match, 0) AS n_match,
+         | CAST(coalesce(m.n_match, 0) * 10000 // kk.k AS BIGINT) AS recall_bp
+         |FROM kk CROSS JOIN cfg LEFT JOIN m
+         | ON m.query_id = kk.query_id AND m.nprobe = cfg.nprobe
+         |ORDER BY kk.query_id, cfg.nprobe""".stripMargin,
 
     "cosine_topk" -> cosineTopkSql,
 

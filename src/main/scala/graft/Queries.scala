@@ -1251,12 +1251,14 @@ object Queries {
   /** IVF ANN top-k at nprobe < nlist — the list-partitioned scale path for
     * cosine_topk (each query scans nprobe/nlist of the corpus instead of all
     * of it). Build and search are fully deterministic (centroids = quantized
-    * vectors of the nlist smallest ids, integer dots, fixed tie-breaks), so
-    * the DuckDB oracle replays the identical pipeline and the approximate
-    * result is hash-pinned, not just rows-counted. */
+    * vectors of the nlist smallest ids refined by ONE Lloyd iteration with
+    * exact integer floor means, integer dots, fixed tie-breaks), so the
+    * DuckDB oracle replays the identical pipeline — including the
+    * refinement round — and the approximate result is hash-pinned, not just
+    * rows-counted. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val index = IVF.build(emb, "vec_id", "embedding", nlist = 16)
+    val index = IVF.build(emb, "vec_id", "embedding", nlist = 16, iters = 1)
     IVF.search(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
       k = 10, nprobe = 4)
       .orderBy(col("query_id"), col("rank"))
@@ -1271,23 +1273,33 @@ object Queries {
   }
 
   /** Recall@k quality gate for the ANN path: per query, how many of the
-    * exact brute-force top-k the IVF search recovered at nprobe < nlist.
-    * This is the measurement a pipeline runs before trusting an ANN index
-    * at scale; both legs are deterministic, so the recall numbers
-    * themselves are hash-pinned by the oracle, not just eyeballed. */
+    * exact brute-force top-k the refined IVF search recovered, at TWO
+    * probe widths (4/16 and 6/16) from one index build — the quality curve
+    * a pipeline reads before picking its scan fraction. This is the
+    * measurement a pipeline runs before trusting an ANN index at scale;
+    * both legs are deterministic (including the spherical Lloyd round), so
+    * the recall numbers themselves are hash-pinned by the oracle, not just
+    * eyeballed. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = IVF.build(emb, "vec_id", "embedding", nlist = 16, iters = 1)
     val exact = cosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
-    val approx = ivfTopK(s, dir).select(col("query_id"), col("neighbor_id"))
     val k = exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
-    val matched = exact
-      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_match"))
-    k.join(matched, Seq("query_id"), "left")
-      .select(col("query_id"), col("k"),
-        coalesce(col("n_match"), lit(0L)).as("n_match"))
-      .withColumn("recall_bp", expr("n_match * 10000 div k"))
-      .orderBy(col("query_id"))
+    def leg(nprobe: Int): DataFrame = {
+      val approx = IVF
+        .search(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, nprobe = nprobe)
+        .select(col("query_id"), col("neighbor_id"))
+      val matched = exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_match"))
+      k.join(matched, Seq("query_id"), "left")
+        .select(col("query_id"), lit(nprobe.toLong).as("nprobe"), col("k"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
+        .withColumn("recall_bp", expr("n_match * 10000 div k"))
+    }
+    leg(4).unionByName(leg(6)).orderBy(col("query_id"), col("nprobe"))
   }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =

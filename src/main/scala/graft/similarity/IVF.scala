@@ -55,12 +55,31 @@ object IVF {
     *
     * Refinement stays fully distributed and deterministic: each iteration is
     * one posexplode + groupBy over (list, dimension) — a single hash
-    * exchange of (list, dim, coord) triples — and the new coordinate is
-    * floor(avg), exact for coordinate sums below 2^53. A list that loses
-    * all members keeps its previous centroid. Better-balanced lists mean a
-    * lower and more uniform nprobe/nlist scan fraction at query time, which
-    * is what matters at corpus scale. */
-  def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int, iters: Int = 0): Index = {
+    * exchange of (list, dim, coord) triples — and the new coordinate is the
+    * EXACT integer floor mean, computed as (sum - pmod(sum, n)) div n so it
+    * never round-trips through a double (engine-agnostic: the numerator is
+    * exactly divisible, so DuckDB's truncating // computes the same floor).
+    * A list that loses all members keeps its previous centroid.
+    *
+    * `spherical` (default, and the right geometry for an inner-product /
+    * cosine quantizer): each refined centroid is rescaled back onto the
+    * quantized unit sphere, floor(coord * QuantScale / ||mean||). A plain
+    * Lloyd mean of near-unit vectors has norm well below 1, and with
+    * MAX-DOT assignment a short centroid is unfairly penalized against the
+    * full-norm data-point seeds — measured on the test corpus, plain means
+    * cost ~3 recall points per iteration while spherical means hold or gain.
+    * The rescale is nlist x dim driver-side arithmetic (KBs); it uses the
+    * same Long-multiply-then-double-divide-then-floor shape as the SQL
+    * oracle, so both engines produce bit-identical centroids. Better-
+    * balanced lists mean a lower and more uniform nprobe/nlist scan
+    * fraction at query time, which is what matters at corpus scale. */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 0,
+      spherical: Boolean = true): Index = {
     val q = df.select(col(idCol).as("__id"),
       call_function("graft_quantize", col(vecCol)).as("__v"))
     var centroids = q
@@ -73,11 +92,22 @@ object IVF {
         .withColumn("__list", listId(col("__v"), centroids))
         .select(col("__list"), posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy(col("__list"), col("__d"))
-        .agg(floor(avg(col("__x"))).cast(LongType).as("__m"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__m", expr("(__s - pmod(__s, __n)) div __n"))
+        .select(col("__list"), col("__d"), col("__m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-      centroids = next
+      centroids =
+        if (!spherical) next
+        else next.map { c =>
+          val dd = c.map(x => x * x).sum
+          if (dd == 0L) c
+          else {
+            val norm = math.sqrt(dd.toDouble)
+            c.map(x => math.floor(x * QuantScale / norm).toLong)
+          }
+        }
     }
     val assigned = q
       .withColumn("__list", listId(col("__v"), centroids))
