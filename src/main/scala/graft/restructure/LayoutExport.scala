@@ -25,14 +25,60 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream, ZipEntry, ZipOutputStre
   */
 object LayoutExport {
 
+  /** Local-target POSIX ownership/permissions, the reference's
+    * LocalConfig(userId, groupId) (target/LocalTargetStorage.kt:30-86):
+    * exported files get mode rw-r--r--, their created directory chain
+    * rwxr-xr-x, and both get uid/gid when configured (>= 0 — requires a
+    * privileged process, exactly as the reference). Applied only to
+    * local-filesystem targets; object-store URIs have no POSIX surface. */
+  final case class PosixSettings(userId: Int = -1, groupId: Int = -1)
+
+  private val FileMode = java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--")
+  private val DirMode = java.nio.file.attribute.PosixFilePermissions.fromString("rwxr-xr-x")
+
+  /** Resolve a Hadoop path to a local java.nio path when (and only when)
+    * it lives on the local filesystem. */
+  private def localPath(p: Path): Option[java.nio.file.Path] = {
+    val uri = p.toUri
+    Option(uri.getScheme) match {
+      case None | Some("file") => Some(java.nio.file.Paths.get(uri.getPath))
+      case _                   => None
+    }
+  }
+
+  private def applyPosix(nio: java.nio.file.Path, perms: java.util.Set[java.nio.file.attribute.PosixFilePermission], posix: PosixSettings): Unit = {
+    java.nio.file.Files.setPosixFilePermissions(nio, perms)
+    if (posix.userId >= 0)
+      java.nio.file.Files.setAttribute(nio, "unix:uid", Int.box(posix.userId))
+    if (posix.groupId >= 0)
+      java.nio.file.Files.setAttribute(nio, "unix:gid", Int.box(posix.groupId))
+  }
+
+  /** chmod/chown the exported file and its directory chain up to (not
+    * including) `exportRoot` — the reference's store() + createDirectories()
+    * post-pass, run executor-side right after the merge task closes the
+    * file. */
+  private def posixPostPass(target: Path, exportRoot: String, posix: PosixSettings): Unit =
+    localPath(target).foreach { nio =>
+      applyPosix(nio, FileMode, posix)
+      val root = java.nio.file.Paths.get(new Path(exportRoot).toUri.getPath).toAbsolutePath.normalize
+      var dir = nio.toAbsolutePath.normalize.getParent
+      while (dir != null && dir.startsWith(root) && dir != root) {
+        applyPosix(dir, DirMode, posix)
+        dir = dir.getParent
+      }
+    }
+
   /** Merge `outputDir/<topic>` into `exportDir`. Returns written paths.
     * `exportCompression` (default: the config's) may differ from how the
     * part files were written — e.g. gzip parts exported as single-entry
     * zip archives (`<bin>.csv.zip`, level 7, entry named after the csv),
-    * the reference's zip output mode. */
+    * the reference's zip output mode. `posix` enables the reference's
+    * local-target ownership/permission post-pass. */
   def export(spark: SparkSession, config: RestructureConfig, topic: String,
              exportDir: String,
-             exportCompression: Option[Option[String]] = None): Seq[String] = {
+             exportCompression: Option[Option[String]] = None,
+             posix: Option[PosixSettings] = None): Seq[String] = {
     require(config.format == "csv", "layout export currently supports csv")
     val gz = config.compression.contains("gzip")
     val outComp = exportCompression.getOrElse(config.compression).getOrElse("none")
@@ -110,6 +156,7 @@ object LayoutExport {
             r.close()
           }
           out.close()
+          posix.foreach(posixPostPass(target, exportDir, _))
           written += target.toString
         }
         written.toSeq

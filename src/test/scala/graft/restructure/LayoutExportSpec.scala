@@ -87,5 +87,30 @@ class LayoutExportSpec extends SparkSpec {
     zin.close()
     assert(content.head.startsWith("key.projectId,"))
     assert(content.size >= 2)
+
+    // POSIX post-pass (reference LocalTargetStorage.kt:30-86): files
+    // rw-r--r--, created dirs rwxr-xr-x, uid/gid applied when configured
+    // (here: the current process's own ids, so the chown is exercised
+    // without requiring a second user)
+    import java.nio.file.attribute.PosixFilePermissions
+    val self = java.nio.file.Paths.get(written.head)
+    val uid = java.nio.file.Files.getAttribute(self, "unix:uid").asInstanceOf[Int]
+    val gid = java.nio.file.Files.getAttribute(self, "unix:gid").asInstanceOf[Int]
+    val px = LayoutExport.export(spark, cfg, "t1", s"$dir/export-px",
+      posix = Some(LayoutExport.PosixSettings(userId = uid, groupId = gid)))
+      .map(_.stripPrefix("file:")).sorted
+    assert(px.nonEmpty)
+    px.foreach { p =>
+      val f = java.nio.file.Paths.get(p)
+      assert(PosixFilePermissions.toString(
+        java.nio.file.Files.getPosixFilePermissions(f)) == "rw-r--r--")
+      assert(java.nio.file.Files.getAttribute(f, "unix:uid") == uid)
+      assert(java.nio.file.Files.getAttribute(f, "unix:gid") == gid)
+    }
+    // the created directory chain under the export root got dir perms
+    val userDir = java.nio.file.Paths.get(s"$dir/export-px/p/u/t1")
+    assert(PosixFilePermissions.toString(
+      java.nio.file.Files.getPosixFilePermissions(userDir)) == "rwxr-xr-x")
+    assert(java.nio.file.Files.getAttribute(userDir, "unix:gid") == gid)
   }
 }
