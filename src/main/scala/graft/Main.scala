@@ -116,23 +116,7 @@ object Main {
       sys.addShutdownHook { svc.stop(); spark.stop() }
       Thread.currentThread().join() // run until interrupted
     } else if (stream) {
-      // start every topic's stream CONCURRENTLY (they are independent
-      // queries sharing the session's scheduler), then await all — wall
-      // clock is the slowest topic, not the sum. A topic dir with no
-      // readable sink files yet cannot provide a stream schema: catch and
-      // skip it this pass (catch rather than pre-list — a filter would
-      // re-list every topic dir the source is about to list anyway).
-      val queries = job.listTopics().flatMap { t =>
-        try Some(t -> graft.streaming.Streaming
-          .restructureStream(spark, config, t, s"${config.outputDir}/_checkpoints/$t"))
-        catch {
-          case e: IllegalArgumentException =>
-            System.err.println(s"[graft] skipping topic $t: ${e.getMessage}")
-            None
-        }
-      }
-      queries.foreach(_._2.awaitTermination())
-      println(s"[graft] streamed topics=${queries.size}")
+      println(s"[graft] streamed topics=${runStream(spark, config)}")
       spark.stop()
     } else {
       val result = job.run()
@@ -148,6 +132,31 @@ object Main {
   /** The --curate mode body (factored out so specs can drive it on a shared
     * session): curate `in` (a documents-shaped parquet with doc_id + text)
     * and write the result partitioned by split. Returns curated row count. */
+  /** The --stream mode body: one streaming catch-up pass per discovered
+    * topic, all started CONCURRENTLY (they are independent queries sharing
+    * the session's scheduler), then awaited — wall clock is the slowest
+    * topic, not the sum. A topic dir with no readable sink files yet
+    * cannot provide a stream schema: catch and skip it this pass (catch
+    * rather than pre-list — a filter would re-list every topic dir the
+    * source is about to list anyway). Returns the number of topics
+    * streamed. */
+  def runStream(
+      spark: org.apache.spark.sql.SparkSession,
+      config: graft.restructure.RestructureConfig): Int = {
+    val job = new Restructure(spark, config)
+    val queries = job.listTopics().flatMap { t =>
+      try Some(t -> graft.streaming.Streaming
+        .restructureStream(spark, config, t, s"${config.outputDir}/_checkpoints/$t"))
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"[graft] skipping topic $t: ${e.getMessage}")
+          None
+      }
+    }
+    queries.foreach(_._2.awaitTermination())
+    queries.size
+  }
+
   def runCurate(spark: org.apache.spark.sql.SparkSession, in: String, out: String): Long = {
     val curated = pipelines.CorpusPipeline
       .curate(spark.read.parquet(in), "doc_id", "text")
