@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus blowup for scale rehearsals: replicate the
+  * `documents` and `embeddings` tables `factor`x (copying the other tables
+  * verbatim) so the dedup/similarity families can be timed at 10x the
+  * usual sf without new testdata.
+  *
+  * Copy k of a document keeps the token count but replaces every 4th token
+  * with a (k, position)-salted token: 3 of every 4 shingle windows cross a
+  * salted position, so a copy shares only ~25% of its shingles with the
+  * original (Jaccard ~0.14, far below every near-dup threshold). The
+  * corpus therefore grows 10x while the NEAR-DUP PAIR STRUCTURE stays that
+  * of the original slice — the rehearsal measures how the algorithms scale
+  * with corpus size, not with a synthetic duplication explosion. (Exact
+  * hash families see each copy as a distinct doc for the same reason.)
+  * Copy k of an embedding flips the sign of every dimension where
+  * (dim + k) % 7 == 0 — same norm, rotated direction, so IVF/cosine see
+  * genuinely new vectors.
+  *
+  * Usage: runMain graft.ScaleBlowup [srcSfDir] [outDir] [factor]
+  */
+object ScaleBlowup {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft-scale10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1, "factor must be >= 1")
+    val spark = Sessions.build("graft-scale-blowup")
+
+    val idStride = 1000000L
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docCopies = (0 until factor).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(k * idStride))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            (t, i) => when(i % 4 === 0, concat_ws("", lit(s"z${k}p"), i)).otherwise(t)),
+          " "))
+        .withColumn("n_chars", length(col("text")))
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embCopies = (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(k * idStride))
+        .withColumn("embedding",
+          transform(col("embedding"),
+            (x, i) => when((i + lit(k)) % 7 === 0, -x).otherwise(x)))
+    }
+    embCopies.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Tables.names.filterNot(Set("documents", "embeddings")).foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"wrote ${factor}x blowup of $src to $out")
+    spark.stop()
+  }
+}
