@@ -45,6 +45,20 @@ class IVFSpec extends SparkSpec {
     assert(sizes(idx2).max <= sizes(idx0).max)
   }
 
+  test("spherical refinement keeps centroids on the quantized unit sphere") {
+    val corpus = emb.limit(200)
+    val spherical = IVF.build(corpus, "vec_id", "embedding", nlist = 8, iters = 1)
+    val plain = IVF.build(corpus, "vec_id", "embedding", nlist = 8, iters = 1,
+      spherical = false)
+    def norms(i: IVF.Index) =
+      i.centroids.map(c => math.sqrt(c.map(x => (x * x).toDouble).sum))
+    // rescaled centroids sit within a floor-rounding of QuantScale; the
+    // plain Lloyd means visibly shrink (the max-dot bias the rescale fixes)
+    val qs = graft.text.Hashing.QuantScale.toDouble
+    assert(norms(spherical).forall(n => n > qs * 0.98 && n < qs * 1.02))
+    assert(norms(plain).min < qs * 0.9)
+  }
+
   test("nprobe = 1 returns k results from the probed list, ranked") {
     val corpus = emb.limit(200)
     val queries = corpus.filter(col("vec_id") === 0)
