@@ -1217,6 +1217,29 @@ object Oracles {
          | CAST(cum AS BIGINT) AS cum
          |FROM c WHERE cum <= budget ORDER BY source, cum""".stripMargin,
 
+    // temperature (tau=2) resampled mixing: per-source budget proportional
+    // to sqrt(source tokens), normalizer folded in sorted-source order so
+    // the double sum is bit-identical to Spark's sequential fold
+    "temperature_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  (doc_id % $P * $TokenHashA) % $P AS h
+         | FROM documents),
+         |sizes AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_src
+         | FROM d GROUP BY source),
+         |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list(sqrt(CAST(n_src AS DOUBLE)) ORDER BY source)), (a, x) -> a + x) AS z
+         | FROM sizes),
+         |budgets AS (SELECT source,
+         |  CAST(floor(5000.0 * sqrt(CAST(n_src AS DOUBLE)) / z.z) AS BIGINT) AS budget
+         | FROM sizes CROSS JOIN z),
+         |c AS (SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+         |  SUM(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id
+         |   ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM d JOIN budgets b ON d.source = b.source)
+         |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum, budget
+         |FROM c WHERE cum <= budget ORDER BY source, cum""".stripMargin,
+
     // full-outer symmetric difference of two distinct key sets
     "cust_retention" ->
       """WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders

@@ -1389,6 +1389,45 @@ object Queries {
       .orderBy(col("source"), col("cum"))
   }
 
+  /** Temperature-based mixing (tau = 2, i.e. alpha = 1/2): each source's
+    * token budget is B * sqrt(N_s) / sum_t sqrt(N_t) — the standard
+    * multilingual-recipe resampling that upweights small sources without
+    * letting the largest dominate. The budgets come FROM the data (one
+    * tiny per-source aggregate, broadcast back), then admission is the
+    * same hash-rank running-sum window as token_budget_mix.
+    *
+    * Engine-exactness note: the normalizer is a SUM OF DOUBLES, and float
+    * addition is not associative — a parallel partial-agg could differ
+    * from DuckDB's sequential sum in the last ulp. So the fold is made
+    * order-deterministic on both engines: collect the per-source sqrt
+    * terms, sort by source name, and fold sequentially (Spark
+    * `aggregate(array_sort(...))`, DuckDB `list_reduce(list(... ORDER BY
+    * source))`) — bit-identical IEEE result, hash-pinned like everything
+    * else. Scale: the fold is over #sources (tiny); docs shuffle once for
+    * the per-source window, same as token_budget_mix. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        expr(s"(doc_id % ${Hashing.P}L * ${Hashing.TokenHashA}L) % ${Hashing.P}L").as("h"))
+    val sizes = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("n_src"))
+    val z = sizes.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("n_src")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_src").cast(DoubleType))).as("z"))
+    val budgets = sizes.crossJoin(broadcast(z))
+      .select(col("source"),
+        floor(lit(5000.0) * sqrt(col("n_src").cast(DoubleType)) / col("z"))
+          .cast(LongType).as("budget"))
+    docs.join(broadcast(budgets), "source")
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"), col("budget"))
+      .orderBy(col("source"), col("cum"))
+  }
+
   /** Incremental cross-corpus dedup (the crawl-refresh shape): docs with
     * id >= 250 are the "new batch", the rest the already-curated
     * reference; a new doc survives unless it exactly fingerprints or LSH-
@@ -1637,6 +1676,7 @@ object Queries {
     "epoch_upsample" -> epochUpsample _,
     "incremental_dedup" -> incrementalDedup _,
     "token_budget_mix" -> tokenBudgetMix _,
+    "temperature_mix" -> temperatureMix _,
     "cust_retention" -> custRetention _,
     "nation_quartiles" -> nationRevenueQuartiles _,
     "multimodal_resize" -> multimodalResize _,

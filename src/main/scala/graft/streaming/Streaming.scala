@@ -156,6 +156,44 @@ object Streaming {
       .start()
   }
 
+  /** Streaming crawl-refresh — the incremental twin of
+    * [[graft.dedup.Incremental]]: each micro-batch of NEW documents is
+    * deduplicated against the PERSISTED reference index
+    * ([[graft.dedup.Incremental.Index]], three parquet projections built
+    * once by a batch run) and the survivors append to the curated output.
+    * The reference text is never read; per batch the work is the new
+    * batch's own hashes plus the band-key slice of the index it collides
+    * with — exactly the batch operator's refresh cost, driven by the
+    * stream's checkpoint (exactly-once at file granularity). Within-batch
+    * duplicates are deliberately untouched, same contract as the batch
+    * operator; chain [[dedupStream]]/[[curateStream]] upstream for
+    * in-stream dedup. */
+  def incrementalDedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minBp: Long = 8000L): StreamingQuery = {
+    val index = graft.dedup.Incremental.loadIndex(spark, indexPath)
+    spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.Incremental
+            .survivors(batch, index, idCol, textCol, minBp, native = true)
+            .write.mode("append").parquet(outputDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** End-to-end STREAMING restructure for one topic: the DSv2 Avro source
     * feeds each micro-batch of new sink files through the same derive ->
     * dedup -> partitioned-write chain as the batch job, with the streaming

@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_._2 == "en"))
   }
 
+  test("incrementalDedupStream dedups each batch against the persisted index") {
+    val dir = Files.createTempDirectory("graft-stream-incr").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"; val ix = s"$dir/ix"
+    val toks = (0 until 80).map(i => ("" + ('a' + i % 26).toChar) * (1 + i / 26))
+    val refText = toks.mkString(" ")
+    val nearText = (toks.dropRight(1) :+ "ZZZZ").mkString(" ")
+    val ref = Seq((1L, refText)).toDF("doc_id", "text")
+    graft.dedup.Incremental.saveIndex(
+      graft.dedup.Incremental.buildIndex(ref, "doc_id", "text", native = true), ix)
+    // batch 1: an exact dup of the reference + a clean doc
+    Seq((10L, refText), (11L, "totally different words only"))
+      .toDF("doc_id", "text").write.parquet(in)
+    Streaming.incrementalDedupStream(spark, in, out, cp, ix).awaitTermination()
+    // batch 2: a near dup of the reference + another clean doc
+    Seq((20L, nearText), (21L, "yet another clean document text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    Streaming.incrementalDedupStream(spark, in, out, cp, ix).awaitTermination()
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(11L, 21L))
+    // third pass admits nothing new (checkpointed exactly-once)
+    Streaming.incrementalDedupStream(spark, in, out, cp, ix).awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("trackOffsets keeps per-key max offset and count across a batch") {
     val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
       .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap
