@@ -984,6 +984,37 @@ object Oracles {
 
     "minhash_neardup" -> minhashNearDupSql,
 
+    // recall curve of the 4x4 LSH banding vs exact Jaccard ground truth
+    // (every co-occurring pair), per Jaccard decile; caught = exact pairs whose doc pair also
+    // band-collides (the LSH verify uses the same shingle Jaccard, so the
+    // caught set is exactly the intersection)
+    "lsh_recall" ->
+      s"""$minhashCtes,
+         |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
+         |sizes AS (SELECT doc_id, CAST(len(st) AS BIGINT) AS n FROM sets),
+         |ex AS (SELECT doc_id, unnest(st) AS x FROM sets),
+         |pairs AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(COUNT(*) AS BIGINT) AS inter
+         | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |exact AS (SELECT id_1, id_2,
+         |  CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) AS jaccard_bp
+         | FROM pairs JOIN sizes na ON id_1 = na.doc_id JOIN sizes nb ON id_2 = nb.doc_id
+         | WHERE CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) >= 1),
+         |bands AS (${(0 until Bands).map(b => s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m").mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+         |bucketed AS (SELECT id_1, id_2, least(jaccard_bp, 9999) // 1000 AS bucket
+         | FROM exact),
+         |n_all AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_exact
+         | FROM bucketed GROUP BY bucket),
+         |n_caught AS (SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_caught
+         | FROM bucketed b JOIN cand c ON b.id_1 = c.id_1 AND b.id_2 = c.id_2
+         | GROUP BY b.bucket)
+         |SELECT a.bucket, a.n_exact, coalesce(c.n_caught, 0) AS n_caught,
+         | CAST(coalesce(c.n_caught, 0) * 10000 // a.n_exact AS BIGINT) AS recall_bp
+         |FROM n_all a LEFT JOIN n_caught c ON a.bucket = c.bucket
+         |ORDER BY a.bucket""".stripMargin,
+
     // near-duplicate pair counts by (source, source) — which domains mirror
     // each other; pair legs joined back to documents for their sources
     "neardup_by_source" ->

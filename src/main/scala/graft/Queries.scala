@@ -1061,6 +1061,52 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Recall curve of banded-LSH near-dup detection against exact Jaccard
+    * ground truth — the text-dedup analog of `ann_recall`, and the
+    * measurement a pipeline runs before trusting LSH dedup at scale: per
+    * Jaccard decile (every pair sharing a shingle is ground truth), how
+    * many of the exact pairs the 4x4 banding caught. Empirically pins the
+    * LSH s-curve (P[catch] = 1-(1-j^4)^4) at BOTH ends: the low deciles'
+    * caught count is the band false-candidate rate (pairs the verify then
+    * pays to discard), the high deciles' is true recall. The caught set is
+    * a subset of the exact set by construction (candidates are verified
+    * with the same shingle Jaccard), so recall is a plain semi-join count.
+    * Scale: ground truth is the exact co-occurrence join (sample it at
+    * real scale); the LSH leg is the production banding, and since the
+    * ground truth already carries the exact Jaccard, the band candidates
+    * need no verify pass here. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sets = MinHash.withShingles(docs, "doc_id", "text", native = true)
+      .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
+    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
+      .repartition(col("x"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
+    val exact = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_1"), col("b.doc_id").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("id_1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_2") === col("nb.doc_id"))
+      .withColumn("jaccard_bp",
+        floor(col("inter").cast(DoubleType) * 10000d /
+          (col("na.n") + col("nb.n") - col("inter")).cast(DoubleType)).cast(LongType))
+      .filter(col("jaccard_bp") >= 1)
+    val caught = MinHash.candidatePairs(docs, "doc_id", "text", native = true)
+      .select(col("id_1"), col("id_2"))
+    val bucketed = exact.withColumn("bucket",
+      expr("least(jaccard_bp, 9999) div 1000"))
+    val nAll = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_exact"))
+    val nCaught = bucketed.join(caught, Seq("id_1", "id_2"), "left_semi")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_caught"))
+    nAll.join(nCaught, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_exact"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+      .withColumn("recall_bp", expr("n_caught * 10000 div n_exact"))
+      .orderBy(col("bucket"))
+  }
+
   /** Gopher's duplicated-n-gram fraction: per document, the basis-point
     * share of shingle occurrences belonging to a shingle that repeats
     * WITHIN the document (the other repetition axis from `repetition_ratio`,
@@ -1655,6 +1701,7 @@ object Queries {
     "minhash_signature" -> minhashSignature _,
     "minhash_pairs" -> minhashPairs _,
     "minhash_neardup" -> minhashNearDup _,
+    "lsh_recall" -> lshRecall _,
     "neardup_by_source" -> neardupBySource _,
     "dup_ngrams" -> dupNgrams _,
     "neardup_components" -> neardupComponents _,
