@@ -167,10 +167,12 @@ object Oracles {
   /** Banded-LSH near-duplicate pairs at >= 0.5 Jaccard (shared by
     * minhash_neardup and neardup_by_source). */
   private val minhashNearDupSql: String = {
+    // band legs exclude empty-shingle (sub-3-token) docs, mirroring
+    // MinHash.candidatePairs' sentinel-signature guard
     val bandSelects = (0 until Bands).map { b =>
-      s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m"
+      s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
     }.mkString(" UNION ALL ")
-    s"""$minhashCtes, bands AS ($bandSelects),
+    s"""$minhashCtes, mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
        | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
@@ -925,9 +927,9 @@ object Oracles {
 
     "minhash_pairs" -> {
       val bandSelects = (0 until Bands).map { b =>
-        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m"
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
       }.mkString(" UNION ALL ")
-      s"""$minhashCtes, bands AS ($bandSelects)
+      s"""$minhashCtes, mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects)
          |SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_bands
          |FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY id_1, id_2""".stripMargin
@@ -1000,7 +1002,8 @@ object Oracles {
          |  CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) AS jaccard_bp
          | FROM pairs JOIN sizes na ON id_1 = na.doc_id JOIN sizes nb ON id_2 = nb.doc_id
          | WHERE CAST(floor(inter * 10000.0 / (na.n + nb.n - inter)) AS BIGINT) >= 1),
-         |bands AS (${(0 until Bands).map(b => s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m").mkString(" UNION ALL ")}),
+         |mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0),
+         |bands AS (${(0 until Bands).map(b => s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf").mkString(" UNION ALL ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
          | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
          |bucketed AS (SELECT id_1, id_2, least(jaccard_bp, 9999) // 1000 AS bucket
@@ -1028,10 +1031,10 @@ object Oracles {
 
     "neardup_components" -> {
       val bandSelects = (0 until Bands).map { b =>
-        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m"
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
       }.mkString(" UNION ALL ")
       // min reachable id via recursive closure over the symmetric pair graph
-      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS ($bandSelects),
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects),
          |cand AS (
          | SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
          | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),

@@ -86,7 +86,14 @@ object MinHash {
 
   /** Candidate near-duplicate pairs: docs sharing at least one LSH band.
     * Output: (id_1, id_2) with id_1 < id_2, plus `n_bands` = number of
-    * shared bands. */
+    * shared bands.
+    *
+    * Docs under 3 tokens have EMPTY shingle sets and all share the P-1
+    * sentinel signature, so without the prefilter every short doc
+    * band-collides with every other short doc (an M x N candidate blow-up)
+    * and the downstream Jaccard verify divides 0/0. Dropping them is
+    * semantics-neutral: an empty shingle set is a near-duplicate of
+    * nothing. (Same guard as Incremental.bandKeys.) */
   def candidatePairs(
       df: DataFrame,
       idCol: String,
@@ -95,7 +102,8 @@ object MinHash {
       rows: Int = RowsPerBand,
       native: Boolean = false): DataFrame = {
     val keys = (0 until nBands).map(b => concat_ws("#", lit(b), col(s"band_$b")))
-    val banded = bands(df, idCol, textCol, nBands, rows, native)
+    val banded = bands(df.filter(size(split(col(textCol), " ")) >= 3),
+        idCol, textCol, nBands, rows, native)
       .select(col(idCol).as("__id"), explode(array(keys: _*)).as("__key"))
     val l = banded.as("l")
     val r = banded.as("r")

@@ -79,6 +79,22 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("minhash candidatePairs/nearDuplicates skip empty-shingle docs") {
+    // short docs share the sentinel minhash signature; without the guard
+    // they all band-collide and the Jaccard verify divides 0/0
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"),
+      (3L, "ok"), (4L, "hi"), (5L, "yo there")) // <3 tokens: empty shingles
+      .toDF("doc_id", "text")
+    val cand = MinHash.candidatePairs(docs, "doc_id", "text", native = true)
+      .select(col("id_1"), col("id_2")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.forall { case (a, b) => a <= 2 && b <= 2 }) // no short-doc pairs
+    val nd = MinHash.nearDuplicates(docs, "doc_id", "text", minBp = 5000L, native = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSeq == Seq((1L, 2L))) // and the verify never sees a 0/0
+  }
+
   test("prefix-filtered jaccard pairs == brute force over shingle sets") {
     // overlapping near-dup corpus: doc i shares most tokens with doc i+1
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
