@@ -30,7 +30,8 @@ object BenchMed {
     "tfidf_top_terms", "minhash_neardup", "neardup_by_source",
     "simhash_neardup", "simhash64_neardup", "timestamp_sets",
     "token_budget_mix", "time_bin_hourly", "q1_rollup", "q5_region_join",
-    "q10_returned_top", "q17_small_qty", "q21_waiting_suppliers")
+    "q10_returned_top", "q17_small_qty", "q21_waiting_suppliers",
+    "lsh_recall", "temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
