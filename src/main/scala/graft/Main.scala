@@ -16,7 +16,8 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service, YamlConfi
   * runMain graft.Main --config app.properties --stream   # one streaming
   *   # catch-up pass per topic via the DSv2 Avro source (checkpointed
   *   # under <output>/_checkpoints/<topic>)
-  * runMain graft.Main --curate --input docs.parquet --output out/
+  * runMain graft.Main --curate --input docs.parquet --output out/ \
+  *   [--keep-langs en,de]
   *   # corpus curation: cleanup -> quality gate -> exact + near dedup ->
   *   # deterministic split, written partitioned by split (no --config)
   * }}}
@@ -36,6 +37,7 @@ object Main {
     var curate = false
     var input: Option[String] = None
     var output: Option[String] = None
+    var keepLangs: Set[String] = Set.empty
     var interval: Option[Long] = None
     var cleanerInterval: Option[Long] = None
     var cleanerAgeMs: Option[Long] = None
@@ -58,6 +60,9 @@ object Main {
         case "--curate"           => curate = true; i += 1
         case "--input"            => input = Some(value(i + 1)); i += 2
         case "--output"           => output = Some(value(i + 1)); i += 2
+        case "--keep-langs" =>
+          keepLangs = value(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+          i += 2
         case "--interval"         => interval = Some(value(i + 1).toLong); i += 2
         case "--cleaner-interval" => cleanerInterval = Some(value(i + 1).toLong); i += 2
         case "--cleaner-age-ms"   => cleanerAgeMs = Some(value(i + 1).toLong); i += 2
@@ -73,7 +78,7 @@ object Main {
           sys.exit(2); throw new IllegalStateException
       }
       val spark = Sessions.build("graft-curate")
-      val n = runCurate(spark, in, out)
+      val n = runCurate(spark, in, out, keepLangs)
       println(s"[graft] curated $n docs -> $out")
       spark.stop()
       return
@@ -129,9 +134,6 @@ object Main {
     }
   }
 
-  /** The --curate mode body (factored out so specs can drive it on a shared
-    * session): curate `in` (a documents-shaped parquet with doc_id + text)
-    * and write the result partitioned by split. Returns curated row count. */
   /** The --stream mode body: one streaming catch-up pass per discovered
     * topic, all started CONCURRENTLY (they are independent queries sharing
     * the session's scheduler), then awaited — wall clock is the slowest
@@ -157,9 +159,20 @@ object Main {
     queries.size
   }
 
-  def runCurate(spark: org.apache.spark.sql.SparkSession, in: String, out: String): Long = {
+  /** The --curate mode body (factored out so specs can drive it on a shared
+    * session): curate `in` (a documents-shaped parquet with doc_id + text)
+    * and write the result partitioned by split; returns the curated row
+    * count. `keepLangs` (CLI --keep-langs en,de) applies the pipeline's
+    * language keep-list — the same row-local gate the streaming intake
+    * shares via CorpusPipeline.rowLocalGate. */
+  def runCurate(
+      spark: org.apache.spark.sql.SparkSession,
+      in: String,
+      out: String,
+      keepLangs: Set[String] = Set.empty): Long = {
     val curated = pipelines.CorpusPipeline
-      .curate(spark.read.parquet(in), "doc_id", "text")
+      .curate(spark.read.parquet(in), "doc_id", "text",
+        pipelines.CorpusPipeline.Config(keepLangs = keepLangs))
     // rebalance on the partition column before the dynamic-partition write —
     // same tiny-file fix as Restructure.write (without it every task writes
     // to every split directory)

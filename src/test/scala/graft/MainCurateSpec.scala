@@ -24,4 +24,16 @@ class MainCurateSpec extends SparkSpec {
     assert(row.map(_._1) == Seq(1L))
     assert(Set("train", "val", "test").contains(row.head._2))
   }
+
+  test("runCurate applies the --keep-langs language gate") {
+    val dir = Files.createTempDirectory("graft-curate-langs").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"
+    val en = "the quick brown fox jumps over the lazy dog again and again"
+    val de = "der schnelle braune fuchs springt und der hund schläft und träumt"
+    Seq((1L, en), (2L, de)).toDF("doc_id", "text").write.parquet(in)
+    assert(Main.runCurate(spark, in, out, keepLangs = Set("en")) == 1L)
+    val kept = spark.read.parquet(out).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toSeq
+    assert(kept == Seq((1L, "en")))
+  }
 }
