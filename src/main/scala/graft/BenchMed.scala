@@ -63,8 +63,10 @@ object BenchMed {
     def f(d: Double): String = f"$d%.2f"
 
     val sb = new StringBuilder
-    sb ++= "# BENCHMED — warm steady-state times\n\n"
-    sb ++= s"`runMain graft.BenchMed BENCHMED.md $sfDir $reps` — $reps reps per query\n"
+    val title = new java.io.File(out).getName.stripSuffix(".md")
+    val explicit = if (args.length > 3) " " + names.mkString(" ") else ""
+    sb ++= s"# $title — warm steady-state times\n\n"
+    sb ++= s"`runMain graft.BenchMed $out $sfDir $reps$explicit` — $reps reps per query\n"
     sb ++= s"in one warm session on `$sfDir` (local[${Sessions.cpus}]). `min` is the\n"
     sb ++= "steady-state number to compare across rounds; the driver's single-pass\n"
     sb ++= "BENCH includes cold-JVM codegen/JIT and is ±4x noisy below ~1 s.\n\n"

@@ -70,6 +70,12 @@ object Main {
           System.err.println(s"unknown argument: $other"); sys.exit(2)
       }
     }
+    if (keepLangs.nonEmpty && !curate) {
+      // accepting the flag while silently not applying the filter would be
+      // worse than rejecting it — only the curate pipeline has a lang gate
+      System.err.println("--keep-langs only applies to --curate mode")
+      sys.exit(2)
+    }
     if (curate) {
       val (in, out) = (input, output) match {
         case (Some(a), Some(b)) => (a, b)

@@ -31,6 +31,12 @@ object ScaleBlowup {
 
     val idStride = 1000000L
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // ids above the stride would collide across copies (copy k of id x ==
+    // copy k+1 of id x - stride) and silently corrupt every id-keyed
+    // operator under rehearsal — fail loudly instead
+    val maxDocId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxDocId < idStride,
+      s"doc_id $maxDocId >= stride $idStride: raise idStride to avoid copy collisions")
     val docCopies = (0 until factor).map { k =>
       if (k == 0) docs
       else docs
@@ -46,6 +52,9 @@ object ScaleBlowup {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVecId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    require(maxVecId < idStride,
+      s"vec_id $maxVecId >= stride $idStride: raise idStride to avoid copy collisions")
     val embCopies = (0 until factor).map { k =>
       if (k == 0) emb
       else emb

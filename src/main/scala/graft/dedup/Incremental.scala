@@ -55,8 +55,12 @@ object Incremental {
       .select(col(idCol).as("__id"), explode(array(keys: _*)).as("__key"))
   }
 
+  // same >=3-token guard as bandKeys: candidates only ever reference docs
+  // with band keys, so an empty-shingle doc's set row is dead weight in the
+  // persisted index and in every refresh's verify join
   private def sets(d: DataFrame, idCol: String, textCol: String, native: Boolean) =
-    MinHash.withShingles(d, idCol, textCol, native)
+    MinHash.withShingles(d.filter(size(split(col(textCol), " ")) >= 3),
+        idCol, textCol, native)
       .select(col(idCol).as("__sid"), array_distinct(col("__sh")).as("__set"))
 
   /** One pass over the reference text -> the three index projections. */

@@ -164,10 +164,14 @@ object Streaming {
     * The reference text is never read; per batch the work is the new
     * batch's own hashes plus the band-key slice of the index it collides
     * with — exactly the batch operator's refresh cost, driven by the
-    * stream's checkpoint (exactly-once at file granularity). Within-batch
-    * duplicates are deliberately untouched, same contract as the batch
-    * operator; chain [[dedupStream]]/[[curateStream]] upstream for
-    * in-stream dedup. */
+    * stream's checkpoint. Exactly-once despite foreachBatch's at-least-once
+    * replay: each batch OVERWRITES its own `batch=<id>` partition
+    * directory, so a batch replayed after a crash-between-commit-and-
+    * checkpoint rewrites the same directory instead of appending
+    * duplicates (read the output with `spark.read.parquet(outputDir)` —
+    * `batch` surfaces as a partition column). Within-batch duplicates are
+    * deliberately untouched, same contract as the batch operator; chain
+    * [[dedupStream]]/[[curateStream]] upstream for in-stream dedup. */
   def incrementalDedupStream(
       spark: SparkSession,
       inputDir: String,
@@ -182,11 +186,11 @@ object Streaming {
       .schema(spark.read.parquet(inputDir).schema)
       .parquet(inputDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.dedup.Incremental
             .survivors(batch, index, idCol, textCol, minBp, native = true)
-            .write.mode("append").parquet(outputDir)
+            .write.mode("overwrite").parquet(s"$outputDir/batch=$batchId")
         }
       }
       .trigger(Trigger.AvailableNow())
