@@ -1184,6 +1184,24 @@ object Oracles {
         | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_token
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // bigram conditional surprisal: bitlen(cnt(prev)) - bitlen(cnt(prev,tok))
+    // over exact integer counts; docs under 2 tokens have no bigrams
+    "bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, tk[i - 1] AS prev, tk[i] AS tok
+        | FROM t, UNNEST(range(2, len(tk) + 1)) AS u(i)),
+        |pc AS (SELECT prev, COUNT(*) AS cnt_prev FROM bi GROUP BY prev),
+        |bc AS (SELECT prev, tok, COUNT(*) AS cnt_bi FROM bi GROUP BY prev, tok),
+        |scored AS (SELECT bi.doc_id,
+        |  length(bin(pc.cnt_prev)) - length(bin(bc.cnt_bi)) AS bits
+        | FROM bi JOIN bc ON bi.prev = bc.prev AND bi.tok = bc.tok
+        | JOIN pc ON bi.prev = pc.prev)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+        | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_bigram
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // incremental cross-corpus dedup: new batch (id >= 250) survives unless
     // exact-fingerprint or band-collision+Jaccard matched vs the reference
     "incremental_dedup" -> {

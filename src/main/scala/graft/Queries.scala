@@ -1392,6 +1392,41 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram (conditional) surprisal — the sequence-aware complement of
+    * `unigram_surprisal`: per bigram occurrence,
+    * bits ~ log2(cnt(prev) / cnt(prev, tok)) computed as the bit-length
+    * difference of exact integer counts (cnt(prev) counts PREFIX
+    * occurrences, i.e. rows of the bigram table, so cnt_prev >= cnt_bi and
+    * bits >= 0 always). Catches locally-incoherent text — rare token
+    * TRANSITIONS — that a unigram model scores as fluent. Docs under 2
+    * tokens have no bigrams and are excluded on both engines. Scale: one
+    * exchange for the bigram vocabulary, one for the prefix counts, one
+    * per-doc aggregate; a web-scale run would broadcast the top-V bigram
+    * table and default the tail, same note as unigram_surprisal. */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      // sequence(2, n) would run DESCENDING for n < 2 — hence the filter
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(2), size(col("tk")))).as("i"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i") - 1).as("prev"),
+        element_at(col("tk"), col("i")).as("tok"))
+    val prevCnt = bi.groupBy(col("prev")).agg(count(lit(1)).as("cnt_prev"))
+    val biCnt = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cnt_bi"))
+    bi.join(biCnt, Seq("prev", "tok"))
+      .join(prevCnt, Seq("prev"))
+      .select(col("doc_id"),
+        (length(bin(col("cnt_prev"))) - length(bin(col("cnt_bi"))))
+          .cast(LongType).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
+      .withColumn("millibits_per_bigram",
+        expr("surprisal_bits * 1000 div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-order shuffle + sharding: every document gets a
     * pseudo-random rank from the shared multiplicative hash, lands in
     * shard = hash mod numShards, and takes its position from the per-shard
@@ -1719,6 +1754,7 @@ object Queries {
     "chunk_dedup" -> chunkDedup _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
+    "bigram_surprisal" -> bigramSurprisal _,
     "shuffle_shards" -> shuffleShards _,
     "epoch_upsample" -> epochUpsample _,
     "incremental_dedup" -> incrementalDedup _,
