@@ -67,10 +67,44 @@ object ScaleBlowup {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    Tables.names.filterNot(Set("documents", "embeddings")).foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    }
+    // relational facts scale too: orders/lineitem replicate with the order
+    // key shifted by a copy stride on BOTH tables, so the FK relationship
+    // (and therefore every join/aggregate shape) is preserved while the
+    // fact volume grows factor-x. Dimension keys (cust/part/supp) stay
+    // unscaled — copies reuse the dimension rows, exactly how a larger SF
+    // behaves relative to small dims. Events replicate with shifted ids
+    // (user_id kept: more events per user, the realistic growth axis).
+    val okStride = 10000000L
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val maxOk = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    require(maxOk < okStride,
+      s"o_orderkey $maxOk >= stride $okStride: raise okStride to avoid collisions")
+    (0 until factor).map { k =>
+      if (k == 0) orders else orders.withColumn("o_orderkey", col("o_orderkey") + lit(k * okStride))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) lineitem else lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(k * okStride))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // ts is nanos-as-long here (Sessions sets the legacy nanos flag); shift
+    // copy k by k seconds so copies spread inside sessions instead of
+    // stacking 10 events on one instant
+    val events = spark.read.parquet(s"$src/events.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(k * okStride))
+        .withColumn("ts", col("ts") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    Tables.names.filterNot(Set("documents", "embeddings", "orders", "lineitem", "events"))
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
     println(s"wrote ${factor}x blowup of $src to $out")
     spark.stop()
   }
