@@ -155,6 +155,54 @@ object Oracles {
        |  ${dotE("p.qv", "a.v")} AS dot
        | FROM probe p JOIN assign a ON p.list = a.list WHERE a.vec_id <> p.query_id)""".stripMargin
 
+  /** Shared product-quantization CTE chain (pq_topk and pq_recall),
+    * replaying PQ.train/encode/search exactly: 8 subspaces x 8 dims, 16
+    * codewords seeded from the 16 smallest ids' subvectors, ONE Lloyd
+    * round with exact integer floor means (emptied codewords keep their
+    * seed), nearest-codeword assignment by argmax(2<x,c> - <c,c>) with
+    * ties to the lower code, and ADC scores as the sum of 8 per-subspace
+    * integer dots. Ends in `pscore(query_id, neighbor_id, adot)`. */
+  private val pqCtes: String = {
+    val subL2 = (sv: String, cw: String) => s"2 * ${dotE(sv, cw)} - ${dotE(cw, cw)}"
+    s"""pe AS (SELECT vec_id, $quantE AS v FROM embeddings),
+       |psub AS (SELECT pe.vec_id, CAST(u.m AS BIGINT) AS sp,
+       |  list_slice(pe.v, u.m * 8 + 1, u.m * 8 + 8) AS sv
+       | FROM pe, UNNEST(range(8)) AS u(m)),
+       |ps0 AS (SELECT vec_id, v FROM pe ORDER BY vec_id LIMIT 16),
+       |pseed AS (SELECT CAST(u.m AS BIGINT) AS sp,
+       |  row_number() OVER (PARTITION BY u.m ORDER BY vec_id) - 1 AS code,
+       |  list_slice(v, u.m * 8 + 1, u.m * 8 + 8) AS cw
+       | FROM ps0, UNNEST(range(8)) AS u(m)),
+       |pa0 AS (SELECT vec_id, sp, sv, code FROM (
+       | SELECT s.vec_id, s.sp, s.sv, c.code,
+       |  row_number() OVER (PARTITION BY s.vec_id, s.sp
+       |   ORDER BY ${subL2("s.sv", "c.cw")} DESC, c.code ASC) AS rn
+       | FROM psub s JOIN pseed c ON s.sp = c.sp) WHERE rn = 1),
+       |pdims AS (SELECT CAST(t.d AS BIGINT) AS d FROM UNNEST(range(8)) AS t(d)),
+       |pm1 AS (SELECT pa0.sp, pa0.code, pdims.d,
+       |  CAST(SUM(pa0.sv[pdims.d + 1]) AS BIGINT) AS s, COUNT(*) AS n
+       | FROM pa0 CROSS JOIN pdims GROUP BY 1, 2, 3),
+       |pcb AS (SELECT pseed.sp, pseed.code,
+       |  list(COALESCE((pm1.s - ((pm1.s % pm1.n + pm1.n) % pm1.n)) // pm1.n,
+       |                pseed.cw[pdims.d + 1]) ORDER BY pdims.d) AS cw
+       | FROM pseed CROSS JOIN pdims
+       | LEFT JOIN pm1 ON pm1.sp = pseed.sp AND pm1.code = pseed.code
+       |  AND pm1.d = pdims.d
+       | GROUP BY pseed.sp, pseed.code),
+       |penc AS (SELECT vec_id, sp, code FROM (
+       | SELECT s.vec_id, s.sp, c.code,
+       |  row_number() OVER (PARTITION BY s.vec_id, s.sp
+       |   ORDER BY ${subL2("s.sv", "c.cw")} DESC, c.code ASC) AS rn
+       | FROM psub s JOIN pcb c ON s.sp = c.sp) WHERE rn = 1),
+       |pq AS (SELECT vec_id AS query_id, sp, sv AS qv FROM psub WHERE vec_id < 8),
+       |plut AS (SELECT pq.query_id, pq.sp, pcb.code, ${dotE("pq.qv", "pcb.cw")} AS pd
+       | FROM pq JOIN pcb ON pq.sp = pcb.sp),
+       |pscore AS (SELECT l.query_id, en.vec_id AS neighbor_id,
+       |  CAST(SUM(l.pd) AS BIGINT) AS adot
+       | FROM penc en JOIN plut l ON l.sp = en.sp AND l.code = en.code
+       | WHERE en.vec_id <> l.query_id GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Deterministic IVF ANN top-k at nprobe 4 (the ivf_topk catalog entry). */
   private val ivfTopkSql =
     s"""WITH ${ivfCandCtes(4)},
@@ -1102,6 +1150,36 @@ object Oracles {
          |ORDER BY kk.query_id, cfg.nprobe""".stripMargin,
 
     "cosine_topk" -> cosineTopkSql,
+
+    "pq_topk" ->
+      s"""WITH $pqCtes,
+         |r AS (SELECT query_id, neighbor_id, adot,
+         | row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, neighbor_id ASC) AS "rank"
+         | FROM pscore)
+         |SELECT query_id, neighbor_id, adot, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "pq_recall" ->
+      s"""WITH $pqCtes,
+         |pshort AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, neighbor_id ASC) AS rk
+         | FROM pscore) WHERE rk <= 100),
+         |prer AS (SELECT s.query_id, s.neighbor_id, ${dotE("q.v", "c.v")} AS dot
+         | FROM pshort s JOIN pe q ON q.vec_id = s.query_id
+         | JOIN pe c ON c.vec_id = s.neighbor_id),
+         |ptop AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rk
+         | FROM prer) WHERE rk <= 10),
+         |exact AS ($cosineTopkSql),
+         |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1),
+         |mm AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+         | FROM exact e JOIN ptop t USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT kk.query_id, kk.k, coalesce(mm.n_match, 0) AS n_match,
+         | CAST(coalesce(mm.n_match, 0) * 10000 // kk.k AS BIGINT) AS recall_bp
+         |FROM kk LEFT JOIN mm ON mm.query_id = kk.query_id
+         |ORDER BY kk.query_id""".stripMargin,
 
     "embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id AS id, $quantE AS v FROM embeddings),

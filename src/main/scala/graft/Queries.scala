@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.functions.{Strings, Times}
 import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, RangeJoin, Sessionize}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
-import graft.similarity.{IVF, SemanticDedup, Similarity}
+import graft.similarity.{IVF, PQ, SemanticDedup, Similarity}
 import graft.text.{ChunkDedup, Hashing, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
@@ -1353,6 +1353,47 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Product-quantization ADC top-k — the compressed-corpus scale path for
+    * cosine_topk: 8 subspaces x 16 codewords over the 64-dim embeddings
+    * (one Lloyd round, exact integer floor means), corpus reduced to 8
+    * small codes per vector, queries scored via per-subspace LUTs. Fully
+    * deterministic, so the DuckDB oracle replays codebook training,
+    * encoding, and ADC scoring and the approximate ranks hash-match. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = PQ.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
+    val codes = PQ.encode(cb, emb, "vec_id", "embedding")
+    PQ.search(cb, codes, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the PQ shortlist+rerank pipeline against the exact
+    * brute-force top-k — the quality gate a pipeline reads before trusting
+    * the 32x-compressed index (symmetric to ann_recall for IVF and
+    * lsh_recall for banding). Gates the PRODUCTION shape — ADC
+    * shortlist@100 then exact rerank — not raw ADC@10 (whose ~0.40 recall
+    * on near-random embeddings is exactly why real systems rerank). */
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val exact = cosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val k = exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val cb = PQ.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
+    val codes = PQ.encode(cb, emb, "vec_id", "embedding")
+    val approx = PQ
+      .searchRerank(cb, codes, emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_match"))
+    k.join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .withColumn("recall_bp", expr("n_match * 10000 div k"))
+      .orderBy(col("query_id"))
+  }
+
   /** SemDeDup-style semantic dedup: IVF-cluster the embeddings, drop every
     * vector with a smaller-id twin scoring >= the threshold inside its
     * cluster. The within-cluster self-join is the whole cost — quadratic
@@ -1749,6 +1790,8 @@ object Queries {
     "cosine_topk" -> cosineTopK _,
     "ivf_topk" -> ivfTopK _,
     "ann_recall" -> annRecall _,
+    "pq_topk" -> pqTopK _,
+    "pq_recall" -> pqRecall _,
     "embedding_neardup" -> embeddingNearDup _,
     "semantic_dedup" -> semanticDedup _,
     "chunk_dedup" -> chunkDedup _,

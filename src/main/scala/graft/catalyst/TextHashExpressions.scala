@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.text.Hashing
 
@@ -114,6 +114,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { children: Seq[Expression] =>
         require(children.size == 2, "graft_qdot expects two arguments")
         QuantDot(Cast(children(0), ArrayType(LongType)), Cast(children(1), ArrayType(LongType)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_pq_encode"),
+      { children: Seq[Expression] =>
+        require(children.size == 4, "graft_pq_encode expects four arguments")
+        PqEncode(Cast(children(0), ArrayType(LongType)),
+          Cast(children(1), ArrayType(LongType)),
+          Cast(children(2), IntegerType), Cast(children(3), IntegerType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_pq_lut"),
+      { children: Seq[Expression] =>
+        require(children.size == 4, "graft_pq_lut expects four arguments")
+        PqLut(Cast(children(0), ArrayType(LongType)),
+          Cast(children(1), ArrayType(LongType)),
+          Cast(children(2), IntegerType), Cast(children(3), IntegerType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_pq_adc"),
+      { children: Seq[Expression] =>
+        require(children.size == 3, "graft_pq_adc expects three arguments")
+        PqAdc(Cast(children(0), ArrayType(LongType)),
+          Cast(children(1), ArrayType(LongType)), Cast(children(2), IntegerType))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_srp"),

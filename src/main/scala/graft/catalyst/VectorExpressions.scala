@@ -1,7 +1,7 @@
 package graft.catalyst
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -33,6 +33,68 @@ case class QuantDot(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantDot =
     copy(left = l, right = r)
   override def prettyName: String = "graft_qdot"
+}
+
+/** graft_pq_encode(array<bigint> vec, array<bigint> flatBooks, int m,
+  * int ksub) -> array<bigint> of m nearest-codeword codes. */
+case class PqEncode(vec: Expression, books: Expression, m: Expression, ksub: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = books
+  override def third: Expression = m
+  override def fourth: Expression = ksub
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any, b: Any, mm: Any, kk: Any): Any =
+    VectorKernels.pqEncode(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      mm.asInstanceOf[Int], kk.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b, mm, kk) =>
+      s"graft.catalyst.VectorKernels.pqEncode($v, $b, $mm, $kk)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): PqEncode =
+    copy(vec = a, books = b, m = c, ksub = d)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** graft_pq_lut(array<bigint> query, array<bigint> flatBooks, int m,
+  * int ksub) -> flat array<bigint> [m][ksub] of codeword dots. */
+case class PqLut(vec: Expression, books: Expression, m: Expression, ksub: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = books
+  override def third: Expression = m
+  override def fourth: Expression = ksub
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any, b: Any, mm: Any, kk: Any): Any =
+    VectorKernels.pqLut(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      mm.asInstanceOf[Int], kk.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b, mm, kk) =>
+      s"graft.catalyst.VectorKernels.pqLut($v, $b, $mm, $kk)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): PqLut =
+    copy(vec = a, books = b, m = c, ksub = d)
+  override def prettyName: String = "graft_pq_lut"
+}
+
+/** graft_pq_adc(array<bigint> codes, array<bigint> lut, int ksub) ->
+  * bigint approximate dot (m table lookups). */
+case class PqAdc(codes: Expression, lut: Expression, ksub: Expression)
+    extends TernaryExpression {
+  override def first: Expression = codes
+  override def second: Expression = lut
+  override def third: Expression = ksub
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(c: Any, l: Any, kk: Any): Any =
+    VectorKernels.pqAdc(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData],
+      kk.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l, kk) =>
+      s"graft.catalyst.VectorKernels.pqAdc($c, $l, $kk)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): PqAdc =
+    copy(codes = a, lut = b, ksub = c)
+  override def prettyName: String = "graft_pq_adc"
 }
 
 /** graft_srp(array<bigint>) -> bigint bucket id in [0, 2^SrpPlanes). */

@@ -52,6 +52,84 @@ object VectorKernels {
     acc
   }
 
+  /** PQ nearest-codeword codes for every subspace in one pass.
+    *
+    * `books` is the flattened codebook [sub][code][dim] (m * ksub * subDim
+    * longs, a literal — KBs); the vector's subspace `mi` is its contiguous
+    * slice [mi*subDim, (mi+1)*subDim). Nearest = argmin ||x - c||^2 =
+    * argmax(2<x,c> - <c,c>) over exact integers, ties to the LOWER code
+    * (strict-greater update), matching the SQL oracle's
+    * ORDER BY score DESC, code ASC. */
+  def pqEncode(v: ArrayData, books: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val dim = v.numElements()
+    val subDim = dim / m
+    val out = new Array[Long](m)
+    var mi = 0
+    while (mi < m) {
+      val vBase = mi * subDim
+      var best = -1L
+      var bestScore = Long.MinValue
+      var c = 0
+      while (c < ksub) {
+        val cBase = (mi * ksub + c) * subDim
+        var dotAcc = 0L
+        var normAcc = 0L
+        var d = 0
+        while (d < subDim) {
+          val w = books.getLong(cBase + d)
+          dotAcc += v.getLong(vBase + d) * w
+          normAcc += w * w
+          d += 1
+        }
+        val s = 2 * dotAcc - normAcc
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Per-query ADC lookup table: flat [sub][code] array of exact integer
+    * dots of the query's subvectors against every codeword. */
+  def pqLut(q: ArrayData, books: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val dim = q.numElements()
+    val subDim = dim / m
+    val out = new Array[Long](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      val qBase = mi * subDim
+      var c = 0
+      while (c < ksub) {
+        val cBase = (mi * ksub + c) * subDim
+        var acc = 0L
+        var d = 0
+        while (d < subDim) {
+          acc += q.getLong(qBase + d) * books.getLong(cBase + d)
+          d += 1
+        }
+        out(mi * ksub + c) = acc
+        c += 1
+      }
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ADC score: sum over subspaces of lut[sub][codes[sub]] — the
+    * approximate query-vector dot, m lookups per corpus row. */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Long = {
+    val m = codes.numElements()
+    var acc = 0L
+    var mi = 0
+    while (mi < m) {
+      acc += lut.getLong(mi * ksub + codes.getLong(mi).toInt)
+      mi += 1
+    }
+    acc
+  }
+
   private val planes: Array[Array[Long]] =
     Hashing.SrpMatrix.map(_.map(_.toLong).toArray).toArray
 
