@@ -31,7 +31,9 @@ object BenchMed {
     "simhash_neardup", "simhash64_neardup", "timestamp_sets",
     "token_budget_mix", "time_bin_hourly", "q1_rollup", "q5_region_join",
     "q10_returned_top", "q17_small_qty", "q21_waiting_suppliers",
-    "lsh_recall", "temperature_mix", "bigram_surprisal")
+    "lsh_recall", "temperature_mix", "bigram_surprisal",
+    "pq_topk", "pq_recall", "cluster_best", "bm25_topk", "cdc_chunks",
+    "winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

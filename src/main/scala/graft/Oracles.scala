@@ -237,6 +237,60 @@ object Oracles {
        |ORDER BY id_1, id_2""".stripMargin
   }
 
+  /** Heuristic quality-ensemble scoring CTE chain (quality_ensemble and
+    * cluster_best); ends in `qscored(doc_id, n_tokens, stop_ratio_bp,
+    * top_token_bp, mean_token_len_bp, score)`. */
+  private lazy val qualityCtes: String =
+    s"""qe AS (SELECT doc_id, unnest($tokensE) AS w FROM documents),
+       |qcc AS (SELECT doc_id, w, COUNT(*) AS c FROM qe GROUP BY 1, 2),
+       |qrep AS (SELECT doc_id,
+       |  CAST(floor(MAX(c) * 10000.0 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_token_bp
+       | FROM qcc GROUP BY 1),
+       |qbase AS (SELECT doc_id,
+       |  CAST(len($tokensE) AS BIGINT) AS n_tokens,
+       |  CAST(floor(len(list_filter($tokensE, w -> w IN $stopIn)) * 10000.0
+       |    / len($tokensE)) AS BIGINT) AS stop_ratio_bp,
+       |  CAST(floor(CAST(coalesce(list_sum(list_transform($tokensE, w -> length(w))), 0)
+       |    AS BIGINT) * 10000.0 / len($tokensE)) AS BIGINT) AS mean_token_len_bp
+       | FROM documents),
+       |qscored AS (SELECT b.doc_id, n_tokens, stop_ratio_bp, top_token_bp,
+       |  mean_token_len_bp,
+       |  CAST(least(n_tokens, 100) * 10
+       |   + CASE WHEN stop_ratio_bp BETWEEN 100 AND 4000 THEN 1000 ELSE 0 END
+       |   + CASE WHEN top_token_bp < 2000 THEN 1000 ELSE 0 END
+       |   + CASE WHEN mean_token_len_bp BETWEEN 30000 AND 120000 THEN 1000 ELSE 0 END
+       |   AS BIGINT) AS score
+       | FROM qbase b JOIN qrep USING (doc_id))""".stripMargin
+
+  /** Min-label recursive closure over the minhash near-pair graph — the
+    * shared tail of neardup_components and cluster_best. Splice after
+    * `minhashCtes` with its WITH upgraded to WITH RECURSIVE; ends in
+    * `comp(doc_id, component)` covering only docs incident to a pair. */
+  private val componentCtes: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
+    }.mkString(" UNION ALL ")
+    s"""mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+       | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
+       |pairs AS (SELECT id_1, id_2 FROM (
+       |  SELECT id_1, id_2,
+       |   len(list_intersect(sa.st, sb.st)) AS inter,
+       |   len(sa.st) + len(sb.st) AS szsum
+       |  FROM cand JOIN sets sa ON id_1 = sa.doc_id JOIN sets sb ON id_2 = sb.doc_id)
+       | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000),
+       |edges AS (SELECT id_1 AS u, id_2 AS v FROM pairs
+       |          UNION SELECT id_2, id_1 FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v),
+       |comp AS (SELECT node AS doc_id, MIN(lab) AS component
+       | FROM reach GROUP BY node)""".stripMargin
+  }
+
   // -- the oracle catalog ----------------------------------------------------
 
   val all: Map[String, String] = Map(
@@ -694,29 +748,10 @@ object Oracles {
 
     // integer-weighted heuristic quality ensemble (length + 3 binary rules)
     "quality_ensemble" ->
-      s"""WITH e AS (SELECT doc_id, unnest($tokensE) AS w FROM documents),
-         |cc AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2),
-         |rep AS (SELECT doc_id,
-         |  CAST(floor(MAX(c) * 10000.0 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_token_bp
-         | FROM cc GROUP BY 1),
-         |base AS (SELECT doc_id,
-         |  CAST(len($tokensE) AS BIGINT) AS n_tokens,
-         |  CAST(floor(len(list_filter($tokensE, w -> w IN $stopIn)) * 10000.0
-         |    / len($tokensE)) AS BIGINT) AS stop_ratio_bp,
-         |  CAST(floor(CAST(coalesce(list_sum(list_transform($tokensE, w -> length(w))), 0)
-         |    AS BIGINT) * 10000.0 / len($tokensE)) AS BIGINT) AS mean_token_len_bp
-         | FROM documents),
-         |scored AS (SELECT b.doc_id, n_tokens, stop_ratio_bp, top_token_bp,
-         |  mean_token_len_bp,
-         |  CAST(least(n_tokens, 100) * 10
-         |   + CASE WHEN stop_ratio_bp BETWEEN 100 AND 4000 THEN 1000 ELSE 0 END
-         |   + CASE WHEN top_token_bp < 2000 THEN 1000 ELSE 0 END
-         |   + CASE WHEN mean_token_len_bp BETWEEN 30000 AND 120000 THEN 1000 ELSE 0 END
-         |   AS BIGINT) AS score
-         | FROM base b JOIN rep USING (doc_id))
+      s"""WITH $qualityCtes
          |SELECT doc_id, n_tokens, stop_ratio_bp, top_token_bp, mean_token_len_bp,
          | score, score >= 3000 AS keep
-         |FROM scored ORDER BY doc_id""".stripMargin,
+         |FROM qscored ORDER BY doc_id""".stripMargin,
 
     "corpus_curate" -> {
       // the FULL curation pipeline mirrored stage by stage: cleanup ->
@@ -924,6 +959,52 @@ object Oracles {
         |SELECT doc_id, term, term_rank, score_bp FROM r
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
 
+    // winnowing (window-minimum shingle fingerprints), pairs sharing >= 2
+    "winnow_pairs" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |s AS (SELECT doc_id, $shinglesE AS sh FROM c),
+         |wins AS (SELECT doc_id, list_slice(sh, t.j + 1, t.j + 4) AS wd
+         | FROM s, UNNEST(range(greatest(len(sh) - 4, 0) + 1)) AS t(j)
+         | WHERE len(sh) > 0),
+         |fps AS (SELECT DISTINCT doc_id, list_aggregate(wd, 'min') AS fp FROM wins),
+         |capped AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1)
+         | WHERE df <= ${Queries.NgramMaxDf}),
+         |k AS (SELECT doc_id, fp FROM fps JOIN capped USING (fp))
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY id_1, id_2""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS sum_dl FROM tf),
+        |ts AS (SELECT doc_id, term,
+        |  (tf * n_docs * 10000) // (df * CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT)) AS score_bp
+        | FROM tf JOIN dft USING (term) CROSS JOIN n),
+        |tr AS (SELECT doc_id, term, score_bp,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score_bp DESC, term) AS term_rank
+        | FROM ts),
+        |qterms AS (SELECT doc_id AS query_id, term FROM tr
+        | WHERE doc_id < 4 AND term_rank <= 3),
+        |parts AS (SELECT q.query_id, tf.doc_id,
+        |  ((length(bin(n.n_docs)) - length(bin(dft.df))) * 22 * tf.tf * tot.sum_dl * 1000)
+        |   // (10 * tf.tf * tot.sum_dl + 3 * tot.sum_dl + 9 * dl.dl * n.n_docs) AS part_millis
+        | FROM qterms q JOIN tf USING (term) JOIN dft USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN tot
+        | WHERE tf.doc_id <> q.query_id),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(part_millis) AS BIGINT) AS score_millis
+        | FROM parts GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score_millis,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score_millis DESC, doc_id ASC) AS BIGINT) AS "rank"
+        | FROM sc)
+        |SELECT query_id, doc_id, score_millis, "rank" FROM rk
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
     "repetition_ratio" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2)
@@ -1077,31 +1158,22 @@ object Oracles {
          |JOIN documents db ON nd.id_2 = db.doc_id
          |GROUP BY 1, 2 ORDER BY n_pairs DESC, source_1, source_2""".stripMargin,
 
-    "neardup_components" -> {
-      val bandSelects = (0 until Bands).map { b =>
-        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
-      }.mkString(" UNION ALL ")
-      // min reachable id via recursive closure over the symmetric pair graph
-      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
-         |pairs AS (SELECT id_1, id_2 FROM (
-         |  SELECT id_1, id_2,
-         |   len(list_intersect(sa.st, sb.st)) AS inter,
-         |   len(sa.st) + len(sb.st) AS szsum
-         |  FROM cand JOIN sets sa ON id_1 = sa.doc_id JOIN sets sb ON id_2 = sb.doc_id)
-         | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000),
-         |edges AS (SELECT id_1 AS u, id_2 AS v FROM pairs
-         |          UNION SELECT id_2, id_1 FROM pairs),
-         |reach(node, lab) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v)
-         |SELECT node AS doc_id, MIN(lab) AS component
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
-    },
+    // min reachable id via recursive closure over the symmetric pair graph
+    "neardup_components" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+
+    "cluster_best" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes,
+         |$qualityCtes,
+         |allc AS (SELECT d.doc_id, coalesce(cp.component, d.doc_id) AS component
+         | FROM documents d LEFT JOIN comp cp ON cp.doc_id = d.doc_id),
+         |rb AS (SELECT a.doc_id, a.component, q.score,
+         |  row_number() OVER (PARTITION BY a.component
+         |   ORDER BY q.score DESC, a.doc_id ASC) AS rn
+         | FROM allc a JOIN qscored q ON q.doc_id = a.doc_id)
+         |SELECT doc_id, component, score, rn = 1 AS is_rep
+         |FROM rb ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard_pairs" -> ngramJaccardSql,
     "jaccard_ppjoin" -> ngramJaccardSql,
@@ -1222,6 +1294,27 @@ object Oracles {
         |SELECT doc_id, COUNT(*) AS n_chunks,
         | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep), '') AS dedup_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "cdc_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |toks AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, tk[t.i + 1] AS tok
+        | FROM tk, UNNEST(range(len(tk))) AS t(i)),
+        |flags AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN (length(tok)*$WordBase + ascii(tok)) % 13 = 0 THEN 1 ELSE 0 END AS flag
+        | FROM toks),
+        |cids AS (SELECT doc_id, pos, tok,
+        |  COALESCE(CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id
+        | FROM flags),
+        |chunks AS (SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+        | FROM cids GROUP BY 1, 2),
+        |flagged AS (SELECT doc_id, chunk_id, chunk,
+        |  (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) = 1) AS keep
+        | FROM chunks)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | COALESCE(string_agg(chunk, ' ' ORDER BY chunk_id) FILTER (WHERE keep), '') AS dedup_text
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // purchases joined to the containing click session of the same user

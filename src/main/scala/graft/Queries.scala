@@ -1196,6 +1196,59 @@ object Queries {
       .orderBy(col("doc_id"), col("term_rank"))
   }
 
+  /** Winnowing fingerprint pairs (see [[graft.dedup.Winnow]]): docs sharing
+    * >= 2 window-minimum shingle fingerprints — catches LOCAL overlap
+    * (quotation, plagiarized passages) that whole-doc Jaccard/LSH misses.
+    * maxDf = NgramMaxDf keeps the hot-key gate a no-op on the testdata
+    * while the capped plan stays the one that runs. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Winnow.pairs(t(s, dir, "documents"), "doc_id", "text",
+      w = 4, minShared = 2L, maxDf = NgramMaxDf)
+      .orderBy(col("id_1"), col("id_2"))
+
+  /** BM25 query-by-example retrieval: each probe doc (id < 4) queries the
+    * corpus with its own top-3 tf-idf terms; corpus docs are scored with
+    * BM25 (k1=1.2, b=0.75) in EXACT integer arithmetic — idf as the
+    * bit-length difference ~log2(N/df) (the surprisal family's integer
+    * log), and the tf saturation term cleared of fractions by multiplying
+    * through by 10*sum_dl: score_millis = sum over query terms of
+    * (idf_bits * 22*tf*sum_dl * 1000) div (10*tf*sum_dl + 3*sum_dl +
+    * 9*dl*N). Scale: the probe terms are a broadcast sliver joined
+    * against the postings (tf) table — the classic impact-ordered
+    * retrieval shape where only matching postings are touched; corpus
+    * stats (N, sum_dl) broadcast as one row. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).as("sum_dl")))
+    val qterms = tfidfTopTerms(s, dir)
+      .filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dft, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits",
+        (length(bin(col("n_docs"))) - length(bin(col("df")))).cast(LongType))
+      .withColumn("part_millis",
+        expr("""(idf_bits * 22 * tf * sum_dl * 1000)
+               | div (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)""".stripMargin))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part_millis")).as("score_millis"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_millis").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Connected components over the minhash near-duplicate pair graph: the
     * clustering finisher for LSH dedup. Output: every doc incident to a
     * near-pair with its component id (= smallest doc_id reachable through
@@ -1207,6 +1260,34 @@ object Queries {
       minBp = 5000L, native = true)
     ConnectedComponents.run(pairs, "id_1", "id_2")
       .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-ranked cluster representatives: the dedup FINISHER a training
+    * pipeline actually wants. neardup_components keeps the min-id doc per
+    * duplicate cluster; this keeps the BEST doc — highest quality_ensemble
+    * score, ties to the smaller id — and marks everything else droppable.
+    * Docs in no near-pair are their own singleton component (is_rep =
+    * true). Composition is three already-bucketed stages (LSH pairs ->
+    * pointer-jumping components -> per-component window); the component
+    * join adds one hash shuffle on doc_id and the rank window is bounded
+    * by cluster size, so the finisher inherits the scale story of its
+    * parts. */
+  def clusterBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = MinHash.nearDuplicates(docs, "doc_id", "text",
+      minBp = 5000L, native = true)
+    val comp = ConnectedComponents.run(pairs, "id_1", "id_2")
+      .select(col("node").as("doc_id"), col("component"))
+    val scored = qualityEnsemble(s, dir).select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("is_rep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("score"), col("is_rep"))
       .orderBy(col("doc_id"))
   }
 
@@ -1595,6 +1676,13 @@ object Queries {
     ChunkDedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 32)
       .orderBy(col("doc_id"))
 
+  /** Content-defined chunking dedup (see [[ChunkDedup.cdcChunks]]):
+    * boundaries keyed on token content, so span dedup survives prefix
+    * edits that shift every fixed-width chunk frame. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    ChunkDedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text", divisor = 13)
+      .orderBy(col("doc_id"))
+
   /** Point-in-interval range join via bucketized equi-join (never a
     * nested-loop cross product): purchase events matched to the 2-day-gap
     * click session of the same user whose [start, end] span contains them.
@@ -1781,6 +1869,9 @@ object Queries {
     "neardup_by_source" -> neardupBySource _,
     "dup_ngrams" -> dupNgrams _,
     "neardup_components" -> neardupComponents _,
+    "cluster_best" -> clusterBest _,
+    "bm25_topk" -> bm25TopK _,
+    "winnow_pairs" -> winnowPairs _,
     "simhash_neardup" -> simhashNearDup _,
     "simhash64_neardup" -> simhash64NearDup _,
     "dedup_keeplast_salted" -> dedupKeeplastSalted _,
@@ -1795,6 +1886,7 @@ object Queries {
     "embedding_neardup" -> embeddingNearDup _,
     "semantic_dedup" -> semanticDedup _,
     "chunk_dedup" -> chunkDedup _,
+    "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
     "bigram_surprisal" -> bigramSurprisal _,

@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+  * algorithm): slide a window of `w` consecutive shingle hashes over each
+  * document and keep the minimum hash per window (ties to the LEFTMOST
+  * position), de-duplicated by (position, hash). The selected set is a
+  * position-robust document sketch with a hard guarantee minhash lacks:
+  * any run of at least w+2 shared tokens (w shingle windows at shingle
+  * width 3) contributes at least one IDENTICAL fingerprint to both docs —
+  * so local plagiarism/quotation is caught even when global Jaccard is
+  * far below any LSH threshold.
+  *
+  * Scale: fingerprint density is ~2/(w+1) of the shingle count (the
+  * winnowing paper's expected rate), so the pair join runs on a sketch
+  * linear in corpus size but a constant factor smaller than the shingle
+  * join. The join key is the fingerprint hash — window minima skew toward
+  * globally small hash values, so a document-frequency cap on the
+  * fingerprint (same guard as the shingle joins' stop-shingle cap) keeps
+  * any one key from concentrating the shuffle.
+  */
+object Winnow {
+
+  /** Per-document winnowing fingerprints: (idCol, pos, fp) with `pos` the
+    * 1-based shingle position of the selected minimum. Documents under 3
+    * tokens have no shingles and are excluded (the minhash sentinel rule).
+    * Short docs (fewer than `w` shingles) contribute their global minimum
+    * as the single fingerprint — `slice` clamps at the array end. */
+  def fingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 4): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    MinHash.withShingles(docs.select(col(idCol).as("__id"), col(textCol)),
+        "__id", textCol, native = true)
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), expr(
+        s"""transform(sequence(0, greatest(size(__sh) - $w, 0)),
+           | j -> slice(__sh, j + 1, $w))""".stripMargin).as("__wins"))
+      .select(col("__id"), explode(expr(
+        """array_distinct(transform(__wins, (wd, j) ->
+          | struct(j + array_position(wd, array_min(wd)) AS pos,
+          |        array_min(wd) AS fp)))""".stripMargin)).as("__f"))
+      .select(col("__id").as(idCol),
+        col("__f.pos").as("pos"), col("__f.fp").as("fp"))
+  }
+
+  /** Document pairs sharing at least `minShared` distinct fingerprint
+    * hashes, with the shared count — the plagiarism-detector output.
+    * Fingerprints in more than `maxDf` documents are dropped before the
+    * self-join (hot-key guard; raise it past the corpus max df to make
+    * the gate a no-op, as the catalog query does). */
+  def pairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxDf: Long = 2000L): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, w)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val capped = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val kept = fp.join(capped, "fp")
+    val a = kept.select(col("__id").as("id_1"), col("fp"))
+    val b = kept.select(col("__id").as("id_2"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("id_1") < col("id_2"))
+      .groupBy(col("id_1"), col("id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

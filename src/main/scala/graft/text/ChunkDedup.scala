@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Corpus-global exact span deduplication (the C4-style "remove repeated
   * spans" pass): documents are cut into fixed-width non-overlapping token
@@ -47,6 +48,55 @@ object ChunkDedup {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         array_join(
           expr("transform(array_sort(filter(collect_list(struct(chunk_idx, chunk, keep)), " +
+            "x -> x.keep)), x -> x.chunk)"),
+          " ").as("dedup_text"))
+  }
+
+  /** Content-defined chunking dedup: chunk boundaries fall AFTER any token
+    * whose word code divides `divisor` (a rolling-content condition, not a
+    * fixed stride), so inserting or deleting a token only re-cuts the one
+    * chunk it lands in — every later boundary re-synchronizes. Fixed-width
+    * chunking (dedupChunks) shifts ALL downstream chunk frames after an
+    * edit and misses every repeated span that follows; this is the
+    * rsync/LBFS trick that keeps span dedup robust to prefix edits.
+    * Expected chunk length = divisor tokens; the divisor must be coprime
+    * with Hashing.WordBase (96) or the boundary rule collapses to a
+    * first-character test (96 % 16 == 0 would ignore token length). Production CDC adds min/max
+    * chunk clamps; omitted here to keep the boundary rule one predicate.
+    *
+    * Same output and dedup semantics as dedupChunks. Physical shape: one
+    * posexplode (narrow), a per-doc prefix-sum window for chunk ids (one
+    * exchange on doc id, the tokenPack shape), one exchange on chunk text
+    * for keep-first, one back on doc id to re-assemble — still linear in
+    * corpus token count. */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 13): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+      .withColumn("__flag",
+        when(Text.wordCode(col("__tok")) % divisor === 0, 1L).otherwise(0L))
+    val wPrev = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum(col("__flag")).over(wPrev), lit(0L)))
+      .groupBy(col("__id"), col("chunk_id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(__pos, __tok))), x -> x.__tok)"),
+        " ").as("chunk"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("__id"), col("chunk_id"))
+    chunks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(filter(collect_list(struct(chunk_id, chunk, keep)), " +
             "x -> x.keep)), x -> x.chunk)"),
           " ").as("dedup_text"))
   }
