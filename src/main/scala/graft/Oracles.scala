@@ -1355,6 +1355,28 @@ object Oracles {
         | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_token
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // DSIR importance scores: fixed-point likelihood-ratio millis
+    // ((cnt_t+1)*total_c*1000) // (cnt_c*(total_t+V)) centered at 1000 and
+    // summed per doc; pmod-subtract floor division (sign-safe on both engines)
+    "dsir_weights" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cc AS (SELECT tok, COUNT(*) AS cnt_c FROM e GROUP BY 1),
+        |te AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'),
+        |tc AS (SELECT tok, COUNT(*) AS cnt_t FROM te GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS total_c, COUNT(*) AS vocab FROM cc),
+        |ttot AS (SELECT COUNT(*) AS total_t FROM te),
+        |b AS (SELECT e.doc_id,
+        |  ((COALESCE(tc.cnt_t, 0) + 1) * tot.total_c * 1000)
+        |   // (cc.cnt_c * (ttot.total_t + tot.vocab)) - 1000 AS dev
+        | FROM e JOIN cc USING (tok) LEFT JOIN tc USING (tok)
+        |  CROSS JOIN tot CROSS JOIN ttot),
+        |s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(dev) AS BIGINT) AS score_millis FROM b GROUP BY 1)
+        |SELECT doc_id, n_tokens, score_millis,
+        | CAST((score_millis * 1000 - ((score_millis * 1000 % n_tokens + n_tokens) % n_tokens))
+        |  // n_tokens AS BIGINT) AS millis_per_token
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // bigram conditional surprisal: bitlen(cnt(prev)) - bitlen(cnt(prev,tok))
     // over exact integer counts; docs under 2 tokens have no bigrams
     "bigram_surprisal" ->

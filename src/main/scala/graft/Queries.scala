@@ -1514,6 +1514,52 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance scores (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much its
+    * unigram distribution resembles a TARGET slice (here lang='en', the
+    * high-resource recipe target) versus the whole corpus. Per token the
+    * likelihood ratio p_target/p_corpus is computed in exact fixed-point
+    * millis with Laplace add-1 smoothing over the corpus vocabulary V —
+    * ratio_millis = ((cnt_t+1) * total_c * 1000) div (cnt_c * (total_t+V))
+    * — and the doc score is the sum of centered deviations
+    * (ratio_millis - 1000). A bit-length log2 (the surprisal family's
+    * integer log) is too coarse here: the synthetic corpus's vocabulary is
+    * near-uniform across languages, true log-ratios are under 0.1 bits,
+    * and every weight rounds to exactly 0 — measured, which is why this
+    * query scores in linear ratio space (on-target docs land positive,
+    * off-target negative; +89 vs -65..-158 mean by language at sf0.01).
+    * The resampling step keeps docs by score-biased hash rank; this query
+    * emits the corpus-global part. The per-token rate uses the
+    * pmod-subtract floor form (Spark `div` truncates, DuckDB `//` floors —
+    * that form is floor on BOTH engines, sign-safe for negative sums).
+    * Scale: two vocab aggregates + one vocab join, the unigram_surprisal
+    * shape; web-scale swaps the vocab join for broadcast(top-V) + OOV
+    * default, and mod-reduces counts before the millis product. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val corpusCnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_c"))
+    val targetToks = d.filter(col("lang") === "en")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val targetCnt = targetToks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_t"))
+    val totals = corpusCnt
+      .agg(sum(col("cnt_c")).as("total_c"), count(lit(1)).as("vocab"))
+      .crossJoin(targetToks.agg(count(lit(1)).as("total_t")))
+    toks.join(corpusCnt, "tok")
+      .join(targetCnt, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (expr("""((coalesce(cnt_t, 0L) + 1) * total_c * 1000)
+                | div (cnt_c * (total_t + vocab))""".stripMargin) - 1000L)
+          .as("dev"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("dev")).as("score_millis"))
+      .withColumn("millis_per_token",
+        expr("""(score_millis * 1000 - pmod(score_millis * 1000, n_tokens))
+               | div n_tokens""".stripMargin))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram (conditional) surprisal — the sequence-aware complement of
     * `unigram_surprisal`: per bigram occurrence,
     * bits ~ log2(cnt(prev) / cnt(prev, tok)) computed as the bit-length
@@ -1889,6 +1935,7 @@ object Queries {
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
+    "dsir_weights" -> dsirWeights _,
     "bigram_surprisal" -> bigramSurprisal _,
     "shuffle_shards" -> shuffleShards _,
     "epoch_upsample" -> epochUpsample _,

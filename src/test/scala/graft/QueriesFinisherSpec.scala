@@ -28,6 +28,18 @@ class QueriesFinisherSpec extends SparkSpec {
     assert(out.select("doc_id").distinct().count() == docs.count())
   }
 
+  test("dsir_weights separates the target language from the rest") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val scored = Queries.dsirWeights(spark, dir).join(docs, "doc_id")
+      .groupBy("lang").agg(avg(col("score_millis")).as("mean_score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scored("en") > 0, s"target slice should score positive: $scored")
+    (scored - "en").foreach { case (lang, m) =>
+      assert(m < scored("en"), s"$lang should score below the en target: $scored")
+    }
+  }
+
   test("bm25_topk: ranks are dense from 1 and scores non-increasing") {
     val out = Queries.bm25TopK(spark, dir).cache()
     assert(out.filter(col("doc_id") === col("query_id")).count() == 0)
