@@ -47,6 +47,40 @@ object PQ {
       array(books.flatten.flatten.map(lit): _*)
   }
 
+  /** Persist a trained index: the codes projection (the compressed corpus)
+    * plus the codebooks as one (sub, code, dim, w) parquet table. A
+    * refresh encodes NEW vectors against the loaded codebooks without
+    * touching the original corpus — the [[graft.dedup.Incremental.Index]]
+    * pattern for the embedding side. */
+  def saveIndex(cb: Codebooks, codes: DataFrame, path: String): Unit = {
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val rows = for {
+      mi <- cb.books.indices
+      c <- cb.books(mi).indices
+      d <- cb.books(mi)(c).indices
+    } yield (mi, c, d, cb.books(mi)(c)(d))
+    rows.toDF("sub", "code", "dim", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Reload a persisted index — pure parquet scans, no retraining. The
+    * codebook table is KBs (m x ksub x subDim rows), so the collect is
+    * driver-trivial. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): (Codebooks, DataFrame) = {
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select(col("sub"), col("code"), col("dim"), col("w")).collect()
+    require(cbRows.nonEmpty, s"empty codebooks at $path")
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val subDim = cbRows.map(_.getInt(2)).max + 1
+    val books = Array.ofDim[Long](m, ksub, subDim)
+    cbRows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+    (Codebooks(m, subDim, books.map(_.map(identity))),
+      spark.read.parquet(s"$path/codes"))
+  }
+
   /** id + quantized vector, the shared front of train/encode/search. */
   private def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("__id"),

@@ -204,6 +204,39 @@ object Streaming {
     * checkpoint replacing the offset-range state file. Each AvailableNow
     * call is one incremental pass (the reference's service tick, W2),
     * exactly-once at file granularity via the checkpointed source offset. */
+  /** Streaming PQ index maintenance: each arriving micro-batch of vectors
+    * is encoded against the PERSISTED codebooks (loaded once at stream
+    * start — codebooks are KBs and training is the offline step, exactly
+    * the FAISS deployment split) and appended to the index's codes
+    * partition dir. The encode is a stateless codegen'd projection, so the
+    * stream carries no state at all; exactly-once comes from the
+    * idempotent per-batch overwrite (same contract as
+    * [[incrementalDedupStream]]). Read the full index back with
+    * `spark.read.parquet(outputDir)`. */
+  def pqEncodeStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery = {
+    val (cb, _) = graft.similarity.PQ.loadIndex(spark, indexPath)
+    spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.similarity.PQ.encode(cb, batch, idCol, vecCol)
+            .write.mode("overwrite").parquet(s"$outputDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   def restructureStream(
       spark: SparkSession,
       config: graft.restructure.RestructureConfig,

@@ -115,6 +115,31 @@ class PQSpec extends SparkSpec {
     assert(pq == bf)
   }
 
+  test("persisted index round-trips: load-then-search == inline search") {
+    val corpus = emb.limit(200)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val cb = PQ.train(corpus, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
+    val codes = PQ.encode(cb, corpus, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqindex").toString
+    PQ.saveIndex(cb, codes, dir)
+    val (cb2, codes2) = PQ.loadIndex(spark, dir)
+    assert(cb2.m == cb.m && cb2.subDim == cb.subDim && cb2.ksub == cb.ksub)
+    (0 until cb.m).foreach { mi =>
+      (0 until cb.ksub).foreach { c =>
+        assert(java.util.Arrays.equals(cb2.books(mi)(c), cb.books(mi)(c)))
+      }
+    }
+    def run(b: PQ.Codebooks, cd: org.apache.spark.sql.DataFrame) =
+      PQ.search(b, cd, queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "adot", "rank")
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(run(cb2, codes2) == run(cb, codes))
+    // a refresh batch encodes against the LOADED codebooks only
+    val fresh = emb.filter(col("vec_id").between(200, 249))
+    val freshCodes = PQ.encode(cb2, fresh, "vec_id", "embedding")
+    assert(freshCodes.count() == fresh.count())
+  }
+
   test("dim not divisible by m is rejected") {
     intercept[IllegalArgumentException] {
       PQ.train(emb.limit(16), "vec_id", "embedding", m = 7, ksub = 4)

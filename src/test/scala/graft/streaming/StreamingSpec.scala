@@ -153,6 +153,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("pqEncodeStream encodes arriving vectors against the persisted codebooks") {
+    val dir = Files.createTempDirectory("graft-stream-pq").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"; val ix = s"$dir/ix"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 100)
+    val cb = graft.similarity.PQ.train(corpus, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
+    graft.similarity.PQ.saveIndex(cb,
+      graft.similarity.PQ.encode(cb, corpus, "vec_id", "embedding"), ix)
+    // two arrival batches of NEW vectors
+    emb.filter(col("vec_id").between(100, 119)).write.parquet(in)
+    Streaming.pqEncodeStream(spark, in, out, cp, ix).awaitTermination()
+    emb.filter(col("vec_id").between(120, 139)).write.mode("append").parquet(in)
+    Streaming.pqEncodeStream(spark, in, out, cp, ix).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("__id"), col("__codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val expect = graft.similarity.PQ
+      .encode(cb, emb.filter(col("vec_id").between(100, 139)), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == expect)
+    // re-run admits nothing new (checkpointed exactly-once)
+    Streaming.pqEncodeStream(spark, in, out, cp, ix).awaitTermination()
+    assert(spark.read.parquet(out).count() == 40)
+  }
+
   test("trackOffsets keeps per-key max offset and count across a batch") {
     val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
       .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap
