@@ -975,6 +975,40 @@ object Oracles {
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY id_1, id_2""".stripMargin,
 
+    // robust winnowing: the stateful rightmost-min fold replayed as a
+    // recursive CTE stepping one window per level (all docs advance in
+    // lockstep; depth = max window count). NOT list_reduce: DuckDB 1.0's
+    // list_reduce with an outer-column capture in the lambda returns
+    // different results in full-table runs than in restricted runs
+    // (verified: doc 3 folds to 10 in the 500-doc run, 9 standalone —
+    // 9 is correct), so the fold must avoid per-row lambdas entirely.
+    "winnow_robust" ->
+      s"""WITH RECURSIVE c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |s AS (SELECT doc_id, $shinglesE AS sh FROM c),
+         |shp AS (SELECT doc_id, CAST(t.i AS BIGINT) + 1 AS pos, sh[t.i + 1] AS h
+         | FROM s, UNNEST(range(len(sh))) AS t(i) WHERE len(sh) >= 4),
+         |wn AS (SELECT doc_id, CAST(t.j AS BIGINT) AS j,
+         |  list_aggregate(list_slice(sh, t.j + 1, t.j + 4), 'min') AS m,
+         |  t.j + 5 - list_position(list_reverse(list_slice(sh, t.j + 1, t.j + 4)),
+         |    list_aggregate(list_slice(sh, t.j + 1, t.j + 4), 'min')) AS rpos
+         | FROM s, UNNEST(range(len(sh) - 3)) AS t(j) WHERE len(sh) >= 4),
+         |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM wn GROUP BY 1),
+         |rec(doc_id, j, last, nf) AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT), rpos, CAST(1 AS BIGINT) FROM wn WHERE j = 0
+         |  UNION ALL
+         |  SELECT w.doc_id, w.j,
+         |    CASE WHEN r.last >= w.j + 1 AND p.h = w.m THEN r.last ELSE w.rpos END,
+         |    CASE WHEN r.last >= w.j + 1 AND p.h = w.m THEN r.nf ELSE r.nf + 1 END
+         |  FROM rec r
+         |  JOIN wn w ON w.doc_id = r.doc_id AND w.j = r.j + 1
+         |  JOIN shp p ON p.doc_id = r.doc_id AND p.pos = r.last),
+         |fin AS (SELECT r.doc_id, r.nf FROM rec r JOIN nw ON nw.doc_id = r.doc_id
+         | WHERE r.j = nw.n_windows - 1)
+         |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles, fin.nf AS n_fp,
+         | fin.nf * 10000 // len(s.sh) AS density_bp
+         |FROM s JOIN fin ON fin.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
     "bm25_topk" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY 1, 2),

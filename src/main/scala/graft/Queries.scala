@@ -1206,6 +1206,24 @@ object Queries {
       w = 4, minShared = 2L, maxDf = NgramMaxDf)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Robust-winnowing sketch summary (see [[graft.dedup.Winnow
+    * .robustFingerprints]]): per doc, how many fingerprints the stateful
+    * rightmost-min rule charts over its shingle stream. The density
+    * column is the quantity the SIGMOD'03 paper bounds (~2/(w+1) expected,
+    * ~1/w on constant runs where the plain variant degenerates to ~1) —
+    * the gate a pipeline reads before trusting the sketch size budget. */
+  def winnowRobust(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val nsh = d.select(col("doc_id"),
+        (size(split(col("text"), " ")) - 2).cast(LongType).as("n_shingles"))
+      .filter(col("n_shingles") >= 4)
+    val fps = graft.dedup.Winnow.robustFingerprints(d, "doc_id", "text", w = 4)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    nsh.join(fps, Seq("doc_id"))
+      .withColumn("density_bp", expr("n_fp * 10000 div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 query-by-example retrieval: each probe doc (id < 4) queries the
     * corpus with its own top-3 tf-idf terms; corpus docs are scored with
     * BM25 (k1=1.2, b=0.75) in EXACT integer arithmetic — idf as the
@@ -1918,6 +1936,7 @@ object Queries {
     "cluster_best" -> clusterBest _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
+    "winnow_robust" -> winnowRobust _,
     "simhash_neardup" -> simhashNearDup _,
     "simhash64_neardup" -> simhash64NearDup _,
     "dedup_keeplast_salted" -> dedupKeeplastSalted _,

@@ -48,6 +48,57 @@ object Winnow {
         col("__f.pos").as("pos"), col("__f.fp").as("fp"))
   }
 
+  /** ROBUST winnowing fingerprints (the paper's stateful variant): in each
+    * window select the RIGHTMOST minimal hash, UNLESS the previous
+    * window's selection is still inside this window and still minimal —
+    * then keep it and chart nothing. Plain winnowing's per-window
+    * independent tie-break degenerates on low-entropy content: a constant
+    * token run makes every window chart a fresh position (density -> 1,
+    * measured in WinnowSpec), while the robust rule re-charts only every
+    * w positions (density -> 1/w) — and low-entropy boilerplate is
+    * exactly where span dedup matters. On tie-free hash runs both
+    * variants select the identical (pos, fp) set.
+    *
+    * The per-doc fold is a single `aggregate` over the window starts
+    * (row-local, no extra exchange); only documents with at least `w`
+    * shingles participate (the stateful rule needs full windows — shorter
+    * docs fall back to [[fingerprints]]' clamped single window semantics
+    * and are excluded here). */
+  def robustFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 4): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    MinHash.withShingles(docs.select(col(idCol).as("__id"), col(textCol)),
+        "__id", textCol, native = true)
+      .filter(size(col("__sh")) >= w)
+      .select(col("__id"), expr(
+        s"""aggregate(
+           |  sequence(0, size(__sh) - $w),
+           |  struct(cast(-1 as bigint) as last,
+           |         cast(array() as array<bigint>) as poss,
+           |         cast(array() as array<bigint>) as fps),
+           |  (acc, j) -> if(
+           |    acc.last >= j + 1
+           |      and element_at(__sh, cast(acc.last as int))
+           |            = array_min(slice(__sh, cast(j as int) + 1, $w)),
+           |    acc,
+           |    named_struct(
+           |      'last', j + $w + 1
+           |        - array_position(reverse(slice(__sh, cast(j as int) + 1, $w)),
+           |                         array_min(slice(__sh, cast(j as int) + 1, $w))),
+           |      'poss', concat(acc.poss, array(j + $w + 1
+           |        - array_position(reverse(slice(__sh, cast(j as int) + 1, $w)),
+           |                         array_min(slice(__sh, cast(j as int) + 1, $w))))),
+           |      'fps', concat(acc.fps,
+           |        array(array_min(slice(__sh, cast(j as int) + 1, $w)))))),
+           |  acc -> arrays_zip(acc.poss, acc.fps))""".stripMargin).as("__z"))
+      .select(col("__id"), explode(col("__z")).as("__f"))
+      .select(col("__id").as(idCol),
+        col("__f.poss").as("pos"), col("__f.fps").as("fp"))
+  }
+
   /** Document pairs sharing at least `minShared` distinct fingerprint
     * hashes, with the shared count — the plagiarism-detector output.
     * Fingerprints in more than `maxDf` documents are dropped before the

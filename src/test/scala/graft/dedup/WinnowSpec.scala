@@ -60,6 +60,30 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("robust winnowing bounds density on constant content; plain does not") {
+    // 150 identical tokens: every shingle hash is equal, so every window
+    // of the plain variant charts a fresh leftmost position
+    val docs = Seq((1L, Seq.fill(150)("aaaa").mkString(" "))).toDF("doc_id", "text")
+    val nSh = 148L
+    val plain = Winnow.fingerprints(docs, "doc_id", "text", w = 4).count()
+    val robust = Winnow.robustFingerprints(docs, "doc_id", "text", w = 4).count()
+    assert(plain > nSh * 9 / 10, s"plain should degenerate to ~1 density, got $plain/$nSh")
+    assert(robust <= nSh / 4 + 1, s"robust should charter ~1/w, got $robust/$nSh")
+  }
+
+  test("robust == plain on tie-free content") {
+    val docs = Seq(
+      (1L, uniqueTokens("pa", 120)),
+      (2L, uniqueTokens("pb", 80))).toDF("doc_id", "text")
+    def dedupWindows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "pos", "fp")
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = dedupWindows(Winnow.fingerprints(docs, "doc_id", "text", w = 4))
+    val robust = dedupWindows(Winnow.robustFingerprints(docs, "doc_id", "text", w = 4))
+    // identical when every window minimum is unique in its window
+    assert(robust == plain)
+  }
+
   test("docs under 3 tokens are excluded, short docs keep their global min") {
     val docs = Seq((1L, "a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val fps = Winnow.fingerprints(docs, "doc_id", "text", w = 4)
