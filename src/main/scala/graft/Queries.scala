@@ -1244,6 +1244,13 @@ object Queries {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = d.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(sum(col("tf")).as("sum_dl")))
+    // probe terms come from tfidfTopTerms as an INDEPENDENT subtree on
+    // purpose: rewriting them over this query's own tf/dft/dl frames
+    // reads as reuse but is the opposite in a declarative plan — every
+    // reference inlines a fresh copy of the aggregate (measured: 20
+    // parquet scans / 65 HashAggregates vs 9 scans, 2x wall at sf0.1),
+    // because nothing here is persisted and Catalyst does not share
+    // subtrees across a broadcast boundary
     val qterms = tfidfTopTerms(s, dir)
       .filter(col("doc_id") < 4)
       .select(col("doc_id").as("query_id"), col("term"))

@@ -73,26 +73,32 @@ object Winnow {
     MinHash.withShingles(docs.select(col(idCol).as("__id"), col(textCol)),
         "__id", textCol, native = true)
       .filter(size(col("__sh")) >= w)
+      // per-window (start, min, rightmost-min-pos) computed ONCE, then a
+      // single stateful fold over those structs — the naive form re-slices
+      // and re-mins the window up to 5x per step inside the aggregate
+      .select(col("__id"), col("__sh"), expr(
+        s"""transform(
+           |  transform(sequence(0, size(__sh) - $w),
+           |    j -> slice(__sh, cast(j as int) + 1, $w)),
+           |  (wd, j) -> named_struct(
+           |    'j', cast(j as bigint),
+           |    'm', array_min(wd),
+           |    'rpos', j + $w + 1 - array_position(reverse(wd), array_min(wd))))"""
+          .stripMargin).as("__wn"))
       .select(col("__id"), expr(
         s"""aggregate(
-           |  sequence(0, size(__sh) - $w),
+           |  __wn,
            |  struct(cast(-1 as bigint) as last,
            |         cast(array() as array<bigint>) as poss,
            |         cast(array() as array<bigint>) as fps),
-           |  (acc, j) -> if(
-           |    acc.last >= j + 1
-           |      and element_at(__sh, cast(acc.last as int))
-           |            = array_min(slice(__sh, cast(j as int) + 1, $w)),
+           |  (acc, wn) -> if(
+           |    acc.last >= wn.j + 1
+           |      and element_at(__sh, cast(acc.last as int)) = wn.m,
            |    acc,
            |    named_struct(
-           |      'last', j + $w + 1
-           |        - array_position(reverse(slice(__sh, cast(j as int) + 1, $w)),
-           |                         array_min(slice(__sh, cast(j as int) + 1, $w))),
-           |      'poss', concat(acc.poss, array(j + $w + 1
-           |        - array_position(reverse(slice(__sh, cast(j as int) + 1, $w)),
-           |                         array_min(slice(__sh, cast(j as int) + 1, $w))))),
-           |      'fps', concat(acc.fps,
-           |        array(array_min(slice(__sh, cast(j as int) + 1, $w)))))),
+           |      'last', wn.rpos,
+           |      'poss', concat(acc.poss, array(wn.rpos)),
+           |      'fps', concat(acc.fps, array(wn.m)))),
            |  acc -> arrays_zip(acc.poss, acc.fps))""".stripMargin).as("__z"))
       .select(col("__id"), explode(col("__z")).as("__f"))
       .select(col("__id").as(idCol),

@@ -77,8 +77,7 @@ object PQ {
     val subDim = cbRows.map(_.getInt(2)).max + 1
     val books = Array.ofDim[Long](m, ksub, subDim)
     cbRows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
-    (Codebooks(m, subDim, books.map(_.map(identity))),
-      spark.read.parquet(s"$path/codes"))
+    (Codebooks(m, subDim, books), spark.read.parquet(s"$path/codes"))
   }
 
   /** id + quantized vector, the shared front of train/encode/search. */
@@ -106,7 +105,8 @@ object PQ {
     val q = quantize(df, idCol, vecCol)
     val seeds = q.orderBy(col("__id")).limit(ksub).collect()
       .map(_.getSeq[Long](1).toArray)
-    require(seeds.nonEmpty, "PQ.train: empty input")
+    require(seeds.length == ksub,
+      s"PQ.train: corpus has only ${seeds.length} vectors for ksub=$ksub codewords")
     val dim = seeds.head.length
     require(dim % m == 0, s"PQ.train: dim $dim not divisible by m=$m")
     val subDim = dim / m

@@ -207,12 +207,16 @@ object Streaming {
   /** Streaming PQ index maintenance: each arriving micro-batch of vectors
     * is encoded against the PERSISTED codebooks (loaded once at stream
     * start — codebooks are KBs and training is the offline step, exactly
-    * the FAISS deployment split) and appended to the index's codes
-    * partition dir. The encode is a stateless codegen'd projection, so the
-    * stream carries no state at all; exactly-once comes from the
+    * the FAISS deployment split) and written as a `batch=N` partition
+    * under `outputDir`. The encode is a stateless codegen'd projection,
+    * so the stream carries no state at all; exactly-once comes from the
     * idempotent per-batch overwrite (same contract as
-    * [[incrementalDedupStream]]). Read the full index back with
-    * `spark.read.parquet(outputDir)`. */
+    * [[incrementalDedupStream]]). `spark.read.parquet(outputDir)` returns
+    * the STREAMED additions only; union it with the base index's
+    * `indexPath/codes` for the full corpus. `outputDir` must be a fresh
+    * directory, not `indexPath/codes` itself — mixing the base index's
+    * flat files with `batch=N` partition dirs breaks Spark's partition
+    * discovery. */
   def pqEncodeStream(
       spark: SparkSession,
       inputDir: String,
