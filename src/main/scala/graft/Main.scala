@@ -17,7 +17,7 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service, YamlConfi
   *   # catch-up pass per topic via the DSv2 Avro source (checkpointed
   *   # under <output>/_checkpoints/<topic>)
   * runMain graft.Main --curate --input docs.parquet --output out/ \
-  *   [--keep-langs en,de]
+  *   [--keep-langs en,de] [--keep-best]
   *   # corpus curation: cleanup -> quality gate -> exact + near dedup ->
   *   # deterministic split, written partitioned by split (no --config)
   * }}}
@@ -38,6 +38,7 @@ object Main {
     var input: Option[String] = None
     var output: Option[String] = None
     var keepLangs: Set[String] = Set.empty
+    var keepBest = false
     var interval: Option[Long] = None
     var cleanerInterval: Option[Long] = None
     var cleanerAgeMs: Option[Long] = None
@@ -60,6 +61,7 @@ object Main {
         case "--curate"           => curate = true; i += 1
         case "--input"            => input = Some(value(i + 1)); i += 2
         case "--output"           => output = Some(value(i + 1)); i += 2
+        case "--keep-best"        => keepBest = true; i += 1
         case "--keep-langs" =>
           keepLangs = value(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
           i += 2
@@ -69,6 +71,10 @@ object Main {
         case other =>
           System.err.println(s"unknown argument: $other"); sys.exit(2)
       }
+    }
+    if (keepBest && !curate) {
+      System.err.println("--keep-best only applies to --curate mode")
+      sys.exit(2)
     }
     if (keepLangs.nonEmpty && !curate) {
       // accepting the flag while silently not applying the filter would be
@@ -84,7 +90,7 @@ object Main {
           sys.exit(2); throw new IllegalStateException
       }
       val spark = Sessions.build("graft-curate")
-      val n = runCurate(spark, in, out, keepLangs)
+      val n = runCurate(spark, in, out, keepLangs, keepBest)
       println(s"[graft] curated $n docs -> $out")
       spark.stop()
       return
@@ -175,10 +181,12 @@ object Main {
       spark: org.apache.spark.sql.SparkSession,
       in: String,
       out: String,
-      keepLangs: Set[String] = Set.empty): Long = {
+      keepLangs: Set[String] = Set.empty,
+      keepBest: Boolean = false): Long = {
     val curated = pipelines.CorpusPipeline
       .curate(spark.read.parquet(in), "doc_id", "text",
-        pipelines.CorpusPipeline.Config(keepLangs = keepLangs))
+        pipelines.CorpusPipeline.Config(
+          keepLangs = keepLangs, keepBestInCluster = keepBest))
     // rebalance on the partition column before the dynamic-partition write —
     // same tiny-file fix as Restructure.write (without it every task writes
     // to every split directory)

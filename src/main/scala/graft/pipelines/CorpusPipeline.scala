@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,6 +28,7 @@ object CorpusPipeline {
       maxTopTokenBp: Long = 5000L, // drop docs whose top token is > 50%
       keepLangs: Set[String] = Set.empty, // empty = keep all
       nearDupMinBp: Long = 9000L, // near-dup Jaccard threshold
+      keepBestInCluster: Boolean = false, // near-dup keeps max-quality, not min-id
       trainPct: Int = 80,
       valPct: Int = 10)
 
@@ -90,6 +92,51 @@ object CorpusPipeline {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** The quality-ensemble score (same formula as the `quality_ensemble`
+    * catalog entry, over an arbitrary text column): capped token mass plus
+    * three 1000-point gates on stopword ratio, top-token share, and mean
+    * token length. Returns (idCol, __score). */
+  private def ensembleScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rep = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(floor(max(col("__c")).cast(DoubleType) * 10000d /
+        sum(col("__c")).cast(DoubleType)).cast(LongType).as("__top_bp"))
+    df.select(col(idCol),
+        Text.tokenCount(col(textCol)).cast(LongType).as("__nt"),
+        Text.stopRatioBp(col(textCol), graft.Queries.Stopwords).as("__sr"),
+        Text.meanTokenLenBp(col(textCol)).as("__ml"))
+      .join(rep, Seq(idCol))
+      .select(col(idCol),
+        (least(col("__nt"), lit(100L)) * 10
+          + when(col("__sr").between(100, 4000), 1000L).otherwise(0L)
+          + when(col("__top_bp") < 2000, 1000L).otherwise(0L)
+          + when(col("__ml").between(30000, 120000), 1000L).otherwise(0L))
+          .as("__score"))
+  }
+
+  /** Near dedup keeping the HIGHEST-QUALITY member of each duplicate
+    * cluster instead of the smallest id — the cluster_best finisher wired
+    * into the pipeline. Same pair graph and transitive closure as
+    * [[nearDedup]]; only cluster members are scored (the score join and
+    * rank window run on the pair-graph slice, not the corpus), docs in no
+    * near-pair survive untouched. Ties break to the smaller id, so the
+    * output stays deterministic on any partitioning. */
+  def nearDedupBest(df: DataFrame, idCol: String, textCol: String, minBp: Long): DataFrame = {
+    val pairs = MinHash.nearDuplicates(df, idCol, textCol, minBp, native = true)
+    val comp = ConnectedComponents.run(pairs, "id_1", "id_2")
+      .select(col("node").as(idCol), col("component"))
+    val members = df.join(comp, Seq(idCol)).select(col(idCol), col("component"), col(textCol))
+    val scored = members.join(ensembleScore(members, idCol, textCol), Seq(idCol))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    val drop = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") =!= 1)
+      .select(col(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic split column from the shared integer hash. */
   def withSplit(df: DataFrame, idCol: String, cfg: Config): DataFrame = {
     val bucket = (col(idCol) % Hashing.P * Hashing.TokenHashA) % Hashing.P % 100
@@ -113,7 +160,9 @@ object CorpusPipeline {
     val annotated = annotate(df, textCol).repartition(col(idCol))
     val filtered = qualityFilter(annotated, idCol, cfg)
     val exact = exactDedup(filtered, idCol)
-    val near = nearDedup(exact, idCol, "clean_text", cfg.nearDupMinBp)
+    val near =
+      if (cfg.keepBestInCluster) nearDedupBest(exact, idCol, "clean_text", cfg.nearDupMinBp)
+      else nearDedup(exact, idCol, "clean_text", cfg.nearDupMinBp)
     withSplit(near, idCol, cfg)
       .select(col(idCol), col("clean_text"), col("n_tokens"), col("pred_lang"), col("split"))
   }

@@ -50,6 +50,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("split")).toSeq == again.map(_.getAs[String]("split")).toSeq)
   }
 
+  test("keepBestInCluster keeps one survivor per cluster, chosen by score") {
+    val cfg = CorpusPipeline.Config(
+      minTokens = 5L, maxTopTokenBp = 5000L, nearDupMinBp = 8000L)
+    val best = CorpusPipeline.curate(docs, "doc_id", "text",
+      cfg.copy(keepBestInCluster = true))
+      .select("doc_id").as[Long].collect().toSet
+    val minId = CorpusPipeline.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    // same number of survivors either way: one per duplicate cluster
+    assert(best.size == minId.size)
+    // the non-clustered doc survives in both modes
+    assert(best.contains(3L) && minId.contains(3L))
+    // the 1~6 near-cluster keeps exactly one member in both modes
+    assert(best.intersect(Set(1L, 6L)).size == 1)
+  }
+
+  test("keepBestInCluster picks the higher-quality member on real data") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cfg = CorpusPipeline.Config(nearDupMinBp = 5000L)
+    val best = CorpusPipeline.curate(real, "doc_id", "text",
+      cfg.copy(keepBestInCluster = true)).select("doc_id").as[Long].collect().toSet
+    val minId = CorpusPipeline.curate(real, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best.size == minId.size)
+    // where the modes disagree, the keep-best survivor must score >= the
+    // min-id survivor it replaced (scores via the independently
+    // oracle-checked quality_ensemble over the raw text of the SAME docs)
+    val scores = graft.Queries.qualityEnsemble(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val replaced = minId -- best
+    val replacing = best -- minId
+    assert(replaced.size == replacing.size)
+    if (replaced.nonEmpty) {
+      // aggregate check: total quality cannot go down under keep-best
+      assert(replacing.toSeq.map(scores).sum >= replaced.toSeq.map(scores).sum)
+    }
+  }
+
   test("exact dedup keeps the smallest id of identical cleaned text") {
     val d = Seq((10L, "same words here"), (7L, "same words here"), (8L, "other words here"))
       .toDF("doc_id", "text")
