@@ -291,6 +291,99 @@ object Oracles {
        | FROM reach GROUP BY node)""".stripMargin
   }
 
+  /** The FULL curation pipeline mirrored stage by stage: cleanup ->
+    * annotate (tokens + lang) -> quality gates -> exact dedup -> minhash
+    * near-dedup -> split. The near-dedup finisher is either keep-min-id
+    * per duplicate component (corpus_curate) or keep-best-by-ensemble-score
+    * (corpus_curate_best, ties to the smaller id), mirroring
+    * [[graft.pipelines.CorpusPipeline.nearDedup]] / `nearDedupBest`. */
+  private def curateSql(keepBest: Boolean): String = {
+    val scores = Text.LangMarkers.zipWithIndex.map { case ((_, ws), i) =>
+      s"len(list_filter(${tokensOf("clean_text")}, w -> w IN ${inList(ws)})) AS s$i"
+    }.mkString(", ")
+    val g = Text.LangMarkers.indices.map(i => s"s$i").mkString("greatest(", ", ", ")")
+    val cases = Text.LangMarkers.zipWithIndex
+      .map { case ((lang, _), i) => s"WHEN s$i = g THEN '$lang'" }.mkString(" ")
+    val ms = (0 until K).map(j => s"${minhashE(j)} AS m$j").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m2"
+    }.mkString(" UNION ALL ")
+    val ct = tokensOf("clean_text")
+    // who gets dropped from each near-dup component: everyone but the
+    // min-id member, or everyone but the best-scoring member
+    val finisher =
+      if (!keepBest)
+        """dropped AS (SELECT node AS doc_id FROM
+          |  (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node)
+          | WHERE node <> comp)""".stripMargin
+      else
+        s"""bm AS (SELECT node AS doc_id, MIN(lab) AS comp FROM reach GROUP BY node),
+           |mem AS (SELECT e.doc_id, b.comp, e.clean_text FROM ex e JOIN bm b USING (doc_id)),
+           |bqc AS (SELECT doc_id, w, COUNT(*) AS c FROM
+           |  (SELECT doc_id, unnest($ct) AS w FROM mem) GROUP BY 1, 2),
+           |brep AS (SELECT doc_id,
+           |  CAST(floor(MAX(c) * 10000.0 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_bp
+           | FROM bqc GROUP BY 1),
+           |bsc AS (SELECT m.doc_id, m.comp,
+           |  CAST(least(nt, 100) * 10
+           |   + CASE WHEN sr BETWEEN 100 AND 4000 THEN 1000 ELSE 0 END
+           |   + CASE WHEN r.top_bp < 2000 THEN 1000 ELSE 0 END
+           |   + CASE WHEN ml BETWEEN 30000 AND 120000 THEN 1000 ELSE 0 END
+           |   AS BIGINT) AS score
+           | FROM (SELECT doc_id, comp,
+           |    CAST(len($ct) AS BIGINT) AS nt,
+           |    CAST(floor(len(list_filter($ct, w -> w IN $stopIn)) * 10000.0
+           |      / len($ct)) AS BIGINT) AS sr,
+           |    CAST(floor(CAST(coalesce(list_sum(list_transform($ct, w -> length(w))), 0)
+           |      AS BIGINT) * 10000.0 / len($ct)) AS BIGINT) AS ml
+           |   FROM mem) m JOIN brep r USING (doc_id)),
+           |dropped AS (SELECT doc_id FROM (
+           |  SELECT doc_id,
+           |   row_number() OVER (PARTITION BY comp ORDER BY score DESC, doc_id ASC) AS rn
+           |  FROM bsc) WHERE rn <> 1)""".stripMargin
+    s"""WITH RECURSIVE cl AS (SELECT doc_id, ${cleanOf("text")} AS clean_text FROM documents),
+       |a0 AS (SELECT doc_id, clean_text,
+       |  CAST(len($ct) AS BIGINT) AS n_tokens, $scores FROM cl),
+       |ann AS (SELECT doc_id, clean_text, n_tokens,
+       |  CASE WHEN g <= 0 THEN 'und' $cases END AS pred_lang
+       | FROM (SELECT *, $g AS g FROM a0)),
+       |q1 AS (SELECT * FROM ann WHERE n_tokens >= 5),
+       |rep AS (SELECT doc_id FROM (
+       |  SELECT doc_id, CAST(floor(MAX(c) * 10000.0 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_bp
+       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM
+       |    (SELECT doc_id, unnest($ct) AS w FROM q1) GROUP BY 1, 2)
+       |  GROUP BY 1) WHERE top_bp <= 5000),
+       |qual AS (SELECT q1.* FROM q1 JOIN rep USING (doc_id)),
+       |ex AS (SELECT qual.* FROM qual
+       | JOIN (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY clean_text) k USING (doc_id)),
+       |c2 AS (SELECT doc_id, ${codesOf("clean_text")} AS codes FROM ex),
+       |s2 AS (SELECT doc_id, $shinglesE AS sh FROM c2),
+       |m2 AS (SELECT doc_id, $ms FROM s2),
+       |bands2 AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+       | FROM bands2 a JOIN bands2 b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+       |sets2 AS (SELECT doc_id, list_distinct(sh) AS st FROM s2),
+       |npairs AS (SELECT id_1, id_2 FROM (
+       |  SELECT id_1, id_2,
+       |   len(list_intersect(sa.st, sb.st)) AS inter,
+       |   len(sa.st) + len(sb.st) AS szsum
+       |  FROM cand JOIN sets2 sa ON id_1 = sa.doc_id JOIN sets2 sb ON id_2 = sb.doc_id)
+       | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 9000),
+       |nedges AS (SELECT id_1 AS u, id_2 AS v FROM npairs
+       |           UNION SELECT id_2, id_1 FROM npairs),
+       |reach(node, lab) AS (
+       |  SELECT u, u FROM nedges
+       |  UNION
+       |  SELECT e.u, r.lab FROM nedges e JOIN reach r ON r.node = e.v),
+       |$finisher,
+       |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+       |SELECT doc_id, clean_text, n_tokens, pred_lang,
+       | CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
+       |      WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   // -- the oracle catalog ----------------------------------------------------
 
   val all: Map[String, String] = Map(
@@ -753,64 +846,8 @@ object Oracles {
          | score, score >= 3000 AS keep
          |FROM qscored ORDER BY doc_id""".stripMargin,
 
-    "corpus_curate" -> {
-      // the FULL curation pipeline mirrored stage by stage: cleanup ->
-      // annotate (tokens + lang) -> quality gates -> exact dedup ->
-      // minhash near-dedup (drop id_2 of each qualifying pair) -> split
-      val scores = Text.LangMarkers.zipWithIndex.map { case ((_, ws), i) =>
-        s"len(list_filter(${tokensOf("clean_text")}, w -> w IN ${inList(ws)})) AS s$i"
-      }.mkString(", ")
-      val g = Text.LangMarkers.indices.map(i => s"s$i").mkString("greatest(", ", ", ")")
-      val cases = Text.LangMarkers.zipWithIndex
-        .map { case ((lang, _), i) => s"WHEN s$i = g THEN '$lang'" }.mkString(" ")
-      val ms = (0 until K).map(j => s"${minhashE(j)} AS m$j").mkString(", ")
-      val bandSelects = (0 until Bands).map { b =>
-        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM m2"
-      }.mkString(" UNION ALL ")
-      s"""WITH RECURSIVE cl AS (SELECT doc_id, ${cleanOf("text")} AS clean_text FROM documents),
-         |a0 AS (SELECT doc_id, clean_text,
-         |  CAST(len(${tokensOf("clean_text")}) AS BIGINT) AS n_tokens, $scores FROM cl),
-         |ann AS (SELECT doc_id, clean_text, n_tokens,
-         |  CASE WHEN g <= 0 THEN 'und' $cases END AS pred_lang
-         | FROM (SELECT *, $g AS g FROM a0)),
-         |q1 AS (SELECT * FROM ann WHERE n_tokens >= 5),
-         |rep AS (SELECT doc_id FROM (
-         |  SELECT doc_id, CAST(floor(MAX(c) * 10000.0 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_bp
-         |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM
-         |    (SELECT doc_id, unnest(${tokensOf("clean_text")}) AS w FROM q1) GROUP BY 1, 2)
-         |  GROUP BY 1) WHERE top_bp <= 5000),
-         |qual AS (SELECT q1.* FROM q1 JOIN rep USING (doc_id)),
-         |ex AS (SELECT qual.* FROM qual
-         | JOIN (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY clean_text) k USING (doc_id)),
-         |c2 AS (SELECT doc_id, ${codesOf("clean_text")} AS codes FROM ex),
-         |s2 AS (SELECT doc_id, $shinglesE AS sh FROM c2),
-         |m2 AS (SELECT doc_id, $ms FROM s2),
-         |bands2 AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-         | FROM bands2 a JOIN bands2 b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
-         |sets2 AS (SELECT doc_id, list_distinct(sh) AS st FROM s2),
-         |npairs AS (SELECT id_1, id_2 FROM (
-         |  SELECT id_1, id_2,
-         |   len(list_intersect(sa.st, sb.st)) AS inter,
-         |   len(sa.st) + len(sb.st) AS szsum
-         |  FROM cand JOIN sets2 sa ON id_1 = sa.doc_id JOIN sets2 sb ON id_2 = sb.doc_id)
-         | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 9000),
-         |nedges AS (SELECT id_1 AS u, id_2 AS v FROM npairs
-         |           UNION SELECT id_2, id_1 FROM npairs),
-         |reach(node, lab) AS (
-         |  SELECT u, u FROM nedges
-         |  UNION
-         |  SELECT e.u, r.lab FROM nedges e JOIN reach r ON r.node = e.v),
-         |dropped AS (SELECT node AS doc_id FROM
-         |  (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node)
-         | WHERE node <> comp),
-         |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
-         |SELECT doc_id, clean_text, n_tokens, pred_lang,
-         | CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
-         |      WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
-         |      ELSE 'test' END AS split
-         |FROM fin ORDER BY doc_id""".stripMargin
-    },
+    "corpus_curate" -> curateSql(keepBest = false),
+    "corpus_curate_best" -> curateSql(keepBest = true),
 
     "lang_id" -> {
       val scores = Text.LangMarkers.zipWithIndex.map { case ((_, ws), i) =>

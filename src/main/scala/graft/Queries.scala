@@ -833,6 +833,16 @@ object Queries {
     graft.pipelines.CorpusPipeline.curate(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The same end-to-end curation but with the keep-best-in-cluster
+    * finisher (`--keep-best` on the CLI): each near-dup component keeps its
+    * highest quality-ensemble scorer instead of its smallest id. Same
+    * shuffle story as corpus_curate plus one bounded score join on the
+    * pair-graph slice; the DuckDB oracle swaps only the dropped-CTE. */
+  def corpusCurateBest(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CorpusPipeline.curate(t(s, dir, "documents"), "doc_id", "text",
+      graft.pipelines.CorpusPipeline.Config(keepBestInCluster = true))
+      .orderBy(col("doc_id"))
+
   /** Deterministic train/val/test assignment: hash-bucket each document id
     * with the shared integer hash so the split is stable across runs,
     * engines, and partitionings (the property a training pipeline needs —
@@ -1930,6 +1940,7 @@ object Queries {
     "domain_mix" -> domainMix _,
     "corpus_report" -> corpusReport _,
     "corpus_curate" -> corpusCurate _,
+    "corpus_curate_best" -> corpusCurateBest _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
     "simhash16" -> simhash16 _,
