@@ -114,7 +114,9 @@ object Oracles {
     * rescale. The final assign + probe run against the refined centroids;
     * `cand` keeps the probe rank `rn` so one chain serves several nprobe
     * settings. */
-  private def ivfCandCtes(probeMax: Int): String =
+  /** The index half of the IVF chain (everything through the refined
+    * assignment) — shared by ivfCandCtes and the IVF-PQ composition. */
+  private val ivfAssignCtes: String =
     s"""e AS (SELECT vec_id, $quantE AS v FROM embeddings),
        |cent0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
        |cseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS c FROM cent0),
@@ -143,7 +145,10 @@ object Oracles {
        |assign AS (SELECT vec_id, v, l AS list FROM (
        | SELECT vec_id, v, l,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l ASC) AS rn
-       | FROM ascore) WHERE rn = 1),
+       | FROM ascore) WHERE rn = 1)""".stripMargin
+
+  private def ivfCandCtes(probeMax: Int): String =
+    s"""$ivfAssignCtes,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
        |qscore AS (SELECT q.query_id, q.qv, cent.l, ${dotE("q.qv", "cent.c")} AS s
        | FROM q CROSS JOIN cent),
@@ -162,10 +167,13 @@ object Oracles {
     * seed), nearest-codeword assignment by argmax(2<x,c> - <c,c>) with
     * ties to the lower code, and ADC scores as the sum of 8 per-subspace
     * integer dots. Ends in `pscore(query_id, neighbor_id, adot)`. */
-  private val pqCtes: String = {
+  /** Codebook-train + encode half of the PQ chain, over a source CTE named
+    * `pe(vec_id, v)` — shared by pqCtes (raw vectors) and the IVF-PQ
+    * composition (residuals). Ends in `pcb(sp, code, cw)` and
+    * `penc(vec_id, sp, code)`. */
+  private val pqIndexCtes: String = {
     val subL2 = (sv: String, cw: String) => s"2 * ${dotE(sv, cw)} - ${dotE(cw, cw)}"
-    s"""pe AS (SELECT vec_id, $quantE AS v FROM embeddings),
-       |psub AS (SELECT pe.vec_id, CAST(u.m AS BIGINT) AS sp,
+    s"""psub AS (SELECT pe.vec_id, CAST(u.m AS BIGINT) AS sp,
        |  list_slice(pe.v, u.m * 8 + 1, u.m * 8 + 8) AS sv
        | FROM pe, UNNEST(range(8)) AS u(m)),
        |ps0 AS (SELECT vec_id, v FROM pe ORDER BY vec_id LIMIT 16),
@@ -193,7 +201,12 @@ object Oracles {
        | SELECT s.vec_id, s.sp, c.code,
        |  row_number() OVER (PARTITION BY s.vec_id, s.sp
        |   ORDER BY ${subL2("s.sv", "c.cw")} DESC, c.code ASC) AS rn
-       | FROM psub s JOIN pcb c ON s.sp = c.sp) WHERE rn = 1),
+       | FROM psub s JOIN pcb c ON s.sp = c.sp) WHERE rn = 1)""".stripMargin
+  }
+
+  private val pqCtes: String =
+    s"""pe AS (SELECT vec_id, $quantE AS v FROM embeddings),
+       |$pqIndexCtes,
        |pq AS (SELECT vec_id AS query_id, sp, sv AS qv FROM psub WHERE vec_id < 8),
        |plut AS (SELECT pq.query_id, pq.sp, pcb.code, ${dotE("pq.qv", "pcb.cw")} AS pd
        | FROM pq JOIN pcb ON pq.sp = pcb.sp),
@@ -201,7 +214,51 @@ object Oracles {
        |  CAST(SUM(l.pd) AS BIGINT) AS adot
        | FROM penc en JOIN plut l ON l.sp = en.sp AND l.code = en.code
        | WHERE en.vec_id <> l.query_id GROUP BY 1, 2)""".stripMargin
-  }
+
+  /** IVF-PQ composition, replaying IVFPQ.build/search: coarse assignment
+    * from the refined IVF chain, integer residuals v - c_list, PQ
+    * codebooks trained/encoded on the residuals, and the MIPS ADC
+    * decomposition <q, v> ~= <q, c_list> + ADC(q, codes) — the centroid
+    * term exact per probed list, the residual term summed from the
+    * per-query LUT of the FULL query vector against the residual
+    * codebooks. Shortlist 50 by adot, exact rerank; ends in
+    * `iptop(query_id, neighbor_id, dot, rnk)`. */
+  private val ivfpqCtes: String =
+    s"""$ivfAssignCtes,
+       |rres AS (SELECT a.vec_id,
+       |  list_transform(range(1, $Dim + 1), i -> a.v[i] - c.c[i]) AS r
+       | FROM assign a JOIN cent c ON c.l = a.list),
+       |pe AS (SELECT vec_id, r AS v FROM rres),
+       |$pqIndexCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |qscore AS (SELECT q.query_id, cent.l, ${dotE("q.qv", "cent.c")} AS s
+       | FROM q CROSS JOIN cent),
+       |probe AS (SELECT query_id, list, centdot FROM (
+       | SELECT query_id, l AS list, s AS centdot,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, l DESC) AS rn
+       | FROM qscore) WHERE rn <= 4),
+       |qsub AS (SELECT q.query_id, CAST(u.m AS BIGINT) AS sp,
+       |  list_slice(q.qv, u.m * 8 + 1, u.m * 8 + 8) AS sv
+       | FROM q, UNNEST(range(8)) AS u(m)),
+       |qlut AS (SELECT qs.query_id, qs.sp, pcb.code, ${dotE("qs.sv", "pcb.cw")} AS pd
+       | FROM qsub qs JOIN pcb ON qs.sp = pcb.sp),
+       |ipadc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  MIN(p.centdot) + CAST(SUM(l.pd) AS BIGINT) AS adot
+       | FROM assign a
+       | JOIN probe p ON p.list = a.list AND a.vec_id <> p.query_id
+       | JOIN penc en ON en.vec_id = a.vec_id
+       | JOIN qlut l ON l.query_id = p.query_id AND l.sp = en.sp AND l.code = en.code
+       | GROUP BY 1, 2),
+       |ipshort AS (SELECT query_id, neighbor_id FROM (
+       | SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, neighbor_id ASC) AS rk
+       | FROM ipadc) WHERE rk <= 50),
+       |iprer AS (SELECT sh.query_id, sh.neighbor_id, ${dotE("q.qv", "e.v")} AS dot
+       | FROM ipshort sh JOIN q ON q.query_id = sh.query_id
+       | JOIN e ON e.vec_id = sh.neighbor_id),
+       |iptop AS (SELECT query_id, neighbor_id, dot,
+       | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rnk
+       | FROM iprer)""".stripMargin
 
   /** Deterministic IVF ANN top-k at nprobe 4 (the ivf_topk catalog entry). */
   private val ivfTopkSql =
@@ -1319,6 +1376,27 @@ object Oracles {
          |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1),
          |mm AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
          | FROM exact e JOIN ptop t USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT kk.query_id, kk.k, coalesce(mm.n_match, 0) AS n_match,
+         | CAST(coalesce(mm.n_match, 0) * 10000 // kk.k AS BIGINT) AS recall_bp
+         |FROM kk LEFT JOIN mm ON mm.query_id = kk.query_id
+         |ORDER BY kk.query_id""".stripMargin,
+
+    "ivfpq_topk" ->
+      s"""WITH $ivfpqCtes
+         |SELECT query_id, neighbor_id, dot, rnk AS "rank" FROM iptop
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ivfpq_recall" ->
+      s"""WITH $ivfpqCtes,
+         |itop AS (SELECT query_id, neighbor_id FROM iptop WHERE rnk <= 10),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         | SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |   ORDER BY ${dotE("q.qv", "e.v")} DESC, e.vec_id ASC) AS rk
+         | FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id) WHERE rk <= 10),
+         |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1),
+         |mm AS (SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+         | FROM exact x JOIN itop t USING (query_id, neighbor_id) GROUP BY 1)
          |SELECT kk.query_id, kk.k, coalesce(mm.n_match, 0) AS n_match,
          | CAST(coalesce(mm.n_match, 0) * 10000 // kk.k AS BIGINT) AS recall_bp
          |FROM kk LEFT JOIN mm ON mm.query_id = kk.query_id

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.functions.{Strings, Times}
 import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, RangeJoin, Sessionize}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
-import graft.similarity.{IVF, PQ, SemanticDedup, Similarity}
+import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
 import graft.text.{ChunkDedup, Hashing, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
@@ -1475,6 +1475,47 @@ object Queries {
     * small codes per vector, queries scored via per-subspace LUTs. Fully
     * deterministic, so the DuckDB oracle replays codebook training,
     * encoding, and ADC scoring and the approximate ranks hash-match. */
+  /** The composed production ANN index — IVF list pruning over PQ
+    * residual codes (FAISS's IVFPQ shape): coarse assign, integer
+    * residual, PQ-encode; search decomposes <q,v> ~= <q, c_list> +
+    * ADC(q, codes), shortlists by the approximation inside the nprobe
+    * probed lists, and exact-reranks the shortlist. One corpus exchange
+    * at build, broadcast query side, codegen'd ADC scan over
+    * nprobe/nlist of the compressed codes — each leg already proven by
+    * ivf_topk and pq_topk; this entry pins their composition. */
+  def ivfpqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = IVFPQ.build(emb, "vec_id", "embedding", nlist = 16, m = 8, ksub = 16)
+    IVFPQ.search(idx, emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nprobe = 4, shortlist = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the IVF-PQ shortlist+rerank path against the exact
+    * brute-force top-k — the quality gate for the composed index
+    * (symmetric to ann_recall for IVF alone and pq_recall for PQ alone).
+    * The losses compound (probe misses + ADC misranking), which is
+    * exactly why the composition needs its own gate. */
+  def ivfpqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val exact = cosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val k = exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val idx = IVFPQ.build(emb, "vec_id", "embedding", nlist = 16, m = 8, ksub = 16)
+    val approx = IVFPQ
+      .search(idx, emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nprobe = 4, shortlist = 50)
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_match"))
+    k.join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .withColumn("recall_bp", expr("n_match * 10000 div k"))
+      .orderBy(col("query_id"))
+  }
+
   def pqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cb = PQ.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
@@ -1966,6 +2007,8 @@ object Queries {
     "ann_recall" -> annRecall _,
     "pq_topk" -> pqTopK _,
     "pq_recall" -> pqRecall _,
+    "ivfpq_topk" -> ivfpqTopK _,
+    "ivfpq_recall" -> ivfpqRecall _,
     "embedding_neardup" -> embeddingNearDup _,
     "semantic_dedup" -> semanticDedup _,
     "chunk_dedup" -> chunkDedup _,

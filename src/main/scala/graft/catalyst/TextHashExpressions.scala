@@ -116,6 +116,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         QuantDot(Cast(children(0), ArrayType(LongType)), Cast(children(1), ArrayType(LongType)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_qsub"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_qsub"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_qsub expects two arguments")
+        QuantSub(Cast(children(0), ArrayType(LongType)), Cast(children(1), ArrayType(LongType)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_pq_encode"),
       { children: Seq[Expression] =>

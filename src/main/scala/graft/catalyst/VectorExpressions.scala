@@ -35,6 +35,19 @@ case class QuantDot(left: Expression, right: Expression) extends BinaryExpressio
   override def prettyName: String = "graft_qdot"
 }
 
+/** graft_qsub(array<bigint>, array<bigint>) -> array<bigint> elementwise
+  * difference (the IVF-PQ residual step). */
+case class QuantSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.VectorKernels.sub($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantSub =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_qsub"
+}
+
 /** graft_pq_encode(array<bigint> vec, array<bigint> flatBooks, int m,
   * int ksub) -> array<bigint> of m nearest-codeword codes. */
 case class PqEncode(vec: Expression, books: Expression, m: Expression, ksub: Expression)

@@ -52,6 +52,19 @@ object VectorKernels {
     acc
   }
 
+  /** Elementwise difference of two quantized vectors — the residual step
+    * of the IVF-PQ composition (vector minus its list centroid). */
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = a.getLong(i) - b.getLong(i)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** PQ nearest-codeword codes for every subspace in one pass.
     *
     * `books` is the flattened codebook [sub][code][dim] (m * ksub * subDim

@@ -101,8 +101,17 @@ object PQ {
       vecCol: String,
       m: Int,
       ksub: Int,
-      iters: Int = 0): Codebooks = {
-    val q = quantize(df, idCol, vecCol)
+      iters: Int = 0): Codebooks =
+    trainOn(quantize(df, idCol, vecCol), m, ksub, iters)
+
+  /** Same training but over an ALREADY-QUANTIZED (id, array<long>) frame —
+    * the entry point the IVF-PQ composition uses to train on residuals
+    * (which are integer differences, never re-quantized doubles). */
+  private[similarity] def trainOn(
+      q: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int): Codebooks = {
     val seeds = q.orderBy(col("__id")).limit(ksub).collect()
       .map(_.getSeq[Long](1).toArray)
     require(seeds.length == ksub,
