@@ -1381,6 +1381,20 @@ object Oracles {
          |FROM kk LEFT JOIN mm ON mm.query_id = kk.query_id
          |ORDER BY kk.query_id""".stripMargin,
 
+    "blocklist_filter" -> {
+      val termsLit = Queries.BlockTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      val phraseCases = Queries.BlockPhrases.map(p =>
+        s"(CASE WHEN contains(text, '$p') THEN ['$p'] ELSE CAST([] AS VARCHAR[]) END)")
+        .mkString(" || ")
+      s"""WITH h AS (SELECT doc_id,
+         |  list_sort(list_intersect(list_distinct($tokensE), $termsLit) ||
+         |   $phraseCases) AS hits
+         | FROM documents)
+         |SELECT doc_id, coalesce(array_to_string(hits, ','), '') AS hits,
+         | CAST(len(hits) AS BIGINT) AS n_hits, len(hits) > 0 AS blocked
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
     "ivfpq_topk" ->
       s"""WITH $ivfpqCtes
          |SELECT query_id, neighbor_id, dot, rnk AS "rank" FROM iptop

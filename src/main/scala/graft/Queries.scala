@@ -1019,6 +1019,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Blocklist terms for the C4-style banned-content gate: single tokens
+    * matched against the (deduped) token set, multi-word phrases matched
+    * as substrings. Chosen to hit ~10% of the synthetic corpus so the
+    * gate stays non-degenerate; a production run swaps in its own list. */
+  val BlockTerms: Seq[String] = Seq("dup")
+  val BlockPhrases: Seq[String] = Seq("slow scan")
+
+  /** C4-style blocklist gate: flag every document containing a banned
+    * token or phrase, with the sorted hit list for audit. Pure row-local
+    * projection — array_intersect/contains are codegen'd builtins over
+    * literal arrays, so at corpus scale this fuses into the scan's
+    * WholeStageCodegen span: no shuffle, no UDF, no broadcast. */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val termsLit = array(BlockTerms.map(lit): _*)
+    val termHits = array_intersect(array_distinct(Text.tokens(col("text"))), termsLit)
+    val phraseHits = BlockPhrases.foldLeft(array().cast("array<string>")) { (acc, p) =>
+      when(col("text").contains(p), concat(acc, array(lit(p)))).otherwise(acc)
+    }
+    val hits = array_sort(concat(termHits, phraseHits))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(hits, ",").as("hits"),
+        size(hits).cast(LongType).as("n_hits"),
+        (size(hits) > 0).as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- near-dup / ANN
 
   def simhash16(s: SparkSession, dir: String): DataFrame =
@@ -1974,6 +2001,7 @@ object Queries {
     "tfidf_top_terms" -> tfidfTopTerms _,
     "token_pack" -> tokenPack _,
     "pii_redact" -> piiRedact _,
+    "blocklist_filter" -> blocklistFilter _,
     "stable_split" -> stableSplit _,
     "boilerplate_ngrams" -> boilerplateNgrams _,
     "length_histogram" -> lengthHistogram _,
