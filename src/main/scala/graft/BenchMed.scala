@@ -33,7 +33,8 @@ object BenchMed {
     "q10_returned_top", "q17_small_qty", "q21_waiting_suppliers",
     "lsh_recall", "temperature_mix", "bigram_surprisal",
     "pq_topk", "pq_recall", "cluster_best", "bm25_topk", "cdc_chunks",
-    "winnow_pairs", "dsir_weights", "winnow_robust")
+    "winnow_pairs", "dsir_weights", "winnow_robust",
+    "corpus_curate_best", "ivfpq_topk", "ivfpq_recall", "blocklist_filter")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
