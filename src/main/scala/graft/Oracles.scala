@@ -1395,6 +1395,27 @@ object Oracles {
          |FROM h ORDER BY doc_id""".stripMargin
     },
 
+    "heavy_hitters" -> {
+      val seedRows = (0 until 4)
+        .map(j => s"($j, ${Hashing.A(j)}, ${Hashing.B(j)})").mkString(", ")
+      s"""WITH tok AS (SELECT unnest($tokensE) AS w FROM documents),
+         |exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+         |  length(w) * $WordBase + ascii(w) AS code FROM tok GROUP BY w),
+         |seeds AS (SELECT * FROM (VALUES $seedRows) t(j, a, bb)),
+         |jb AS (SELECT e.w, e.exact_cnt, s.j,
+         |  ((e.code % $P) * s.a + s.bb) % $P % 256 AS b
+         | FROM exact e CROSS JOIN seeds s),
+         |counters AS (SELECT j, b, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+         | FROM jb GROUP BY 1, 2),
+         |est AS (SELECT jb.w, jb.exact_cnt, MIN(c.cnt) AS est_cnt
+         | FROM jb JOIN counters c USING (j, b) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS n FROM exact)
+         |SELECT w AS token, exact_cnt, est_cnt,
+         | est_cnt * 10000 >= n * 300 AS heavy,
+         | est_cnt >= exact_cnt AS sound
+         |FROM est CROSS JOIN tot ORDER BY token""".stripMargin
+    },
+
     "ivfpq_topk" ->
       s"""WITH $ivfpqCtes
          |SELECT query_id, neighbor_id, dot, rnk AS "rank" FROM iptop

@@ -1046,6 +1046,46 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min-sketch heavy hitters over the corpus vocabulary — the
+    * frequency sketch beside sketch_events' HLL/quantiles. d=4 counter
+    * rows x W=256 buckets, hashed with the documented minhash seed family
+    * h_j(code) = (A(j)*(code mod P) + B(j)) mod P mod W, so the sketch is
+    * bit-identical across engines and the DuckDB twin replays it. The
+    * output pins BOTH sketch guarantees per token: `sound` (the CMS
+    * estimate never undercounts — always true) and `heavy` (estimate >=
+    * 300bp of corpus tokens; overestimation can only ADD hitters, never
+    * lose one). Scale story: counters are ONE map-side-combined exchange
+    * collapsing to d*W = 1024 rows regardless of corpus size; the
+    * per-token estimate joins the vocabulary against the broadcast
+    * counter table — no corpus-wide shuffle anywhere. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing.{A, B, P}
+    val W = 256L
+    val tok = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("w"))
+    val exact = tok.groupBy(col("w"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("code", Text.wordCode(col("w")))
+    val buckets = (0 until 4).map { j =>
+      struct(lit(j).as("j"), (((col("code") % P) * A(j) + B(j)) % P % W).as("b"))
+    }
+    val jb = exact
+      .select(col("w"), col("exact_cnt"), explode(array(buckets: _*)).as("jb"))
+      .select(col("w"), col("exact_cnt"),
+        col("jb.j").as("j"), col("jb.b").as("b"))
+    val counters = jb.groupBy(col("j"), col("b"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
+    val est = jb.join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col("w"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+    val total = exact.agg(sum(col("exact_cnt")).as("n"))
+    est.crossJoin(broadcast(total))
+      .select(col("w").as("token"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") * 10000L >= col("n") * 300L).as("heavy"),
+        (col("est_cnt") >= col("exact_cnt")).as("sound"))
+      .orderBy(col("token"))
+  }
+
   // -------------------------------------------------------- near-dup / ANN
 
   def simhash16(s: SparkSession, dir: String): DataFrame =
@@ -2002,6 +2042,7 @@ object Queries {
     "token_pack" -> tokenPack _,
     "pii_redact" -> piiRedact _,
     "blocklist_filter" -> blocklistFilter _,
+    "heavy_hitters" -> heavyHitters _,
     "stable_split" -> stableSplit _,
     "boilerplate_ngrams" -> boilerplateNgrams _,
     "length_histogram" -> lengthHistogram _,
