@@ -17,7 +17,8 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service, YamlConfi
   *   # catch-up pass per topic via the DSv2 Avro source (checkpointed
   *   # under <output>/_checkpoints/<topic>)
   * runMain graft.Main --curate --input docs.parquet --output out/ \
-  *   [--keep-langs en,de] [--keep-best]
+  *   [--keep-langs en,de] [--keep-best] [--block-terms w1,w2]
+  *   [--block-phrases "bad phrase,other phrase"]
   *   # corpus curation: cleanup -> quality gate -> exact + near dedup ->
   *   # deterministic split, written partitioned by split (no --config)
   * }}}
@@ -38,6 +39,8 @@ object Main {
     var input: Option[String] = None
     var output: Option[String] = None
     var keepLangs: Set[String] = Set.empty
+    var blockTerms: Set[String] = Set.empty
+    var blockPhrases: Set[String] = Set.empty
     var keepBest = false
     var interval: Option[Long] = None
     var cleanerInterval: Option[Long] = None
@@ -65,6 +68,12 @@ object Main {
         case "--keep-langs" =>
           keepLangs = value(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
           i += 2
+        case "--block-terms" =>
+          blockTerms = value(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+          i += 2
+        case "--block-phrases" =>
+          blockPhrases = value(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+          i += 2
         case "--interval"         => interval = Some(value(i + 1).toLong); i += 2
         case "--cleaner-interval" => cleanerInterval = Some(value(i + 1).toLong); i += 2
         case "--cleaner-age-ms"   => cleanerAgeMs = Some(value(i + 1).toLong); i += 2
@@ -82,6 +91,10 @@ object Main {
       System.err.println("--keep-langs only applies to --curate mode")
       sys.exit(2)
     }
+    if ((blockTerms.nonEmpty || blockPhrases.nonEmpty) && !curate) {
+      System.err.println("--block-terms/--block-phrases only apply to --curate mode")
+      sys.exit(2)
+    }
     if (curate) {
       val (in, out) = (input, output) match {
         case (Some(a), Some(b)) => (a, b)
@@ -90,7 +103,7 @@ object Main {
           sys.exit(2); throw new IllegalStateException
       }
       val spark = Sessions.build("graft-curate")
-      val n = runCurate(spark, in, out, keepLangs, keepBest)
+      val n = runCurate(spark, in, out, keepLangs, keepBest, blockTerms, blockPhrases)
       println(s"[graft] curated $n docs -> $out")
       spark.stop()
       return
@@ -182,11 +195,14 @@ object Main {
       in: String,
       out: String,
       keepLangs: Set[String] = Set.empty,
-      keepBest: Boolean = false): Long = {
+      keepBest: Boolean = false,
+      blockTerms: Set[String] = Set.empty,
+      blockPhrases: Set[String] = Set.empty): Long = {
     val curated = pipelines.CorpusPipeline
       .curate(spark.read.parquet(in), "doc_id", "text",
         pipelines.CorpusPipeline.Config(
-          keepLangs = keepLangs, keepBestInCluster = keepBest))
+          keepLangs = keepLangs, keepBestInCluster = keepBest,
+          blockTerms = blockTerms, blockPhrases = blockPhrases))
     // rebalance on the partition column before the dynamic-partition write —
     // same tiny-file fix as Restructure.write (without it every task writes
     // to every split directory)

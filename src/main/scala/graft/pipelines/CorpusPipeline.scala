@@ -27,6 +27,8 @@ object CorpusPipeline {
       minTokens: Long = 5L,
       maxTopTokenBp: Long = 5000L, // drop docs whose top token is > 50%
       keepLangs: Set[String] = Set.empty, // empty = keep all
+      blockTerms: Set[String] = Set.empty, // drop docs containing any (token match)
+      blockPhrases: Set[String] = Set.empty, // drop docs containing any (substring match)
       nearDupMinBp: Long = 9000L, // near-dup Jaccard threshold
       keepBestInCluster: Boolean = false, // near-dup keeps max-quality, not min-id
       trainPct: Int = 80,
@@ -42,14 +44,28 @@ object CorpusPipeline {
   }
 
   /** The stateless (row-local) portion of the quality gate: token-count
-    * minimum + language keep-list. Factored out so the streaming intake
-    * ([[graft.streaming.Streaming.curateStream]]) applies EXACTLY the same
-    * gates as the batch pipeline — a Config with keepLangs set must filter
-    * identically in both. */
+    * minimum + language keep-list + blocklist (the C4-style banned-content
+    * gate of the blocklist_filter catalog entry, matched against the
+    * CLEANED text since that is what survives curation). Factored out so
+    * the streaming intake ([[graft.streaming.Streaming.curateStream]])
+    * applies EXACTLY the same gates as the batch pipeline — any Config
+    * must filter identically in both. All three gates are codegen'd
+    * row-local predicates: they fuse into the annotate projection. */
   def rowLocalGate(df: DataFrame, cfg: Config): DataFrame = {
     val base = df.filter(col("n_tokens") >= cfg.minTokens)
-    if (cfg.keepLangs.isEmpty) base
-    else base.filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
+    val lang =
+      if (cfg.keepLangs.isEmpty) base
+      else base.filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
+    if (cfg.blockTerms.isEmpty && cfg.blockPhrases.isEmpty) lang
+    else {
+      val termHit =
+        if (cfg.blockTerms.isEmpty) lit(false)
+        else arrays_overlap(Text.tokens(col("clean_text")),
+          array(cfg.blockTerms.toSeq.sorted.map(lit): _*))
+      val phraseHit = cfg.blockPhrases.toSeq.sorted
+        .foldLeft(lit(false))((acc, p) => acc || col("clean_text").contains(p))
+      lang.filter(!termHit && !phraseHit)
+    }
   }
 
   /** Row-local quality gate (fuses with annotate). The repetition signal

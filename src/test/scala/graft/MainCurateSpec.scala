@@ -25,6 +25,18 @@ class MainCurateSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(row.head._2))
   }
 
+  test("runCurate applies the --block-terms/--block-phrases gate") {
+    val dir = Files.createTempDirectory("graft-curate-block").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"
+    val clean = "the quick brown fox jumps over the lazy dog again and again"
+    val term = "the quick brown fox jumps over the banned dog again and again"
+    val phrase = "the quick brown fox jumps over a very bad phrase again and again"
+    Seq((1L, clean), (2L, term), (3L, phrase)).toDF("doc_id", "text").write.parquet(in)
+    assert(Main.runCurate(spark, in, out,
+      blockTerms = Set("banned"), blockPhrases = Set("very bad phrase")) == 1L)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("runCurate applies the --keep-langs language gate") {
     val dir = Files.createTempDirectory("graft-curate-langs").toFile
     val in = s"$dir/in"; val out = s"$dir/out"
