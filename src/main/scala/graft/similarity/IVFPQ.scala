@@ -35,10 +35,14 @@ import org.apache.spark.sql.types._
   */
 object IVFPQ {
 
+  /** The persistable index: coarse centroids (KBs, driver-side), residual
+    * codebooks (KBs), and the compressed codes projection (__id, __list,
+    * __codes) — everything search needs; the raw assignment frame is not
+    * retained. */
   final case class Index(
-      ivf: IVF.Index,
+      centroids: Array[Array[Long]],
       cb: PQ.Codebooks,
-      codes: DataFrame) // (__id, __list, __codes)
+      codes: DataFrame)
 
   private def centMatrixLit(centroids: Array[Array[Long]]): Column =
     array(centroids.map(c => array(c.map(lit): _*)): _*)
@@ -64,7 +68,70 @@ object IVFPQ {
     val codes = res.select(col("__id"), col("__list"),
       call_function("graft_pq_encode", col("__r"), cb.flatLit, lit(m), lit(ksub))
         .as("__codes"))
-    Index(ivf, cb, codes)
+    Index(ivf.centroids, cb, codes)
+  }
+
+  /** Encode NEW vectors against an existing index's centroids and
+    * codebooks — assign, residual, PQ-encode, all narrow codegen'd
+    * projections with no retraining and no shuffle (the refresh path a
+    * crawl uses: the index grows by appending these rows). */
+  def encodeNew(index: Index, df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cents = centMatrixLit(index.centroids)
+    val centScores = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(call_function("graft_qdot", col("__v"), array(c.map(lit): _*)).as("s"),
+        (-lit(i)).as("nl"))
+    }
+    // argmax dot, ties to the LOWER list id (max over (s, -l)), matching
+    // IVF.build's strict-greater assignment chain
+    df.select(col(idCol).as("__id"),
+        call_function("graft_quantize", col(vecCol)).as("__v"))
+      .withColumn("__list", -greatest(centScores: _*).getField("nl"))
+      .withColumn("__r",
+        call_function("graft_qsub", col("__v"), element_at(cents, col("__list") + 1)))
+      .select(col("__id"), col("__list"),
+        call_function("graft_pq_encode", col("__r"), index.cb.flatLit,
+          lit(index.cb.m), lit(index.cb.ksub)).as("__codes"))
+  }
+
+  /** Persist the index: the codes projection plus centroids and codebooks
+    * as tiny (l/sub, code, dim, w) parquet tables. */
+  def saveIndex(index: Index, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .flatMap { case (c, l) => c.zipWithIndex.map { case (w, d) => (l, d, w) } }
+      .toSeq.toDF("l", "d", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = index.cb
+    (for {
+      mi <- cb.books.indices
+      c <- cb.books(mi).indices
+      d <- cb.books(mi)(c).indices
+    } yield (mi, c, d, cb.books(mi)(c)(d)))
+      .toDF("sub", "code", "dim", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Reload a persisted index — pure parquet scans, driver-trivial
+    * collects (nlist x dim and m x ksub x subDim rows). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select(col("l"), col("d"), col("w")).collect()
+    require(centRows.nonEmpty, s"empty centroids at $path")
+    val nlist = centRows.map(_.getInt(0)).max + 1
+    val dim = centRows.map(_.getInt(1)).max + 1
+    val centroids = Array.ofDim[Long](nlist, dim)
+    centRows.foreach(r => centroids(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select(col("sub"), col("code"), col("dim"), col("w")).collect()
+    require(cbRows.nonEmpty, s"empty codebooks at $path")
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val subDim = cbRows.map(_.getInt(2)).max + 1
+    val books = Array.ofDim[Long](m, ksub, subDim)
+    cbRows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+    Index(centroids, PQ.Codebooks(m, subDim, books), spark.read.parquet(s"$path/codes"))
   }
 
   /** ADC-shortlist-then-exact-rerank top-k within the nprobe nearest lists.
@@ -80,12 +147,12 @@ object IVFPQ {
       nprobe: Int,
       shortlist: Int): DataFrame = {
     val cb = index.cb
-    val cents = centMatrixLit(index.ivf.centroids)
+    val cents = centMatrixLit(index.centroids)
     val q = queries.select(col(idCol).as("query_id"),
       call_function("graft_quantize", col(vecCol)).as("__qv"))
     // rank all centroids per query, keep nprobe — literal-array projection,
     // no join (ties break toward the higher list id, as in IVF.search)
-    val centScores = index.ivf.centroids.zipWithIndex.map { case (c, i) =>
+    val centScores = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(call_function("graft_qdot", col("__qv"), array(c.map(lit): _*)).as("s"),
         lit(i).as("l"))
     }

@@ -38,6 +38,35 @@ class IVFPQSpec extends SparkSpec {
     assert(idx.codes.count() == 100L)
   }
 
+  test("save/load round-trips the index and search results exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val corpus = emb.limit(200)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val idx = IVFPQ.build(corpus, "vec_id", "embedding", nlist = 8, m = 8, ksub = 16)
+    IVFPQ.saveIndex(idx, dir)
+    val loaded = IVFPQ.loadIndex(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    assert(loaded.cb.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.cb.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val a = IVFPQ.search(idx, corpus, queries, "vec_id", "embedding",
+        k = 10, nprobe = 2, shortlist = 30)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val b = IVFPQ.search(loaded, corpus, queries, "vec_id", "embedding",
+        k = 10, nprobe = 2, shortlist = 30)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("encodeNew reproduces the built codes without retraining") {
+    val corpus = emb.limit(200)
+    val idx = IVFPQ.build(corpus, "vec_id", "embedding", nlist = 8, m = 8, ksub = 16)
+    val built = idx.codes.orderBy("__id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toSeq)).toSeq
+    val re = IVFPQ.encodeNew(idx, corpus, "vec_id", "embedding").orderBy("__id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toSeq)).toSeq
+    assert(re == built)
+  }
+
   test("partial probe output is ranked 1..k per query with exact dots") {
     val corpus = emb.limit(200)
     val queries = corpus.filter(col("vec_id") < 5)
