@@ -1416,6 +1416,21 @@ object Oracles {
          |FROM est CROSS JOIN tot ORDER BY token""".stripMargin
     },
 
+    "hard_negatives" ->
+      s"""WITH ${ivfCandCtes(4)},
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |neg AS (SELECT c.query_id, c.neighbor_id, l2.label, c.dot
+         | FROM cand c
+         | JOIN lab l1 ON l1.vec_id = c.query_id
+         | JOIN lab l2 ON l2.vec_id = c.neighbor_id
+         | WHERE l1.label <> l2.label),
+         |r AS (SELECT query_id, neighbor_id, label, dot,
+         | row_number() OVER (PARTITION BY query_id
+         |  ORDER BY dot DESC, neighbor_id ASC) AS "rank"
+         | FROM neg)
+         |SELECT query_id, neighbor_id, label, dot, "rank" FROM r
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
     "ivfpq_topk" ->
       s"""WITH $ivfpqCtes
          |SELECT query_id, neighbor_id, dot, rnk AS "rank" FROM iptop

@@ -1542,6 +1542,43 @@ object Queries {
     * small codes per vector, queries scored via per-subspace LUTs. Fully
     * deterministic, so the DuckDB oracle replays codebook training,
     * encoding, and ADC scoring and the approximate ranks hash-match. */
+  /** Hard-negative mining for contrastive retrieval training: for each
+    * probe vector, the top-k most-similar vectors of a DIFFERENT label —
+    * the highest-loss negatives a metric-learning run wants in its
+    * batches. Mined through the IVF probe path (nprobe/nlist of the
+    * corpus per query, never a full scan), with the class filter applied
+    * BEFORE the rank window so negatives beyond a same-class cluster
+    * still surface. The label join is one hash exchange of the candidate
+    * slice; a production index would carry the label as a code column to
+    * skip even that. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = IVF.build(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+    val labels = emb.select(col("vec_id").as("__id"), col("label"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label").as("__qlab"),
+        call_function("graft_quantize", col("embedding")).as("__qv"))
+    val centScores = idx.centroids.zipWithIndex.map { case (c, i) =>
+      struct(call_function("graft_qdot", col("__qv"), array(c.map(lit): _*)).as("s"),
+        lit(i).as("l"))
+    }
+    val probed = q
+      .withColumn("__probe",
+        slice(reverse(array_sort(array(centScores: _*))), 1, 4))
+      .select(col("query_id"), col("__qlab"), col("__qv"),
+        explode(col("__probe.l")).as("__list"))
+    val cand = probed.join(idx.assigned, "__list")
+      .join(labels, "__id")
+      .filter(col("label") =!= col("__qlab"))
+      .select(col("query_id"), col("__id").as("neighbor_id"), col("label"),
+        call_function("graft_qdot", col("__qv"), col("__v")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The composed production ANN index — IVF list pruning over PQ
     * residual codes (FAISS's IVFPQ shape): coarse assign, integer
     * residual, PQ-encode; search decomposes <q,v> ~= <q, c_list> +
@@ -2078,6 +2115,7 @@ object Queries {
     "pq_recall" -> pqRecall _,
     "ivfpq_topk" -> ivfpqTopK _,
     "ivfpq_recall" -> ivfpqRecall _,
+    "hard_negatives" -> hardNegatives _,
     "embedding_neardup" -> embeddingNearDup _,
     "semantic_dedup" -> semanticDedup _,
     "chunk_dedup" -> chunkDedup _,
