@@ -241,6 +241,52 @@ object Streaming {
       .start()
   }
 
+  /** Streaming count-min-sketch maintenance — the incremental twin of the
+    * heavy_hitters catalog entry. Each micro-batch of documents collapses
+    * to its own 4 x 256 counter DELTA (same seed family and bucketing as
+    * the batch sketch); deltas merge at read time by elementwise sum,
+    * which is exact because CMS counters are linear: sketch(A ∪ B) =
+    * sketch(A) + sketch(B). Per batch the output is at most 1024 rows no
+    * matter the batch size, so the stream's state is the checkpoint only.
+    * Exactly-once via the `batch=<id>` overwrite contract (a replayed
+    * batch rewrites its own partition instead of double-counting). */
+  def cmsStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      textCol: String = "text"): StreamingQuery = {
+    import graft.text.Hashing.{A, B, P}
+    val W = 256L
+    spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val code = graft.text.Text.wordCode(col("w"))
+          val buckets = (0 until 4).map { j =>
+            struct(lit(j).as("j"), (((code % P) * A(j) + B(j)) % P % W).as("b"))
+          }
+          batch.select(explode(graft.text.Text.tokens(col(textCol))).as("w"))
+            .select(explode(array(buckets: _*)).as("jb"))
+            .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$outputDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** Read-time merge of [[cmsStream]] deltas into the live counter table
+    * (<= 1024 rows) — what a query-time estimator loads and broadcasts. */
+  def cmsCounters(spark: SparkSession, outputDir: String): DataFrame =
+    spark.read.parquet(outputDir)
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   def restructureStream(
       spark: SparkSession,
       config: graft.restructure.RestructureConfig,

@@ -178,6 +178,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 40)
   }
 
+  test("cmsStream deltas merge to the batch sketch's counters exactly") {
+    val dir = Files.createTempDirectory("graft-stream-cms").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // two arrival waves
+    docs.filter(col("doc_id") < 25).write.parquet(in)
+    Streaming.cmsStream(spark, in, out, cp).awaitTermination()
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(in)
+    Streaming.cmsStream(spark, in, out, cp).awaitTermination()
+    val merged = Streaming.cmsCounters(spark, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the batch formulation over the SAME corpus in one pass
+    import graft.text.Hashing.{A, B, P}
+    val code = graft.text.Text.wordCode(col("w"))
+    val buckets = (0 until 4).map { j =>
+      struct(lit(j).as("j"), (((code % P) * A(j) + B(j)) % P % 256L).as("b"))
+    }
+    val expect = docs
+      .select(explode(graft.text.Text.tokens(col("text"))).as("w"))
+      .select(explode(array(buckets: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == expect)
+    // replay admits nothing new (checkpointed exactly-once)
+    Streaming.cmsStream(spark, in, out, cp).awaitTermination()
+    val again = Streaming.cmsCounters(spark, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == merged)
+  }
+
   test("trackOffsets keeps per-key max offset and count across a batch") {
     val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
       .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap
