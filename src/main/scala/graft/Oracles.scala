@@ -441,6 +441,27 @@ object Oracles {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR importance-scoring chain (dsir_weights and dsir_resample);
+    * ends in `dw(doc_id, n_tokens, score_millis, millis_per_token)`. */
+  private val dsirCtes: String =
+    """e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cc AS (SELECT tok, COUNT(*) AS cnt_c FROM e GROUP BY 1),
+      |te AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'),
+      |tc AS (SELECT tok, COUNT(*) AS cnt_t FROM te GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS total_c, COUNT(*) AS vocab FROM cc),
+      |ttot AS (SELECT COUNT(*) AS total_t FROM te),
+      |b AS (SELECT e.doc_id,
+      |  ((COALESCE(tc.cnt_t, 0) + 1) * tot.total_c * 1000)
+      |   // (cc.cnt_c * (ttot.total_t + tot.vocab)) - 1000 AS dev
+      | FROM e JOIN cc USING (tok) LEFT JOIN tc USING (tok)
+      |  CROSS JOIN tot CROSS JOIN ttot),
+      |s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(dev) AS BIGINT) AS score_millis FROM b GROUP BY 1),
+      |dw AS (SELECT doc_id, n_tokens, score_millis,
+      | CAST((score_millis * 1000 - ((score_millis * 1000 % n_tokens + n_tokens) % n_tokens))
+      |  // n_tokens AS BIGINT) AS millis_per_token
+      | FROM s)""".stripMargin
+
   // -- the oracle catalog ----------------------------------------------------
 
   val all: Map[String, String] = Map(
@@ -1558,23 +1579,30 @@ object Oracles {
     // ((cnt_t+1)*total_c*1000) // (cnt_c*(total_t+V)) centered at 1000 and
     // summed per doc; pmod-subtract floor division (sign-safe on both engines)
     "dsir_weights" ->
-      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |cc AS (SELECT tok, COUNT(*) AS cnt_c FROM e GROUP BY 1),
-        |te AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'),
-        |tc AS (SELECT tok, COUNT(*) AS cnt_t FROM te GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS total_c, COUNT(*) AS vocab FROM cc),
-        |ttot AS (SELECT COUNT(*) AS total_t FROM te),
-        |b AS (SELECT e.doc_id,
-        |  ((COALESCE(tc.cnt_t, 0) + 1) * tot.total_c * 1000)
-        |   // (cc.cnt_c * (ttot.total_t + tot.vocab)) - 1000 AS dev
-        | FROM e JOIN cc USING (tok) LEFT JOIN tc USING (tok)
-        |  CROSS JOIN tot CROSS JOIN ttot),
-        |s AS (SELECT doc_id, COUNT(*) AS n_tokens,
-        |  CAST(SUM(dev) AS BIGINT) AS score_millis FROM b GROUP BY 1)
-        |SELECT doc_id, n_tokens, score_millis,
-        | CAST((score_millis * 1000 - ((score_millis * 1000 % n_tokens + n_tokens) % n_tokens))
-        |  // n_tokens AS BIGINT) AS millis_per_token
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_tokens, score_millis, millis_per_token
+         |FROM dw ORDER BY doc_id""".stripMargin,
+
+    // importance resampling on the DSIR scores: highest millis-per-token
+    // docs admitted until the token budget, whole buckets via the
+    // cumulated per-weight histogram, the crossing bucket by id order
+    "dsir_resample" ->
+      s"""WITH $dsirCtes,
+         |h AS (SELECT millis_per_token AS wgt, CAST(SUM(n_tokens) AS BIGINT) AS bt
+         | FROM dw GROUP BY 1),
+         |c AS (SELECT wgt, bt,
+         |  CAST(SUM(bt) OVER (ORDER BY wgt DESC) AS BIGINT) AS cum FROM h),
+         |j AS (SELECT d.doc_id, d.n_tokens, c.wgt, c.cum, c.cum - c.bt AS cum_before
+         | FROM dw d JOIN c ON c.wgt = d.millis_per_token),
+         |fullb AS (SELECT doc_id, wgt, n_tokens FROM j WHERE cum <= 8000),
+         |crossb AS (SELECT doc_id, wgt, n_tokens FROM (
+         | SELECT doc_id, wgt, n_tokens, cum_before,
+         |  SUM(n_tokens) OVER (PARTITION BY wgt ORDER BY doc_id) AS c2
+         | FROM j WHERE cum > 8000 AND cum_before < 8000) WHERE c2 <= 8000 - cum_before)
+         |SELECT doc_id, wgt AS millis_per_token, n_tokens FROM fullb
+         |UNION ALL
+         |SELECT doc_id, wgt AS millis_per_token, n_tokens FROM crossb
+         |ORDER BY doc_id""".stripMargin,
 
     // bigram conditional surprisal: bitlen(cnt(prev)) - bitlen(cnt(prev,tok))
     // over exact integer counts; docs under 2 tokens have no bigrams

@@ -1740,6 +1740,37 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance RESAMPLING — the selection step the dsir_weights
+    * scores feed: keep the highest millis-per-token docs until a token
+    * budget is filled. Scalable threshold selection, NOT a global sort of
+    * the corpus: the per-weight token histogram (bounded by distinct
+    * weight values, KBs) is cumulated once on the driver side of a
+    * broadcast, docs in buckets wholly under budget are admitted with a
+    * hash-join against that tiny table, and only the single budget-
+    * crossing bucket pays a (per-bucket) admission window — the same
+    * `cum <= budget` convention as token_budget_mix. */
+  def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    val B = 8000L
+    val w = dsirWeights(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("millis_per_token").as("wgt"))
+    val hist = w.groupBy(col("wgt")).agg(sum(col("n_tokens")).as("bt"))
+    // histogram window: unpartitioned but over distinct weight VALUES only
+    val cum = hist
+      .withColumn("cum", sum(col("bt")).over(Window.orderBy(col("wgt").desc)))
+      .withColumn("cum_before", col("cum") - col("bt"))
+    val joined = w.join(broadcast(cum), "wgt")
+    val full = joined.filter(col("cum") <= B)
+    val crossing = joined
+      .filter(col("cum") > B && col("cum_before") < B)
+      .withColumn("c2", sum(col("n_tokens")).over(
+        Window.partitionBy(col("wgt")).orderBy(col("doc_id"))))
+      .filter(col("c2") <= lit(B) - col("cum_before"))
+      .drop("c2")
+    full.unionByName(crossing)
+      .select(col("doc_id"), col("wgt").as("millis_per_token"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram (conditional) surprisal — the sequence-aware complement of
     * `unigram_surprisal`: per bigram occurrence,
     * bits ~ log2(cnt(prev) / cnt(prev, tok)) computed as the bit-length
@@ -2123,6 +2154,7 @@ object Queries {
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
     "dsir_weights" -> dsirWeights _,
+    "dsir_resample" -> dsirResample _,
     "bigram_surprisal" -> bigramSurprisal _,
     "shuffle_shards" -> shuffleShards _,
     "epoch_upsample" -> epochUpsample _,
