@@ -1473,6 +1473,19 @@ object Oracles {
          |FROM kk LEFT JOIN mm ON mm.query_id = kk.query_id
          |ORDER BY kk.query_id""".stripMargin,
 
+    // per-query mean/max |adot - exact dot| over every corpus vector
+    "pq_distortion" ->
+      s"""WITH $pqCtes,
+         |exd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${dotE("q.v", "c.v")} AS dot
+         | FROM pe q JOIN pe c ON c.vec_id <> q.vec_id WHERE q.vec_id < 8),
+         |er AS (SELECT p.query_id, abs(p.adot - exd.dot) AS err
+         | FROM pscore p JOIN exd USING (query_id, neighbor_id))
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(CAST(SUM(err) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_abs_err,
+         | CAST(MAX(err) AS BIGINT) AS max_abs_err
+         |FROM er GROUP BY 1 ORDER BY query_id""".stripMargin,
+
     "embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id AS id, $quantE AS v FROM embeddings),
          |b AS (SELECT id, v, $srpBucketE AS bucket FROM e),

@@ -1620,6 +1620,38 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** ADC distortion report for the PQ index — the number a pipeline reads
+    * to size m/ksub: per query, the mean and max absolute error between
+    * the ADC approximation and the exact integer dot over EVERY corpus
+    * vector. ONE corpus scan computes encode, ADC, and the exact dot
+    * side by side (queries with their LUTs broadcast), so the report
+    * costs the same as a brute-force probe pass; all integer, floor-div
+    * mean, hash-pinned. */
+  def pqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = PQ.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
+    val base = emb.select(col("vec_id").as("neighbor_id"),
+        call_function("graft_quantize", col("embedding")).as("__cv"))
+      .withColumn("__codes",
+        call_function("graft_pq_encode", col("__cv"), cb.flatLit, lit(8), lit(16)))
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        call_function("graft_quantize", col("embedding")).as("__qv"))
+      .withColumn("__lut",
+        call_function("graft_pq_lut", col("__qv"), cb.flatLit, lit(8), lit(16)))
+    base.crossJoin(broadcast(qs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+        abs(call_function("graft_pq_adc", col("__codes"), col("__lut"), lit(16))
+          - call_function("graft_qdot", col("__qv"), col("__cv"))).as("err"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("__se"),
+        max(col("err")).as("max_abs_err"))
+      .select(col("query_id"), col("n"),
+        expr("__se div n").as("mean_abs_err"), col("max_abs_err"))
+      .orderBy(col("query_id"))
+  }
+
   def pqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cb = PQ.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
@@ -2144,6 +2176,7 @@ object Queries {
     "ann_recall" -> annRecall _,
     "pq_topk" -> pqTopK _,
     "pq_recall" -> pqRecall _,
+    "pq_distortion" -> pqDistortion _,
     "ivfpq_topk" -> ivfpqTopK _,
     "ivfpq_recall" -> ivfpqRecall _,
     "hard_negatives" -> hardNegatives _,

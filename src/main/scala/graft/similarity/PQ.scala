@@ -43,7 +43,7 @@ object PQ {
   final case class Codebooks(m: Int, subDim: Int, books: Array[Array[Array[Long]]]) {
     def ksub: Int = books.head.length
     /** Flattened [sub][code][dim] literal for the native kernels. */
-    private[similarity] def flatLit: Column =
+    private[graft] def flatLit: Column =
       array(books.flatten.flatten.map(lit): _*)
   }
 
