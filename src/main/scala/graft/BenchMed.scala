@@ -35,7 +35,8 @@ object BenchMed {
     "pq_topk", "pq_recall", "cluster_best", "bm25_topk", "cdc_chunks",
     "winnow_pairs", "dsir_weights", "winnow_robust",
     "corpus_curate_best", "ivfpq_topk", "ivfpq_recall", "blocklist_filter",
-    "heavy_hitters", "hard_negatives", "dsir_resample", "pq_distortion")
+    "heavy_hitters", "hard_negatives", "dsir_resample", "pq_distortion",
+    "doc_pagerank")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

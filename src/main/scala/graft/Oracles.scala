@@ -1324,6 +1324,35 @@ object Oracles {
          |SELECT doc_id, component, score, rn = 1 AS is_rep
          |FROM rb ORDER BY doc_id""".stripMargin,
 
+    // fixed-point PageRank, 3 iterations unrolled as plain CTEs (no
+    // recursion needed for a constant iteration count); every division is
+    // a floor over non-negative BIGINTs, so // here == Spark's div there
+    "doc_pagerank" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
+      }.mkString(" UNION ALL ")
+      val iterCtes = (1 to 3).map { i =>
+        s"""prc$i AS (SELECT e.dst AS id,
+           |  CAST(SUM((r.r * 85) // (100 * prd.d)) AS BIGINT) AS s
+           | FROM pre e JOIN pr${i - 1} r ON e.src = r.id
+           | JOIN prd ON prd.src = e.src GROUP BY e.dst),
+           |pr$i AS (SELECT d.doc_id AS id, prb.base + COALESCE(c.s, 0) AS r
+           | FROM documents d CROSS JOIN prb LEFT JOIN prc$i c ON c.id = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCtes, mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects),
+         |prp AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+         |pre AS (SELECT id_1 AS src, id_2 AS dst FROM prp
+         | UNION ALL SELECT id_2, id_1 FROM prp),
+         |prd AS (SELECT src, COUNT(*) AS d FROM pre GROUP BY src),
+         |prn AS (SELECT COUNT(*) AS n FROM documents),
+         |prb AS (SELECT (1000000000::BIGINT * 15 // 100) // n AS base,
+         |  1000000000::BIGINT // n AS r0 FROM prn),
+         |pr0 AS (SELECT doc_id AS id, prb.r0 AS r FROM documents CROSS JOIN prb),
+         |$iterCtes
+         |SELECT id AS doc_id, r AS rank_fp FROM pr3 ORDER BY doc_id""".stripMargin
+    },
+
     "ngram_jaccard_pairs" -> ngramJaccardSql,
     "jaccard_ppjoin" -> ngramJaccardSql,
 

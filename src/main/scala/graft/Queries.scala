@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
-import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, RangeJoin, Sessionize}
+import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, PageRank, RangeJoin, Sessionize}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
 import graft.text.{ChunkDedup, Hashing, Text}
@@ -1393,6 +1393,25 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Graph centrality over the near-dup candidate graph: fixed-point
+    * integer PageRank ([[graft.operators.PageRank]], 3 iterations,
+    * damping 85/100, scale 1e9) on the LSH band-pair graph taken as
+    * undirected. High-rank docs sit at the CENTER of boilerplate/mirror
+    * clusters — a canonicality signal orthogonal to cluster_best's
+    * quality score. Isolated docs hold the base term. All arithmetic is
+    * non-negative integer floor division, so the DuckDB oracle replays
+    * the three unrolled iterations bit-for-bit. */
+  def docPageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text", native = true)
+      .select(col("id_1"), col("id_2"))
+    val edges = pairs.union(pairs.select(col("id_2"), col("id_1")))
+      .toDF("src", "dst")
+    PageRank.run(docs.select(col("doc_id")), "doc_id", edges, "src", "dst")
+      .select(col("node").as("doc_id"), col("rank_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document-frequency cap shared by the shingle-join queries: shingles in
     * more than this many documents are dropped from the sets before the
     * self-join (stop-shingle guard — one boilerplate shingle otherwise
@@ -2162,6 +2181,7 @@ object Queries {
     "dup_ngrams" -> dupNgrams _,
     "neardup_components" -> neardupComponents _,
     "cluster_best" -> clusterBest _,
+    "doc_pagerank" -> docPageRank _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
     "winnow_robust" -> winnowRobust _,
