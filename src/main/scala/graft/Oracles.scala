@@ -1466,6 +1466,36 @@ object Oracles {
          |FROM est CROSS JOIN tot ORDER BY token""".stripMargin
     },
 
+    // integer HLL: register index h%64, rank 26 - bitlength(h//64) via the
+    // bin()-string trick (identical in both engines), fixed-point alpha
+    // estimate over the dense 64-register vector
+    "hll_distinct" ->
+      s"""WITH c AS (SELECT source, $codesE AS codes FROM documents),
+         |s AS (SELECT source, $shinglesE AS sh FROM c),
+         |x0 AS (SELECT source, (t.v % $P) * $TokenHashA % $P AS a1
+         | FROM s, UNNEST(sh) AS t(v)),
+         |x1 AS (SELECT source, xor(a1, a1 >> 15) % $P * $TokenHashB % $P AS a3 FROM x0),
+         |x AS (SELECT source, xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1),
+         |reg AS (SELECT source, h % 64 AS b,
+         |  MAX(CASE WHEN h // 64 = 0 THEN 26
+         |      ELSE 26 - length(bin(h // 64)) END) AS m
+         | FROM x GROUP BY 1, 2),
+         |gs AS (SELECT DISTINCT source FROM x),
+         |dense AS (SELECT gs.source, CAST(t.b AS BIGINT) AS b, COALESCE(reg.m, 0) AS m
+         | FROM gs CROSS JOIN UNNEST(range(64)) AS t(b)
+         | LEFT JOIN reg ON reg.source = gs.source AND reg.b = t.b),
+         |agg AS (SELECT source, CAST(SUM(1073741824 // (1 << m)) AS BIGINT) AS s,
+         |  CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+         | FROM dense GROUP BY 1),
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_values,
+         |  CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct FROM x GROUP BY 1)
+         |SELECT ex.source, n_values, exact_distinct,
+         | (2904064::BIGINT * 1073741824) // (1000 * agg.s) AS hll_est, v_zero,
+         | abs((2904064::BIGINT * 1073741824) // (1000 * agg.s) - exact_distinct) * 10000
+         |   // exact_distinct AS err_bp
+         |FROM ex JOIN agg ON ex.source = agg.source
+         |ORDER BY ex.source""".stripMargin,
+
     "hard_negatives" ->
       s"""WITH ${ivfCandCtes(4)},
          |lab AS (SELECT vec_id, label FROM embeddings),
