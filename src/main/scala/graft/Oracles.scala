@@ -1353,6 +1353,31 @@ object Oracles {
          |SELECT id AS doc_id, r AS rank_fp FROM pr3 ORDER BY doc_id""".stripMargin
     },
 
+    // triangle counts are orientation-invariant: the naive ordered 3-way
+    // join (a < b < c by id) counts each triangle once, matching the
+    // engine's degree-oriented plan exactly
+    "triangle_count" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
+      }.mkString(" UNION ALL ")
+      s"""$minhashCtes, mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects),
+         |p AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+         |tri AS (SELECT x.id_1 AS a, x.id_2 AS b, y.id_2 AS c
+         | FROM p x JOIN p y ON y.id_1 = x.id_1 AND y.id_2 > x.id_2
+         | JOIN p z ON z.id_1 = x.id_2 AND z.id_2 = y.id_2),
+         |tn AS (SELECT t.n AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |  SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) t GROUP BY 1),
+         |dg AS (SELECT t.n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         |  SELECT id_1 AS n FROM p UNION ALL SELECT id_2 FROM p) t GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(dg.degree, 0) AS degree,
+         | COALESCE(tn.n_tri, 0) AS n_triangles
+         |FROM documents d LEFT JOIN dg ON dg.n = d.doc_id
+         |LEFT JOIN tn ON tn.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "ngram_jaccard_pairs" -> ngramJaccardSql,
     "jaccard_ppjoin" -> ngramJaccardSql,
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
-import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, PageRank, RangeJoin, Sessionize}
+import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, PageRank, RangeJoin, Sessionize, Triangles}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.HLL
 import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
@@ -1437,6 +1437,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Triangle census of the near-dup candidate graph
+    * ([[graft.operators.Triangles]], degree-oriented node-iterator): how
+    * clique-like is each document's neighborhood. Mirror clusters are
+    * cliques (triangle-dense); chains of incremental revisions are paths
+    * (triangle-free) — a structural signal neither component id nor
+    * PageRank carries. Counts are orientation-invariant, so the DuckDB
+    * oracle replays a naive 3-way pair join and matches exactly while the
+    * Spark plan keeps the skew-proof orientation. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text", native = true)
+    Triangles.perNode(docs.select(col("doc_id")), "doc_id", pairs, "id_1", "id_2")
+      .select(col("node").as("doc_id"), col("degree"), col("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document-frequency cap shared by the shingle-join queries: shingles in
     * more than this many documents are dropped from the sets before the
     * self-join (stop-shingle guard — one boilerplate shingle otherwise
@@ -2208,6 +2224,7 @@ object Queries {
     "neardup_components" -> neardupComponents _,
     "cluster_best" -> clusterBest _,
     "doc_pagerank" -> docPageRank _,
+    "triangle_count" -> triangleCount _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
     "winnow_robust" -> winnowRobust _,
