@@ -907,6 +907,19 @@ object Oracles {
       s"""SELECT doc_id, len(regexp_extract_all(text, '${Text.BpePattern}')) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // frequency-weighted adjacent char-pair counts over the vocabulary:
+    // pairs are 2-char substrings, top 32 with a deterministic tie-break
+    "bpe_merge_pairs" ->
+      s"""WITH tok AS (SELECT unnest($tokensE) AS w FROM documents),
+         |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+         |pairs AS (SELECT t.p AS p, freq FROM vocab,
+         | UNNEST(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS t(p)),
+         |pc AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM pairs GROUP BY 1),
+         |r AS (SELECT p, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, p ASC) AS "rank" FROM pc)
+         |SELECT CAST("rank" AS BIGINT) AS "rank", p AS pair, cnt FROM r
+         |WHERE "rank" <= 32 ORDER BY "rank"""".stripMargin,
+
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, n_stop,
          | CAST(floor(n_stop * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_bp,

@@ -786,6 +786,32 @@ object Queries {
         Text.bpeTokenCount(col("text")).cast(LongType).as("n_bpe"))
       .orderBy(col("doc_id"))
 
+  /** BPE tokenizer training, step one: frequency-weighted adjacent
+    * character-pair counts over the corpus vocabulary — the merge-candidate
+    * table a byte-pair-encoding trainer ranks to pick its first merges.
+    * Scale shape: pair counting runs over the VOCABULARY (one row per
+    * distinct word with its frequency), not the corpus, so the explode is
+    * bounded by vocab size x mean word length; the pair-count table
+    * map-side-combines to at most alphabet^2 rows before the top-k, and
+    * the global rank window sees only that tiny table. Deterministic
+    * tie-break (count desc, pair asc) keeps the cut identical on any
+    * engine. */
+  def bpeMergePairs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .withColumn("p", explode(when(length(col("w")) >= 2,
+        expr("transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+        .otherwise(array().cast("array<string>"))))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("p").asc)).cast(LongType))
+      .filter(col("rank") <= 32)
+      .select(col("rank"), col("p").as("pair"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
@@ -2194,6 +2220,7 @@ object Queries {
     "base64_unpadded" -> base64Unpadded _,
     "text_tokens" -> textTokens _,
     "bpe_tokens" -> bpeTokens _,
+    "bpe_merge_pairs" -> bpeMergePairs _,
     "text_quality" -> textQuality _,
     "quality_ensemble" -> qualityEnsemble _,
     "text_clean" -> textClean _,
