@@ -287,6 +287,48 @@ object Streaming {
       .groupBy(col("j"), col("b"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Streaming maintenance of the HLL distinct sketch — hll_distinct's
+    * incremental twin: each micro-batch of documents collapses to its own
+    * per-source register DELTA (same mix/bucket/rank pipeline as the batch
+    * sketch, [[graft.sketch.HLL]]); deltas merge at read time by
+    * elementwise MAX. The merge is exact because HLL registers form an
+    * idempotent commutative monoid — reg(A ∪ B) = max(reg(A), reg(B)) —
+    * so a replayed batch cannot even double-count; the `batch=<id>`
+    * overwrite contract still applies for output hygiene. Per batch the
+    * delta is <= 64 rows per source regardless of batch size. */
+  def hllStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      textCol: String = "text",
+      groupCol: String = "source"): StreamingQuery =
+    spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val hashed = batch
+            .select(col(groupCol),
+              explode(call_function("graft_shingles", col(textCol))).as("__sh"))
+            .select(col(groupCol), graft.sketch.HLL.mix(col("__sh")).as("__h"))
+          graft.sketch.HLL.registers(hashed, Seq(groupCol), "__h")
+            .write.mode("overwrite").parquet(s"$outputDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Read-time merge of [[hllStream]] deltas into the live register table
+    * (<= 64 rows per group) — feed it to [[graft.sketch.HLL.estimate]]. */
+  def hllRegisters(spark: SparkSession, outputDir: String,
+      groupCol: String = "source"): DataFrame =
+    spark.read.parquet(outputDir)
+      .groupBy(col(groupCol), col("b"))
+      .agg(max(col("m")).as("m"))
+
   def restructureStream(
       spark: SparkSession,
       config: graft.restructure.RestructureConfig,

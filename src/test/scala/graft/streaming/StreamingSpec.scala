@@ -209,6 +209,32 @@ class StreamingSpec extends SparkSpec {
     assert(again == merged)
   }
 
+  test("hllStream deltas max-merge to the batch sketch's registers exactly") {
+    val dir = Files.createTempDirectory("graft-stream-hll").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // two arrival waves
+    docs.filter(col("doc_id") < 25).write.parquet(in)
+    Streaming.hllStream(spark, in, out, cp).awaitTermination()
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(in)
+    Streaming.hllStream(spark, in, out, cp).awaitTermination()
+    val merged = Streaming.hllRegisters(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the batch formulation over the SAME corpus in one pass
+    val hashed = docs
+      .select(col("source"),
+        explode(call_function("graft_shingles", col("text"))).as("sh"))
+      .select(col("source"), graft.sketch.HLL.mix(col("sh")).as("h"))
+    val expect = graft.sketch.HLL.registers(hashed, Seq("source"), "h")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == expect)
+    // replay admits nothing new (idempotent max-merge + checkpoint)
+    Streaming.hllStream(spark, in, out, cp).awaitTermination()
+    val again = Streaming.hllRegisters(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == merged)
+  }
+
   test("trackOffsets keeps per-key max offset and count across a batch") {
     val out = Streaming.trackOffsets(Seq((1L, 10L), (1L, 7L), (2L, 3L)).toDS())
       .collect().map(p => p.key -> (p.maxOffset, p.total)).toMap
