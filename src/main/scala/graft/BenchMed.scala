@@ -36,7 +36,8 @@ object BenchMed {
     "winnow_pairs", "dsir_weights", "winnow_robust",
     "corpus_curate_best", "ivfpq_topk", "ivfpq_recall", "blocklist_filter",
     "heavy_hitters", "hard_negatives", "dsir_resample", "pq_distortion",
-    "doc_pagerank", "hll_distinct", "triangle_count", "bpe_merge_pairs")
+    "doc_pagerank", "hll_distinct", "triangle_count", "bpe_merge_pairs",
+    "label_spread")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

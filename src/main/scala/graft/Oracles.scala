@@ -1366,6 +1366,33 @@ object Oracles {
          |SELECT id AS doc_id, r AS rank_fp FROM pr3 ORDER BY doc_id""".stripMargin
     },
 
+    // majority label propagation, 2 synchronous rounds unrolled; self-vote
+    // included, ties to the smallest label — all deterministic
+    "label_spread" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
+      }.mkString(" UNION ALL ")
+      val iterCtes = (1 to 2).map { i =>
+        s"""v$i AS (SELECT e.dst AS id, l.lab FROM pre e JOIN lp${i - 1} l ON l.id = e.src
+           | UNION ALL SELECT id, lab FROM lp${i - 1}),
+           |c$i AS (SELECT id, lab, COUNT(*) AS c FROM v$i GROUP BY 1, 2),
+           |lp$i AS (SELECT id, lab FROM (SELECT id, lab,
+           |  row_number() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+           | FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCtes, mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects),
+         |prp AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+         |pre AS (SELECT id_1 AS src, id_2 AS dst FROM prp
+         | UNION ALL SELECT id_2, id_1 FROM prp),
+         |lp0 AS (SELECT doc_id AS id, lang AS lab FROM documents),
+         |$iterCtes
+         |SELECT d.doc_id, d.lang AS seed_lang, lp2.lab AS label,
+         | lp2.lab <> d.lang AS changed
+         |FROM documents d JOIN lp2 ON lp2.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // triangle counts are orientation-invariant: the naive ordered 3-way
     // join (a < b < c by id) counts each triangle once, matching the
     // engine's degree-oriented plan exactly

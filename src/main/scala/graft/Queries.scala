@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
-import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, PageRank, RangeJoin, Sessionize, Triangles}
+import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, LabelProp, PageRank, RangeJoin, Sessionize, Triangles}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.HLL
 import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
@@ -1463,6 +1463,27 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Majority label propagation over the near-dup candidate graph
+    * ([[graft.operators.LabelProp]], 2 synchronous rounds): spread the
+    * language label across near-duplicate links so mirror clusters
+    * converge on one consistent label even where the per-doc classifier
+    * disagreed — `changed` marks the flipped members. Ties break to the
+    * lexicographically smallest label, so the DuckDB oracle replays the
+    * unrolled rounds exactly. */
+  def labelSpread(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text", native = true)
+      .select(col("id_1"), col("id_2"))
+    val edges = pairs.union(pairs.select(col("id_2"), col("id_1")))
+      .toDF("src", "dst")
+    LabelProp.run(docs.select(col("doc_id"), col("lang")), "doc_id", "lang",
+        edges, "src", "dst")
+      .join(docs.select(col("doc_id").as("node"), col("lang").as("seed_lang")), "node")
+      .select(col("node").as("doc_id"), col("seed_lang"), col("label"),
+        (col("label") =!= col("seed_lang")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Triangle census of the near-dup candidate graph
     * ([[graft.operators.Triangles]], degree-oriented node-iterator): how
     * clique-like is each document's neighborhood. Mirror clusters are
@@ -2252,6 +2273,7 @@ object Queries {
     "cluster_best" -> clusterBest _,
     "doc_pagerank" -> docPageRank _,
     "triangle_count" -> triangleCount _,
+    "label_spread" -> labelSpread _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
     "winnow_robust" -> winnowRobust _,
