@@ -761,6 +761,19 @@ object Oracles {
         |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // half-life EWMA: exact integer fold (acc + x) // 2 over the per-user
+    // event list ordered by event id; pure lambda (no outer capture, so
+    // DuckDB's list_reduce is safe here), seeded via list_prepend(0)
+    "user_ewma" ->
+      """WITH per AS (SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  list(cents ORDER BY event_id) AS xs FROM per GROUP BY 1)
+        |SELECT user_id, n_events,
+        | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+        |  (acc, x) -> (acc + x) // 2) AS BIGINT) AS ewma_cents
+        |FROM g ORDER BY user_id""".stripMargin,
+
     "asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'purchase'),
@@ -919,6 +932,38 @@ object Oracles {
          |  row_number() OVER (ORDER BY cnt DESC, p ASC) AS "rank" FROM pc)
          |SELECT CAST("rank" AS BIGINT) AS "rank", p AS pair, cnt FROM r
          |WHERE "rank" <= 32 ORDER BY "rank"""".stripMargin,
+
+    // iterated BPE: 3 rounds unrolled; symbols ride as chr(1)-prefixed,
+    // chr(2)-suffixed brackets so non-overlapping replace() applies the
+    // merge with exactly BPE's greedy left-to-right semantics (prefix AND
+    // suffix markers make partial-symbol matches impossible), and no
+    // list_reduce lambda ever captures an outer column
+    "bpe_train_merges" -> {
+      def roundCtes(i: Int) =
+        s"""sy$i AS (SELECT freq,
+           |  string_split(rtrim(ltrim(enc, chr(1)), chr(2)), chr(2) || chr(1)) AS syms
+           | FROM s$i),
+           |pc$i AS (SELECT syms[t.j] AS lhs, syms[t.j + 1] AS rhs, freq
+           | FROM sy$i, UNNEST(range(1, len(syms))) AS t(j)),
+           |best$i AS (SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+           | FROM pc$i GROUP BY 1, 2 ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+           |s${i + 1} AS (SELECT freq,
+           |  replace(enc, chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+           |    chr(1) || b.lhs || b.rhs || chr(2)) AS enc
+           | FROM s$i CROSS JOIN best$i b)""".stripMargin
+      s"""WITH tok AS (SELECT unnest($tokensE) AS w FROM documents),
+         |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+         |s1 AS (SELECT freq,
+         |  regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc FROM vocab),
+         |${roundCtes(1)},
+         |${roundCtes(2)},
+         |${roundCtes(3)}
+         |SELECT * FROM (
+         | SELECT CAST(1 AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, cnt FROM best1
+         | UNION ALL SELECT 2, lhs, rhs, lhs || rhs, cnt FROM best2
+         | UNION ALL SELECT 3, lhs, rhs, lhs || rhs, cnt FROM best3)
+         |ORDER BY step""".stripMargin
+    },
 
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, n_stop,

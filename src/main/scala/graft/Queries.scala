@@ -10,7 +10,7 @@ import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, La
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.HLL
 import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
-import graft.text.{ChunkDedup, Hashing, Text}
+import graft.text.{BPE, ChunkDedup, Hashing, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
   * tables (TESTDATA.md). Each query has a DuckDB oracle twin in
@@ -542,6 +542,29 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Per-user EWMA of event values — the sequential-fold aggregate: with
+    * half-life decay (alpha = 1/2) the recurrence e' = (e + x) div 2 stays
+    * in exact integer cents, so any engine replays the fold bit-for-bit
+    * (values are non-negative, so truncating div == floor). The fold runs
+    * over `aggregate()` on the per-user event list sorted by event id —
+    * per-key sequential dependency is inherent to EWMA, and the list is
+    * bounded by per-user activity (session-scale), never the corpus; at
+    * 100 TB the alpha = 1/2 memory horizon (~40 events to underflow)
+    * bounds how much history even MATTERS, so a production run folds only
+    * each user's recent tail. One shuffle: the per-user collect. */
+  def userEwma(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_list(struct(col("event_id"), col("cents")))).as("xs"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        expr("aggregate(transform(xs, x -> x.cents), 0L, (acc, x) -> (acc + x) div 2)")
+          .as("ewma_cents"))
+      .orderBy(col("user_id"))
+
   /** Exact median (sort-based percentile aggregate) of order value per
     * priority — integer cents in, so the linear interpolation lands on .0
     * or .5 doubles that hash identically across engines. */
@@ -810,6 +833,20 @@ object Queries {
       .filter(col("rank") <= 32)
       .select(col("rank"), col("p").as("pair"), col("cnt"))
       .orderBy(col("rank"))
+  }
+
+  /** BPE tokenizer training, the real loop ([[graft.text.BPE]]): 3 greedy
+    * merge rounds over the corpus vocabulary — count weighted adjacent
+    * symbol pairs, take the argmax (ties to the smallest pair), apply the
+    * merge left-to-right, repeat on the updated symbols. Output is the
+    * learned merge table in training order. The DuckDB twin replays the
+    * rounds with marker-bracketed strings and non-overlapping replace()
+    * (same greedy semantics, no lambda-capture hazard). */
+  def bpeTrainMerges(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    BPE.trainMerges(vocab, "w", "freq", steps = 3).orderBy(col("step"))
   }
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -2242,6 +2279,7 @@ object Queries {
     "text_tokens" -> textTokens _,
     "bpe_tokens" -> bpeTokens _,
     "bpe_merge_pairs" -> bpeMergePairs _,
+    "bpe_train_merges" -> bpeTrainMerges _,
     "text_quality" -> textQuality _,
     "quality_ensemble" -> qualityEnsemble _,
     "text_clean" -> textClean _,
@@ -2274,6 +2312,7 @@ object Queries {
     "doc_pagerank" -> docPageRank _,
     "triangle_count" -> triangleCount _,
     "label_spread" -> labelSpread _,
+    "user_ewma" -> userEwma _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
     "winnow_robust" -> winnowRobust _,

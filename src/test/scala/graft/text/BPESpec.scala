@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BPE merge training: agreement with a sequential reference (including
+  * the greedy-overlap case), tie-break determinism, and partitioning
+  * independence. */
+class BPESpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Classic sequential BPE over a (word -> freq) vocabulary. */
+  private def reference(vocab: Map[String, Long], steps: Int): Seq[(Long, String, String, String, Long)] = {
+    var syms: Map[String, List[String]] = vocab.map { case (w, _) => w -> w.map(_.toString).toList }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (i <- 1 to steps) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, f) <- vocab; Seq(a, b) <- syms(w).sliding(2) if syms(w).size >= 2)
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+      val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      out += ((i.toLong, l, r, l + r, cnt))
+      syms = syms.map { case (w, s) =>
+        val acc = scala.collection.mutable.ListBuffer.empty[String]
+        for (x <- s) {
+          if (acc.nonEmpty && acc.last == l && x == r) acc(acc.size - 1) = l + r
+          else acc += x
+        }
+        w -> acc.toList
+      }
+    }
+    out.result()
+  }
+
+  private def run(vocab: Map[String, Long], steps: Int, parts: Int = 1): Seq[(Long, String, String, String, Long)] =
+    BPE.trainMerges(vocab.toSeq.toDF("w", "freq").repartition(parts), "w", "freq", steps)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+
+  test("matches the sequential trainer, including greedy overlap on runs") {
+    // 'aaaa' stresses non-overlapping application: (a,a) then (aa,aa)
+    val vocab = Map("aaaa" -> 10L, "aab" -> 4L, "abab" -> 3L, "b" -> 7L)
+    assert(run(vocab, 4) === reference(vocab, 4))
+  }
+
+  test("first merge on a crafted vocabulary is the weighted argmax") {
+    val vocab = Map("xy" -> 5L, "xz" -> 3L, "yz" -> 4L)
+    val got = run(vocab, 1)
+    assert(got === Seq((1L, "x", "y", "xy", 5L)))
+  }
+
+  test("ties break to the lexicographically smallest pair") {
+    val vocab = Map("ab" -> 2L, "aa" -> 2L) // (a,a) and (a,b) both count 2
+    assert(run(vocab, 1).head === ((1L, "a", "a", "aa", 2L)))
+  }
+
+  test("result is independent of vocabulary partitioning") {
+    val vocab = ("the quick brown fox jumps over the lazy dog and the cat" * 3)
+      .split(' ').groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    assert(run(vocab, 3, parts = 7) === reference(vocab, 3))
+  }
+}
