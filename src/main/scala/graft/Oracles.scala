@@ -1804,6 +1804,34 @@ object Oracles {
         | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_bigram
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Kneser-Ney bigram bits: fixed-point millionth probabilities with
+    // floor division at every step, bit cost 20 - bitlength(p_mil)
+    "kn_bigram_bits" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, tk[i - 1] AS prev, tk[i] AS tok
+        | FROM t, UNNEST(range(2, len(tk) + 1)) AS u(i)),
+        |bc AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c12
+        | FROM bi GROUP BY prev, tok),
+        |ls AS (SELECT prev, CAST(SUM(c12) AS BIGINT) AS c1,
+        |  CAST(COUNT(*) AS BIGINT) AS n1l FROM bc GROUP BY prev),
+        |rs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n1r FROM bc GROUP BY tok),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM bc),
+        |scored AS (SELECT bi.doc_id,
+        |  (greatest(100 * bc.c12 - 75, 0) * 10000) // ls.c1
+        |   + ((750000 * ls.n1l // ls.c1) * (rs.n1r * 1000000 // tot.n1all)) // 1000000
+        |   AS p_mil
+        | FROM bi JOIN bc ON bi.prev = bc.prev AND bi.tok = bc.tok
+        | JOIN ls ON bi.prev = ls.prev
+        | JOIN rs ON bi.tok = rs.tok CROSS JOIN tot),
+        |bits AS (SELECT doc_id,
+        |  CASE WHEN p_mil > 0 THEN greatest(20 - length(bin(p_mil)), 0)
+        |       ELSE 21 END AS bits FROM scored)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | CAST(SUM(bits) AS BIGINT) AS kn_bits,
+        | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_bigram
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // incremental cross-corpus dedup: new batch (id >= 250) survives unless
     // exact-fingerprint or band-collision+Jaccard matched vs the reference
     "incremental_dedup" -> {

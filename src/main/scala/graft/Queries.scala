@@ -1982,6 +1982,50 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Kneser-Ney-smoothed bigram surprisal — the LM-quality score one rung
+    * above raw conditional counts: absolute discounting (d = 0.75) plus
+    * the continuation-probability backoff, so bigrams with a rare RIGHT
+    * word in a common context stop looking fluent. All probabilities are
+    * fixed-point millionths with floor division at every step —
+    * p_mil = max(100*c12 - 75, 0)*10000 div c1
+    *       + (750000*N1L(w1) div c1) * (N1R(w2)*1e6 div N1all) div 1e6 —
+    * and the bit cost is 20 - bitlength(p_mil) (bin()-string, identical
+    * in both engines), so the DuckDB oracle replays smoothing exactly.
+    * Scale shape mirrors bigram_surprisal: counts are two map-side-
+    * combined vocab aggregates; the instance joins are bigram-vocab
+    * bounded (broadcast top-V + OOV default at web scale). */
+  def knBigramBits(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(2), size(col("tk")))).as("i"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i") - 1).as("prev"),
+        element_at(col("tk"), col("i")).as("tok"))
+    val biCnt = bi.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("c12"))
+    val leftStats = biCnt.groupBy(col("prev"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1l"))
+    val rightStats = biCnt.groupBy(col("tok")).agg(count(lit(1)).as("n1r"))
+    val total = biCnt.agg(count(lit(1)).as("n1all"))
+    bi.join(biCnt, Seq("prev", "tok"))
+      .join(leftStats, Seq("prev"))
+      .join(rightStats, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("p_mil", expr(
+        "(greatest(100L * c12 - 75L, 0L) * 10000L) div c1" +
+          " + ((750000L * n1l div c1) * (n1r * 1000000L div n1all)) div 1000000L"))
+      .withColumn("bits",
+        when(col("p_mil") > 0L,
+          greatest(lit(20L) - length(bin(col("p_mil"))).cast(LongType), lit(0L)))
+          .otherwise(21L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("kn_bits"))
+      .withColumn("millibits_per_bigram", expr("kn_bits * 1000 div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-order shuffle + sharding: every document gets a
     * pseudo-random rank from the shared multiplicative hash, lands in
     * shard = hash mod numShards, and takes its position from the per-shard
@@ -2313,6 +2357,7 @@ object Queries {
     "triangle_count" -> triangleCount _,
     "label_spread" -> labelSpread _,
     "user_ewma" -> userEwma _,
+    "kn_bigram_bits" -> knBigramBits _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
     "winnow_robust" -> winnowRobust _,
