@@ -37,7 +37,8 @@ object BenchMed {
     "corpus_curate_best", "ivfpq_topk", "ivfpq_recall", "blocklist_filter",
     "heavy_hitters", "hard_negatives", "dsir_resample", "pq_distortion",
     "doc_pagerank", "hll_distinct", "triangle_count", "bpe_merge_pairs",
-    "label_spread", "user_ewma", "bpe_train_merges", "kn_bigram_bits")
+    "label_spread", "user_ewma", "bpe_train_merges", "kn_bigram_bits",
+    "knn_graph", "knn_clusters")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

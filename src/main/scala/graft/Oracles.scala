@@ -147,9 +147,9 @@ object Oracles {
        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l ASC) AS rn
        | FROM ascore) WHERE rn = 1)""".stripMargin
 
-  private def ivfCandCtes(probeMax: Int): String =
+  private def ivfCandCtes(probeMax: Int, querySel: String = "vec_id < 8"): String =
     s"""$ivfAssignCtes,
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $querySel),
        |qscore AS (SELECT q.query_id, q.qv, cent.l, ${dotE("q.qv", "cent.c")} AS s
        | FROM q CROSS JOIN cent),
        |probe AS (SELECT query_id, qv, list, rn FROM (
@@ -1620,6 +1620,36 @@ object Oracles {
          | FROM neg)
          |SELECT query_id, neighbor_id, label, dot, "rank" FROM r
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // all-vectors kNN through the same replayed IVF chain (querySel TRUE)
+    "knn_graph" ->
+      s"""WITH ${ivfCandCtes(4, "TRUE")},
+         |r AS (SELECT query_id, neighbor_id, dot,
+         |  row_number() OVER (PARTITION BY query_id
+         |   ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand)
+         |SELECT query_id AS vec_id, neighbor_id, dot, rnk AS "rank" FROM r
+         |WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+
+    // mutual-kNN reciprocity filter, then min-reachable-id components
+    "knn_clusters" ->
+      s"""WITH RECURSIVE ${ivfCandCtes(4, "TRUE")},
+         |knn AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |   ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand) WHERE rnk <= 5),
+         |mut AS (SELECT a.query_id AS id_1, a.neighbor_id AS id_2
+         | FROM knn a JOIN knn b
+         |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+         | WHERE a.query_id < a.neighbor_id),
+         |medges AS (SELECT id_1 AS u, id_2 AS v FROM mut
+         |           UNION SELECT id_2, id_1 FROM mut),
+         |mreach(node, lab) AS (
+         |  SELECT u, u FROM medges
+         |  UNION
+         |  SELECT e.u, r.lab FROM medges e JOIN mreach r ON r.node = e.v),
+         |mcomp AS (SELECT node AS vec_id, MIN(lab) AS component
+         | FROM mreach GROUP BY node)
+         |SELECT vec_id, component FROM mcomp ORDER BY vec_id""".stripMargin,
 
     "ivfpq_topk" ->
       s"""WITH $ivfpqCtes

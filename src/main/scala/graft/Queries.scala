@@ -1637,6 +1637,44 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** All-vectors k-NN graph through the IVF probe path — the neighbor
+    * structure every graph-based curation step (mutual-kNN clustering,
+    * graph dedup, diversity sampling) starts from. Each vector is its own
+    * query: probe the nprobe nearest lists, exact integer dots within
+    * them, keep top-5. Cost is |corpus| x nprobe/nlist of the corpus —
+    * the all-pairs n^2 never materializes — and the index side is
+    * pre-partitioned by list id, so at cluster scale each probe join is
+    * list-local. Fully deterministic, so the oracle replays build,
+    * probe, and ranking and the whole graph is hash-pinned. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = IVF.build(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+    IVF.search(index, emb, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("dot"),
+        col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Mutual-kNN clustering: keep an edge only where BOTH endpoints rank
+    * each other in their top-5 ([[knnGraph]]'s reciprocity filter — the
+    * standard trick that kills hub-induced chains), then connected
+    * components over the mutual graph. Output: every vector incident to a
+    * mutual edge with its cluster id (= min reachable vec_id). */
+  def knnClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = IVF.build(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+    val knn = IVF.search(index, emb, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val mutual = knn.as("a").join(knn.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.query_id"))
+      .filter(col("a.query_id") < col("a.neighbor_id"))
+      .select(col("a.query_id").as("id_1"), col("a.neighbor_id").as("id_2"))
+    ConnectedComponents.run(mutual, "id_1", "id_2")
+      .select(col("node").as("vec_id"), col("component"))
+      .orderBy(col("vec_id"))
+  }
+
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(
@@ -2358,6 +2396,8 @@ object Queries {
     "label_spread" -> labelSpread _,
     "user_ewma" -> userEwma _,
     "kn_bigram_bits" -> knBigramBits _,
+    "knn_graph" -> knnGraph _,
+    "knn_clusters" -> knnClusters _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
     "winnow_robust" -> winnowRobust _,
