@@ -1322,6 +1322,48 @@ object Oracles {
 
     "minhash_neardup" -> minhashNearDupSql,
 
+    // fraction of each doc's distinct shingles first seen in it
+    "ngram_novelty" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |s AS (SELECT doc_id, $shinglesE AS sh FROM c),
+         |x AS (SELECT s2.doc_id, t.v AS sh FROM
+         | (SELECT doc_id, list_distinct(sh) AS st FROM s) s2, UNNEST(st) AS t(v)),
+         |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM x GROUP BY 1),
+         |g AS (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_novel
+         | FROM x JOIN f USING (sh) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_novel,
+         | n_novel * 10000 // n_shingles AS novelty_bp
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // near-dup pairs crossing the stable_split boundary
+    "split_leakage" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
+      }.mkString(" UNION ALL ")
+      s"""$minhashCtes, mf AS (SELECT m.* FROM m JOIN s USING (doc_id) WHERE len(s.sh) > 0), bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         | FROM bands a JOIN bands b ON a.bi = b.bi AND a.k = b.k AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM s),
+         |pairs AS (SELECT id_1, id_2 FROM (
+         |  SELECT id_1, id_2, len(list_intersect(sa.st, sb.st)) AS inter,
+         |   len(sa.st) + len(sb.st) AS szsum
+         |  FROM cand JOIN sets sa ON id_1 = sa.doc_id JOIN sets sb ON id_2 = sb.doc_id)
+         | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |       WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents)
+         |SELECT least(sa.split, sb.split) AS split_a,
+         | greatest(sa.split, sb.split) AS split_b,
+         | sa.split <> sb.split AS leaky,
+         | CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs JOIN spl sa ON pairs.id_1 = sa.doc_id
+         |JOIN spl sb ON pairs.id_2 = sb.doc_id
+         |GROUP BY 1, 2, 3 ORDER BY split_a, split_b""".stripMargin
+    },
+
     // recall curve of the 4x4 LSH banding vs exact Jaccard ground truth
     // (every co-occurring pair), per Jaccard decile; caught = exact pairs whose doc pair also
     // band-collides (the LSH verify uses the same shingle Jaccard, so the

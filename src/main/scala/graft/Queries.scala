@@ -1226,6 +1226,53 @@ object Queries {
       native = true)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** First-occurrence n-gram novelty (the RefinedWeb-style repetition
+    * audit turned per-document): for each doc, the fraction of its
+    * DISTINCT shingles that first appear in it (first = smallest doc_id).
+    * Low-novelty documents are recombinations of earlier content — a
+    * cross-document redundancy score that per-doc repetition_ratio and
+    * pairwise dedup both miss. Two vocab-bounded aggregates (shingle ->
+    * min doc, then per-doc counts); the shingle join is the same
+    * map-side-combined shape as the df-cap queries. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("graft_shingles", col("text"))))
+          .as("sh"))
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000L div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train/val/test leakage audit: near-duplicate pairs
+    * ([[minhashNearDup]]'s jaccard >= 5000bp graph) that CROSS the
+    * deterministic stable_split boundary — the eval-hygiene number a
+    * benchmark run reports before trusting held-out loss. Output: pair
+    * counts per unordered split pair with the leak flag; the composition
+    * adds two broadcast-sized split joins to the pair graph, nothing
+    * corpus-wide. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") % Hashing.P * Hashing.TokenHashA) % Hashing.P % 100
+    val split = t(s, dir, "documents").select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .as("split"))
+    MinHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        minBp = 5000L, native = true)
+      .join(split.select(col("doc_id").as("id_1"), col("split").as("s1")), "id_1")
+      .join(split.select(col("doc_id").as("id_2"), col("split").as("s2")), "id_2")
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"),
+        (col("s1") =!= col("s2")).as("leaky"))
+      .groupBy(col("split_a"), col("split_b"), col("leaky"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Recall curve of banded-LSH near-dup detection against exact Jaccard
     * ground truth — the text-dedup analog of `ann_recall`, and the
     * measurement a pipeline runs before trusting LSH dedup at scale: per
@@ -2398,6 +2445,8 @@ object Queries {
     "kn_bigram_bits" -> knBigramBits _,
     "knn_graph" -> knnGraph _,
     "knn_clusters" -> knnClusters _,
+    "ngram_novelty" -> ngramNovelty _,
+    "split_leakage" -> splitLeakage _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
     "winnow_robust" -> winnowRobust _,
