@@ -38,7 +38,8 @@ object BenchMed {
     "heavy_hitters", "hard_negatives", "dsir_resample", "pq_distortion",
     "doc_pagerank", "hll_distinct", "triangle_count", "bpe_merge_pairs",
     "label_spread", "user_ewma", "bpe_train_merges", "kn_bigram_bits",
-    "knn_graph", "knn_clusters", "ngram_novelty", "split_leakage")
+    "knn_graph", "knn_graph_scaled", "knn_clusters", "ngram_novelty",
+    "split_leakage")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

@@ -116,9 +116,9 @@ object Oracles {
     * settings. */
   /** The index half of the IVF chain (everything through the refined
     * assignment) — shared by ivfCandCtes and the IVF-PQ composition. */
-  private val ivfAssignCtes: String =
+  private def ivfAssignCtes(nlist: Int = 16): String =
     s"""e AS (SELECT vec_id, $quantE AS v FROM embeddings),
-       |cent0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
+       |cent0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nlist),
        |cseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l, v AS c FROM cent0),
        |a0s AS (SELECT e.vec_id, e.v, cseed.l, ${dotE("e.v", "cseed.c")} AS s
        | FROM e CROSS JOIN cseed),
@@ -147,8 +147,9 @@ object Oracles {
        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l ASC) AS rn
        | FROM ascore) WHERE rn = 1)""".stripMargin
 
-  private def ivfCandCtes(probeMax: Int, querySel: String = "vec_id < 8"): String =
-    s"""$ivfAssignCtes,
+  private def ivfCandCtes(probeMax: Int, querySel: String = "vec_id < 8",
+      nlist: Int = 16): String =
+    s"""${ivfAssignCtes(nlist)},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $querySel),
        |qscore AS (SELECT q.query_id, q.qv, cent.l, ${dotE("q.qv", "cent.c")} AS s
        | FROM q CROSS JOIN cent),
@@ -224,7 +225,7 @@ object Oracles {
     * codebooks. Shortlist 50 by adot, exact rerank; ends in
     * `iptop(query_id, neighbor_id, dot, rnk)`. */
   private val ivfpqCtes: String =
-    s"""$ivfAssignCtes,
+    s"""${ivfAssignCtes()},
        |rres AS (SELECT a.vec_id,
        |  list_transform(range(1, $Dim + 1), i -> a.v[i] - c.c[i]) AS r
        | FROM assign a JOIN cent c ON c.l = a.list),
@@ -1666,6 +1667,17 @@ object Oracles {
     // all-vectors kNN through the same replayed IVF chain (querySel TRUE)
     "knn_graph" ->
       s"""WITH ${ivfCandCtes(4, "TRUE")},
+         |r AS (SELECT query_id, neighbor_id, dot,
+         |  row_number() OVER (PARTITION BY query_id
+         |   ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand)
+         |SELECT query_id AS vec_id, neighbor_id, dot, rnk AS "rank" FROM r
+         |WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+
+    // the nlist-scaling knob measured: same kNN graph at nlist=64 (probe
+    // fraction 1/16 instead of 1/4) — the index sizing a production corpus
+    // grows with n
+    "knn_graph_scaled" ->
+      s"""WITH ${ivfCandCtes(4, "TRUE", nlist = 64)},
          |r AS (SELECT query_id, neighbor_id, dot,
          |  row_number() OVER (PARTITION BY query_id
          |   ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand)

@@ -1702,6 +1702,22 @@ object Queries {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** [[knnGraph]] at nlist = 64 — the index-sizing knob MEASURED rather
+    * than asserted: all-queries candidate work is n * nprobe/nlist of the
+    * corpus, so growing nlist with n (the standard ~sqrt(n) IVF sizing)
+    * is what keeps the kNN-graph build linear; this entry pins the
+    * 64-list index correct (hash-matched through the same replayed
+    * chain) and BENCHSCALE.md records the speedup against the
+    * deliberately-pinned 16-list entry. */
+  def knnGraphScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = IVF.build(emb, "vec_id", "embedding", nlist = 64, iters = 1)
+    IVF.search(index, emb, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("dot"),
+        col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Mutual-kNN clustering: keep an edge only where BOTH endpoints rank
     * each other in their top-5 ([[knnGraph]]'s reciprocity filter — the
     * standard trick that kills hub-induced chains), then connected
@@ -2444,6 +2460,7 @@ object Queries {
     "user_ewma" -> userEwma _,
     "kn_bigram_bits" -> knBigramBits _,
     "knn_graph" -> knnGraph _,
+    "knn_graph_scaled" -> knnGraphScaled _,
     "knn_clusters" -> knnClusters _,
     "ngram_novelty" -> ngramNovelty _,
     "split_leakage" -> splitLeakage _,
