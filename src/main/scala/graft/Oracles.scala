@@ -1454,6 +1454,38 @@ object Oracles {
          |SELECT id AS doc_id, r AS rank_fp FROM pr3 ORDER BY doc_id""".stripMargin
     },
 
+    // Heaps curve: shingle -> first doc, counted under a prefix ladder
+    "vocab_growth" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |sx AS (SELECT doc_id, $shinglesE AS sh FROM c),
+         |f AS (SELECT w, MIN(doc_id) AS fd FROM (
+         | SELECT doc_id, unnest(list_distinct(sh)) AS w FROM sx)
+         | GROUP BY w),
+         |p AS (SELECT CAST(t.p AS BIGINT) AS prefix_docs
+         | FROM UNNEST([16, 64, 256, 1024, 4096, 16384, 65536]) AS t(p))
+         |SELECT prefix_docs,
+         | CAST(SUM(CASE WHEN fd < prefix_docs THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_distinct_tokens
+         |FROM f CROSS JOIN p GROUP BY prefix_docs
+         |ORDER BY prefix_docs""".stripMargin,
+
+    // bottom-k sample + KMV estimate: same three-round mix as the HLL,
+    // est = (k-1) * P // h_k with h_k = max hash among the kept k
+    "kmv_bottomk" ->
+      s"""WITH x0 AS (SELECT source, doc_id,
+         |  (doc_id % $P) * $TokenHashA % $P AS a1 FROM documents),
+         |x1 AS (SELECT source, doc_id,
+         |  xor(a1, a1 >> 15) % $P * $TokenHashB % $P AS a3 FROM x0),
+         |x AS (SELECT source, doc_id,
+         |  xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1),
+         |r AS (SELECT source, doc_id, h,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |   AS BIGINT) AS pos FROM x),
+         |kept AS (SELECT * FROM r WHERE pos <= 10)
+         |SELECT source, pos, doc_id, h,
+         | 9::BIGINT * $P // MAX(h) OVER (PARTITION BY source) AS kmv_est
+         |FROM kept ORDER BY source, pos""".stripMargin,
+
     // majority label propagation, 2 synchronous rounds unrolled; self-vote
     // included, ties to the smallest label — all deterministic
     "label_spread" -> {

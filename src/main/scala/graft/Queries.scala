@@ -1174,6 +1174,52 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Heaps-law vocabulary growth over the SHINGLE vocabulary: distinct
+    * 3-gram shingles seen within the first N documents, for a fixed
+    * ladder of prefix sizes — the curve that sizes tokenizer/n-gram
+    * vocabularies and predicts novelty decay before training (the
+    * word-level curve saturates instantly on this corpus's small word
+    * pool; 3-grams keep growing, which is why dedup works on shingles).
+    * One vocab aggregate (shingle -> first doc) and a 7-row literal
+    * explode; prefixes beyond the corpus saturate at the full
+    * vocabulary, so the same query is valid at every scale factor. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val prefixes = Seq(16L, 64L, 256L, 1024L, 4096L, 16384L, 65536L)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("graft_shingles", col("text"))))
+          .as("sh"))
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+      .select(col("fd"), explode(array(prefixes.map(lit): _*)).as("prefix_docs"))
+      .groupBy(col("prefix_docs"))
+      .agg(sum(when(col("fd") < col("prefix_docs"), 1L).otherwise(0L))
+        .as("n_distinct_tokens"))
+      .orderBy(col("prefix_docs"))
+  }
+
+  /** Bottom-k (KMV) sketch per source — one pass, two products: a
+    * DETERMINISTIC uniform sample without replacement (the k docs with
+    * the smallest mixed hash — reproducible on any engine, partitioning,
+    * or day, unlike rand()-based sampling) and the k-minimum-values
+    * distinct estimate est = (k-1) * P div h_k, the classical
+    * cross-check for [[hllDistinct]] from an entirely different
+    * estimator family. The per-source top-k window sees only each
+    * source's rows and web-scale swaps it for a bounded priority
+    * aggregate; nothing corpus-wide shuffles. */
+  def kmvBottomK(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing.P
+    val k = 10
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), HLL.mix(col("doc_id")).as("h"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .filter(col("pos") <= k)
+      .withColumn("kmv_est",
+        expr(s"${k - 1}L * ${P}L div max(h) over (partition by source)"))
+      .select(col("source"), col("pos"), col("doc_id"), col("h"), col("kmv_est"))
+      .orderBy(col("source"), col("pos"))
+  }
+
   // -------------------------------------------------------- near-dup / ANN
 
   def simhash16(s: SparkSession, dir: String): DataFrame =
@@ -2435,6 +2481,8 @@ object Queries {
     "blocklist_filter" -> blocklistFilter _,
     "heavy_hitters" -> heavyHitters _,
     "hll_distinct" -> hllDistinct _,
+    "kmv_bottomk" -> kmvBottomK _,
+    "vocab_growth" -> vocabGrowth _,
     "stable_split" -> stableSplit _,
     "boilerplate_ngrams" -> boilerplateNgrams _,
     "length_histogram" -> lengthHistogram _,
