@@ -39,7 +39,8 @@ object BenchMed {
     "doc_pagerank", "hll_distinct", "triangle_count", "bpe_merge_pairs",
     "label_spread", "user_ewma", "bpe_train_merges", "kn_bigram_bits",
     "knn_graph", "knn_graph_scaled", "knn_clusters", "ngram_novelty",
-    "split_leakage", "kmv_bottomk", "vocab_growth")
+    "split_leakage", "kmv_bottomk", "vocab_growth",
+    "neardup_cluster_sizes", "ivf_balance")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

@@ -1413,6 +1413,24 @@ object Oracles {
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
 
+    "neardup_cluster_sizes" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes,
+         |csz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+         | FROM comp GROUP BY 1)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM csz GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "ivf_balance" ->
+      s"""WITH ${ivfAssignCtes()},
+         |occ AS (SELECT list, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         | FROM assign GROUP BY 1),
+         |ls AS (SELECT CAST(t.l AS BIGINT) AS list FROM UNNEST(range(16)) AS t(l)),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM e)
+         |SELECT ls.list, COALESCE(occ.n_vectors, 0) AS n_vectors,
+         | COALESCE(occ.n_vectors, 0) * 10000 // tot.n_total AS share_bp
+         |FROM ls LEFT JOIN occ ON occ.list = ls.list CROSS JOIN tot
+         |ORDER BY ls.list""".stripMargin,
+
     "cluster_best" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes,
          |$qualityCtes,

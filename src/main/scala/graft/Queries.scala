@@ -1546,6 +1546,40 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster size histogram — the one-table summary every dedup
+    * report leads with: how many clusters of each size the jaccard >=
+    * 5000bp graph contains (size 2 = simple pairs, the tail = mirror
+    * farms). Rides the existing pair-graph + components backbone and
+    * collapses to O(distinct sizes) rows. */
+  def neardupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      minBp = 5000L, native = true)
+    ConnectedComponents.run(pairs, "id_1", "id_2")
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** IVF index health: per-list occupancy of the 16-list index (empty
+    * lists included) with each list's share in basis points — the balance
+    * gauge that tells an operator whether nlist/refinement is doing its
+    * job BEFORE query latency regresses (a hot list = a hot probe). */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = IVF.build(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+    val occ = index.assigned.groupBy(col("__list").as("list"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val lists = emb.sparkSession.range(16).select(col("id").cast("int").as("list"))
+    val total = emb.agg(count(lit(1)).as("n_total"))
+    lists.join(occ, Seq("list"), "left")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("list").cast(LongType).as("list"), col("n_vectors"),
+        expr("n_vectors * 10000L div n_total").as("share_bp"))
+      .orderBy(col("list"))
+  }
+
   /** Quality-ranked cluster representatives: the dedup FINISHER a training
     * pipeline actually wants. neardup_components keeps the min-id doc per
     * duplicate cluster; this keeps the BEST doc — highest quality_ensemble
@@ -2483,6 +2517,8 @@ object Queries {
     "hll_distinct" -> hllDistinct _,
     "kmv_bottomk" -> kmvBottomK _,
     "vocab_growth" -> vocabGrowth _,
+    "neardup_cluster_sizes" -> neardupClusterSizes _,
+    "ivf_balance" -> ivfBalance _,
     "stable_split" -> stableSplit _,
     "boilerplate_ngrams" -> boilerplateNgrams _,
     "length_histogram" -> lengthHistogram _,
