@@ -149,6 +149,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(children(1), ArrayType(LongType)), Cast(children(2), IntegerType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_argmax_dot"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_argmax_dot"),
+      { children: Seq[Expression] =>
+        require(children.size == 3, "graft_argmax_dot expects three arguments")
+        ArgmaxDot(Cast(children(0), ArrayType(LongType)),
+          Cast(children(1), ArrayType(LongType)), Cast(children(2), IntegerType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_probe_ids"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_probe_ids"),
+      { children: Seq[Expression] =>
+        require(children.size == 4, "graft_probe_ids expects four arguments")
+        ProbeIds(Cast(children(0), ArrayType(LongType)),
+          Cast(children(1), ArrayType(LongType)),
+          Cast(children(2), IntegerType), Cast(children(3), IntegerType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_srp"),
       new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_srp"),
       { children: Seq[Expression] =>

@@ -120,3 +120,45 @@ case class SrpBucket(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SrpBucket = copy(newChild)
   override def prettyName: String = "graft_srp"
 }
+
+/** graft_argmax_dot(array<bigint> vec, array<bigint> flatCents, int nlist)
+  * -> bigint list id of the max-dot centroid (ties to the lower id). */
+case class ArgmaxDot(vec: Expression, cents: Expression, nlist: Expression)
+    extends TernaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = nlist
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any, c: Any, n: Any): Any =
+    VectorKernels.argmaxDot(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, n) =>
+      s"graft.catalyst.VectorKernels.argmaxDot($v, $c, $n)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): ArgmaxDot =
+    copy(vec = a, cents = b, nlist = c)
+  override def prettyName: String = "graft_argmax_dot"
+}
+
+/** graft_probe_ids(array<bigint> query, array<bigint> flatCents, int nlist,
+  * int nprobe) -> array<bigint> of the nprobe nearest list ids, ordered by
+  * (dot desc, id desc). */
+case class ProbeIds(vec: Expression, cents: Expression, nlist: Expression,
+    nprobe: Expression) extends QuaternaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = nlist
+  override def fourth: Expression = nprobe
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any, c: Any, n: Any, p: Any): Any =
+    VectorKernels.probeIds(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, n, p) =>
+      s"graft.catalyst.VectorKernels.probeIds($v, $c, $n, $p)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): ProbeIds =
+    copy(vec = a, cents = b, nlist = c, nprobe = d)
+  override def prettyName: String = "graft_probe_ids"
+}

@@ -143,6 +143,67 @@ object VectorKernels {
     acc
   }
 
+  /** Argmax-dot centroid id over a flat [nlist * dim] centroid array —
+    * the IVF assignment step as ONE kernel call instead of nlist chained
+    * literal-dot expressions (which blow codegen past its method limits
+    * at nlist = 64). Ties break toward the lower id (strict >). */
+  def argmaxDot(v: ArrayData, cents: ArrayData, nlist: Int): Long = {
+    val dim = v.numElements()
+    var best = -1L
+    var bestScore = Long.MinValue
+    var l = 0
+    while (l < nlist) {
+      val base = l * dim
+      var acc = 0L
+      var d = 0
+      while (d < dim) {
+        acc += v.getLong(d) * cents.getLong(base + d)
+        d += 1
+      }
+      if (acc > bestScore) { bestScore = acc; best = l }
+      l += 1
+    }
+    best
+  }
+
+  /** The nprobe list ids nearest to the query by (dot desc, id desc) —
+    * the probe-selection step of IVF.search as one kernel call (same
+    * order as reverse(array_sort) over (score, id) structs, which the
+    * oracle replays as ORDER BY s DESC, l DESC). */
+  def probeIds(q: ArrayData, cents: ArrayData, nlist: Int, nprobe: Int): ArrayData = {
+    val dim = q.numElements()
+    val scores = new Array[Long](nlist)
+    var l = 0
+    while (l < nlist) {
+      val base = l * dim
+      var acc = 0L
+      var d = 0
+      while (d < dim) {
+        acc += q.getLong(d) * cents.getLong(base + d)
+        d += 1
+      }
+      scores(l) = acc
+      l += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](nlist)
+    var i = 0
+    while (i < k) {
+      var best = -1
+      var j = 0
+      while (j < nlist) {
+        if (!taken(j) && (best < 0 || scores(j) > scores(best) ||
+            (scores(j) == scores(best) && j > best))) best = j
+        j += 1
+      }
+      taken(best) = true
+      out(i) = best
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   private val planes: Array[Array[Long]] =
     Hashing.SrpMatrix.map(_.map(_.toLong).toArray).toArray
 

@@ -29,25 +29,14 @@ object IVF {
 
   final case class Index(assigned: DataFrame, centroids: Array[Array[Long]])
 
-  /** Centroid dot via the codegen'd kernel — the literal array is tiny but
-    * the dot runs per (row x centroid), so it must not be an interpreted
-    * lambda. */
-  private def quantizedDotLit(v: Column, centroid: Array[Long]): Column =
-    call_function("graft_qdot", v, array(centroid.map(lit): _*))
-
-  /** Argmax-dot list id for a quantized vector column. Ties break toward
-    * the lower list id (strictly-greater chain). */
-  private def listId(q: Column, centroids: Array[Array[Long]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      (lit(i), quantizedDotLit(q, c))
-    }
-    scored
-      .foldLeft[(Column, Column)]((lit(-1), lit(Long.MinValue))) {
-        case ((bi, bs), (i, s)) =>
-          (when(s > bs, i).otherwise(bi), greatest(s, bs))
-      }
-      ._1
-  }
+  /** Argmax-dot list id for a quantized vector column, as ONE kernel call
+    * over the flat centroid literal. Ties break toward the lower list id.
+    * (The previous form — nlist chained literal-dot `when` expressions —
+    * blew past janino's method limits at nlist = 64 and fell back to the
+    * interpreted path, measured 6x slower on the assignment leg.) */
+  private def listId(q: Column, centroids: Array[Array[Long]]): Column =
+    call_function("graft_argmax_dot", q,
+      array(centroids.flatten.map(lit): _*), lit(centroids.length))
 
   /** Build the index: seed centroids from the nlist smallest ids, optionally
     * refine them with `iters` Lloyd iterations (assign -> per-list integer
@@ -97,7 +86,7 @@ object IVF {
         .select(col("__list"), col("__d"), col("__m"))
         .collect()
       val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      means.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
       centroids =
         if (!spherical) next
         else next.map { c =>
@@ -126,15 +115,15 @@ object IVF {
       nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       call_function("graft_quantize", col(vecCol)).as("__qv"))
-    // rank all centroids per query, keep nprobe: centroid count is small, so
-    // this is a literal-array projection + explode, no join
-    val centScores = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(quantizedDotLit(col("__qv"), c).as("s"), lit(i).as("l"))
-    }
+    // rank all centroids per query and keep nprobe, as one kernel call over
+    // the flat centroid literal (same (dot desc, id desc) order the oracle
+    // replays); no join, no per-centroid expression chain
     val probed = q
       .withColumn("__probe",
-        slice(reverse(array_sort(array(centScores: _*))), 1, nprobe))
-      .select(col("query_id"), col("__qv"), explode(col("__probe.l")).as("__list"))
+        call_function("graft_probe_ids", col("__qv"),
+          array(index.centroids.flatten.map(lit): _*),
+          lit(index.centroids.length), lit(nprobe)))
+      .select(col("query_id"), col("__qv"), explode(col("__probe")).as("__list"))
     val cand = probed.join(index.assigned, "__list")
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),

@@ -62,7 +62,8 @@ object IVFPQ {
     val ivf = IVF.build(corpus, idCol, vecCol, nlist, iters = ivfIters)
     val cents = centMatrixLit(ivf.centroids)
     val res = ivf.assigned.withColumn("__r",
-      call_function("graft_qsub", col("__v"), element_at(cents, col("__list") + 1)))
+      call_function("graft_qsub", col("__v"),
+        element_at(cents, (col("__list") + 1).cast("int"))))
     val cb = PQ.trainOn(
       res.select(col("__id"), col("__r").as("__v")), m, ksub, pqIters)
     val codes = res.select(col("__id"), col("__list"),
@@ -77,17 +78,16 @@ object IVFPQ {
     * crawl uses: the index grows by appending these rows). */
   def encodeNew(index: Index, df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val cents = centMatrixLit(index.centroids)
-    val centScores = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(call_function("graft_qdot", col("__v"), array(c.map(lit): _*)).as("s"),
-        (-lit(i)).as("nl"))
-    }
-    // argmax dot, ties to the LOWER list id (max over (s, -l)), matching
-    // IVF.build's strict-greater assignment chain
+    // argmax dot, ties to the LOWER list id — the same kernel (and
+    // therefore the same tie-break) as IVF.build's assignment
     df.select(col(idCol).as("__id"),
         call_function("graft_quantize", col(vecCol)).as("__v"))
-      .withColumn("__list", -greatest(centScores: _*).getField("nl"))
+      .withColumn("__list",
+        call_function("graft_argmax_dot", col("__v"),
+          array(index.centroids.flatten.map(lit): _*), lit(index.centroids.length)))
       .withColumn("__r",
-        call_function("graft_qsub", col("__v"), element_at(cents, col("__list") + 1)))
+        call_function("graft_qsub", col("__v"),
+          element_at(cents, (col("__list") + 1).cast("int"))))
       .select(col("__id"), col("__list"),
         call_function("graft_pq_encode", col("__r"), index.cb.flatLit,
           lit(index.cb.m), lit(index.cb.ksub)).as("__codes"))

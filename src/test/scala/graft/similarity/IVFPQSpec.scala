@@ -61,9 +61,9 @@ class IVFPQSpec extends SparkSpec {
     val corpus = emb.limit(200)
     val idx = IVFPQ.build(corpus, "vec_id", "embedding", nlist = 8, m = 8, ksub = 16)
     val built = idx.codes.orderBy("__id")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toSeq)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSeq
     val re = IVFPQ.encodeNew(idx, corpus, "vec_id", "embedding").orderBy("__id")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toSeq)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSeq
     assert(re == built)
   }
 
