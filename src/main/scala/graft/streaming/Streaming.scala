@@ -329,6 +329,78 @@ object Streaming {
       .groupBy(col(groupCol), col("b"))
       .agg(max(col("m")).as("m"))
 
+  /** Streaming maintenance of the per-user integer EWMA (user_ewma's
+    * incremental twin). EWMA is an ORDER-DEPENDENT fold, not a mergeable
+    * sketch, so the stream carries explicit state: each micro-batch folds
+    * its (event_id-ordered) new events on top of the prior state's ewma
+    * — fold(fold(0, xs1), xs2) = fold(0, xs1 ++ xs2) exactly, provided
+    * event ids arrive non-decreasing across batches — and writes the full
+    * state table to `state/batch=<id>`. Keying state by batch id makes
+    * replay idempotent (a re-run of batch k rebuilds state k from state
+    * k-1 instead of double-folding); [[ewmaState]] reads the latest
+    * snapshot. State is one row per user — the same size as the answer. */
+  def ewmaStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val prior = latestStateBatch(spark, s"$outputDir/state", batchId) match {
+            case Some(b) => spark.read.parquet(s"$outputDir/state/batch=$b")
+            case None =>
+              spark.emptyDataFrame
+                .select(lit(0L).as("user_id"), lit(0L).as("n_events"),
+                  lit(0L).as("ewma_cents")).limit(0)
+          }
+          val folded = batch
+            .select(col("user_id"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+            .groupBy(col("user_id"))
+            .agg(
+              sort_array(collect_list(struct(col("event_id"), col("cents"))))
+                .as("xs"),
+              count(lit(1)).as("n_new"))
+            .join(prior, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("n_events"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+                .as("n_events"),
+              when(col("xs").isNull, col("ewma_cents")).otherwise(expr(
+                "aggregate(transform(xs, x -> x.cents), " +
+                  "coalesce(ewma_cents, 0L), (acc, x) -> (acc + x) div 2)"))
+                .as("ewma_cents"))
+          folded.write.mode("overwrite").parquet(s"$outputDir/state/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The latest [[ewmaStream]] state snapshot (one row per user). */
+  def ewmaState(spark: SparkSession, outputDir: String): DataFrame =
+    latestStateBatch(spark, s"$outputDir/state", Long.MaxValue) match {
+      case Some(b) => spark.read.parquet(s"$outputDir/state/batch=$b")
+      case None => throw new IllegalStateException(s"no state under $outputDir")
+    }
+
+  /** Largest batch id < `before` among `dir`'s batch=<id> children. */
+  private def latestStateBatch(
+      spark: SparkSession, dir: String, before: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+      .filter(_ < before)
+      .sorted(Ordering[Long].reverse)
+      .headOption
+  }
+
   def restructureStream(
       spark: SparkSession,
       config: graft.restructure.RestructureConfig,

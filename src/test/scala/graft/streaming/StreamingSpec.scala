@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.SparkSpec
+import graft.{Queries, SparkSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -233,6 +233,28 @@ class StreamingSpec extends SparkSpec {
     val again = Streaming.hllRegisters(spark, out)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(again == merged)
+  }
+
+  test("ewmaStream folds batches on top of prior state, equal to one batch fold") {
+    val dir = Files.createTempDirectory("graft-stream-ewma").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // two arrival waves split by event id (ids arrive non-decreasing)
+    events.filter(col("event_id") < 500).write.parquet(in)
+    Streaming.ewmaStream(spark, in, out, cp).awaitTermination()
+    events.filter(col("event_id") >= 500).write.mode("append").parquet(in)
+    Streaming.ewmaStream(spark, in, out, cp).awaitTermination()
+    val got = Streaming.ewmaState(spark, out)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the batch catalog query over the SAME events in one pass
+    val expect = Queries.userEwma(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // replay rebuilds the same state (keyed by batch id, not double-folded)
+    Streaming.ewmaStream(spark, in, out, cp).awaitTermination()
+    val again = Streaming.ewmaState(spark, out)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === got)
   }
 
   test("trackOffsets keeps per-key max offset and count across a batch") {
