@@ -1578,6 +1578,29 @@ object Oracles {
          |WHERE CAST(inter * 10000 // least(na.n, nb.n) AS BIGINT) >= 9000
          |ORDER BY id_1, id_2""".stripMargin,
 
+    // directional containment: the later doc's set as denominator, best
+    // containing earlier doc per flagged doc
+    "subset_docs" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
+         |ex0 AS (SELECT doc_id, unnest(sh) AS x FROM sets),
+         |ex AS (SELECT doc_id, x FROM (
+         | SELECT doc_id, x, count(*) OVER (PARTITION BY x) AS df FROM ex0)
+         | WHERE df <= ${Queries.NgramMaxDf}),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+         |pairs AS (
+         | SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS inter
+         | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |scored AS (SELECT id_1, id_2, inter,
+         |  CAST(inter * 10000 // nb.n AS BIGINT) AS cont_bp
+         | FROM pairs JOIN sizes nb ON id_2 = nb.doc_id),
+         |best AS (SELECT id_1, id_2, inter, cont_bp,
+         |  row_number() OVER (PARTITION BY id_2
+         |   ORDER BY cont_bp DESC, id_1 ASC) AS rn
+         | FROM scored WHERE cont_bp >= 9000)
+         |SELECT id_2 AS doc_id, id_1 AS contained_in, inter, cont_bp
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "ivf_topk" -> ivfTopkSql,
 
     // recall@k of the refined IVF ANN path against the exact brute-force

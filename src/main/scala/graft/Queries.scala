@@ -1740,6 +1740,29 @@ object Queries {
       .orderBy(col("id_1"), col("id_2"))
   }
 
+  /** Near-subset document pruning — the "quoted in full" dedup case
+    * pairwise Jaccard misses: a document whose (df-capped) shingle set is
+    * >= 90% contained in an EARLIER document is flagged droppable, with
+    * its best containing doc (highest containment, ties to the smallest
+    * id). Directional containment over the same df-capped backbone as
+    * containment_pairs — the denominator is the LATER doc's own set, so
+    * a short full quote inside a long original is caught even though
+    * their symmetric Jaccard is tiny. */
+  def subsetDocs(s: SparkSession, dir: String): DataFrame = {
+    val (exploded, sizes) = dfCappedPairBackbone(t(s, dir, "documents"))
+    pairIntersections(exploded)
+      .join(sizes.as("nb"), col("id_2") === col("nb.doc_id"))
+      .withColumn("cont_bp", expr("inter * 10000 div n"))
+      .filter(col("cont_bp") >= 9000)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id_2"))
+          .orderBy(col("cont_bp").desc, col("id_1").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("id_2").as("doc_id"), col("id_1").as("contained_in"),
+        col("inter"), col("cont_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The prefix-filtered (PPJoin-family) formulation of ngram_jaccard_pairs
     * — the scale path, pinned by the exact same oracle SQL, run with the
     * df cap active so the capped candidate generation is oracle-covered. */
@@ -2547,6 +2570,7 @@ object Queries {
     "knn_graph_scaled" -> knnGraphScaled _,
     "knn_clusters" -> knnClusters _,
     "ngram_novelty" -> ngramNovelty _,
+    "subset_docs" -> subsetDocs _,
     "split_leakage" -> splitLeakage _,
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
