@@ -65,6 +65,51 @@ object Oracles {
       s"(CASE WHEN ${dotE("v", s"($lits)")} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Shared by containment_pairs (direct co-occurrence plan) and
+    * containment_ppjoin (prefix-filtered plan) — same declared semantics:
+    * asymmetric containment |A∩B| / min(|A|,|B|) over the df-capped sets. */
+  private lazy val containmentSql =
+    s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+       |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
+       |ex0 AS (SELECT doc_id, unnest(sh) AS x FROM sets),
+       |ex AS (SELECT doc_id, x FROM (
+       | SELECT doc_id, x, count(*) OVER (PARTITION BY x) AS df FROM ex0)
+       | WHERE df <= ${Queries.NgramMaxDf}),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+       |pairs AS (
+       | SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS inter
+       | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_1, id_2, inter,
+       | least(na.n, nb.n) AS min_n,
+       | CAST(inter * 10000 // least(na.n, nb.n) AS BIGINT) AS containment_bp
+       |FROM pairs JOIN sizes na ON id_1 = na.doc_id JOIN sizes nb ON id_2 = nb.doc_id
+       |WHERE CAST(inter * 10000 // least(na.n, nb.n) AS BIGINT) >= 9000
+       |ORDER BY id_1, id_2""".stripMargin
+
+  /** Shared by subset_docs (direct plan) and subset_ppjoin (prefix-filtered
+    * plan): directional containment, the later doc's set as denominator,
+    * best containing earlier doc per flagged doc. */
+  private lazy val subsetSql =
+    s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+       |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
+       |ex0 AS (SELECT doc_id, unnest(sh) AS x FROM sets),
+       |ex AS (SELECT doc_id, x FROM (
+       | SELECT doc_id, x, count(*) OVER (PARTITION BY x) AS df FROM ex0)
+       | WHERE df <= ${Queries.NgramMaxDf}),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+       |pairs AS (
+       | SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS inter
+       | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |scored AS (SELECT id_1, id_2, inter,
+       |  CAST(inter * 10000 // nb.n AS BIGINT) AS cont_bp
+       | FROM pairs JOIN sizes nb ON id_2 = nb.doc_id),
+       |best AS (SELECT id_1, id_2, inter, cont_bp,
+       |  row_number() OVER (PARTITION BY id_2
+       |   ORDER BY cont_bp DESC, id_1 ASC) AS rn
+       | FROM scored WHERE cont_bp >= 9000)
+       |SELECT id_2 AS doc_id, id_1 AS contained_in, inter, cont_bp
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Shared by ngram_jaccard_pairs (direct co-occurrence plan) and
     * jaccard_ppjoin (prefix-filtered plan) — same declared semantics:
     * exact Jaccard over the df-capped shingle sets. */
@@ -1559,47 +1604,15 @@ object Oracles {
     "ngram_jaccard_pairs" -> ngramJaccardSql,
     "jaccard_ppjoin" -> ngramJaccardSql,
 
-    // asymmetric containment |A∩B| / min(|A|,|B|) over the same df-capped sets
-    "containment_pairs" ->
-      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
-         |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
-         |ex0 AS (SELECT doc_id, unnest(sh) AS x FROM sets),
-         |ex AS (SELECT doc_id, x FROM (
-         | SELECT doc_id, x, count(*) OVER (PARTITION BY x) AS df FROM ex0)
-         | WHERE df <= ${Queries.NgramMaxDf}),
-         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
-         |pairs AS (
-         | SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS inter
-         | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT id_1, id_2, inter,
-         | least(na.n, nb.n) AS min_n,
-         | CAST(inter * 10000 // least(na.n, nb.n) AS BIGINT) AS containment_bp
-         |FROM pairs JOIN sizes na ON id_1 = na.doc_id JOIN sizes nb ON id_2 = nb.doc_id
-         |WHERE CAST(inter * 10000 // least(na.n, nb.n) AS BIGINT) >= 9000
-         |ORDER BY id_1, id_2""".stripMargin,
+    // asymmetric containment |A∩B| / min(|A|,|B|) over the same df-capped
+    // sets — direct and prefix-filtered plans, one declared semantics
+    "containment_pairs" -> containmentSql,
+    "containment_ppjoin" -> containmentSql,
 
     // directional containment: the later doc's set as denominator, best
     // containing earlier doc per flagged doc
-    "subset_docs" ->
-      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
-         |sets AS (SELECT doc_id, list_distinct($shinglesE) AS sh FROM c),
-         |ex0 AS (SELECT doc_id, unnest(sh) AS x FROM sets),
-         |ex AS (SELECT doc_id, x FROM (
-         | SELECT doc_id, x, count(*) OVER (PARTITION BY x) AS df FROM ex0)
-         | WHERE df <= ${Queries.NgramMaxDf}),
-         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
-         |pairs AS (
-         | SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS inter
-         | FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |scored AS (SELECT id_1, id_2, inter,
-         |  CAST(inter * 10000 // nb.n AS BIGINT) AS cont_bp
-         | FROM pairs JOIN sizes nb ON id_2 = nb.doc_id),
-         |best AS (SELECT id_1, id_2, inter, cont_bp,
-         |  row_number() OVER (PARTITION BY id_2
-         |   ORDER BY cont_bp DESC, id_1 ASC) AS rn
-         | FROM scored WHERE cont_bp >= 9000)
-         |SELECT id_2 AS doc_id, id_1 AS contained_in, inter, cont_bp
-         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "subset_docs" -> subsetSql,
+    "subset_ppjoin" -> subsetSql,
 
     "ivf_topk" -> ivfTopkSql,
 

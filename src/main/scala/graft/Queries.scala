@@ -1771,6 +1771,21 @@ object Queries {
       native = true, maxDf = NgramMaxDf)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** Prefix-filtered formulation of containment_pairs (the scale path: the
+    * constrained smaller side probes with its rarity-ordered prefix instead
+    * of joining full x full) — pinned by the exact same oracle SQL. */
+  def containmentPpjoin(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Containment.pairs(t(s, dir, "documents"), "doc_id", "text",
+      minBp = 9000L, native = true, maxDf = NgramMaxDf)
+      .orderBy(col("id_1"), col("id_2"))
+
+  /** Prefix-filtered formulation of subset_docs (the later doc's prefix
+    * probes earlier docs' full token lists) — same oracle as subset_docs. */
+  def subsetPpjoin(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Containment.subsets(t(s, dir, "documents"), "doc_id", "text",
+      minBp = 9000L, native = true, maxDf = NgramMaxDf)
+      .orderBy(col("doc_id"))
+
   /** IVF ANN top-k at nprobe < nlist — the list-partitioned scale path for
     * cosine_topk (each query scans nprobe/nlist of the corpus instead of all
     * of it). Build and search are fully deterministic (centroids = quantized
@@ -2581,6 +2596,8 @@ object Queries {
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "jaccard_ppjoin" -> jaccardPpjoin _,
     "containment_pairs" -> containmentPairs _,
+    "containment_ppjoin" -> containmentPpjoin _,
+    "subset_ppjoin" -> subsetPpjoin _,
     "cosine_topk" -> cosineTopK _,
     "ivf_topk" -> ivfTopK _,
     "ann_recall" -> annRecall _,

@@ -88,15 +88,16 @@ object ScaleBlowup {
       if (k == 0) lineitem else lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(k * okStride))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    // ts is nanos-as-long here (Sessions sets the legacy nanos flag); shift
-    // copy k by k seconds so copies spread inside sessions instead of
-    // stacking 10 events on one instant
-    val events = spark.read.parquet(s"$src/events.parquet")
+    // Tables.load normalizes ts to a plain timestamp whatever the parquet
+    // encoding (nanos-as-long or NTZ micros); shift copy k by k seconds so
+    // copies spread inside sessions instead of stacking 10 events on one
+    // instant
+    val events = Tables.load(spark, src, "events")
     (0 until factor).map { k =>
       if (k == 0) events
       else events
         .withColumn("event_id", col("event_id") + lit(k * okStride))
-        .withColumn("ts", col("ts") + lit(k * 1000000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL '$k' SECOND"))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 

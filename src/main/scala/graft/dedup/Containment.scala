@@ -1,0 +1,136 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Prefix-filtered containment joins — the scale path for the asymmetric
+  * "short document quoted inside a long one" family, where symmetric
+  * Jaccard prefix filtering ([[Jaccard.pairs]]) does not directly apply
+  * because the denominator is one side's set, not the union.
+  *
+  * The filter generalizes: for overlap `inter >= ceil(t * n_c)` where
+  * `n_c` is the size of the CONSTRAINED side's set C, any
+  * `ceil(t*n_c)`-subset of C must intersect C's prefix of length
+  * `n_c - ceil(t*n_c) + 1` under any fixed per-set order (pigeonhole: the
+  * suffix has only `ceil(t*n_c) - 1` elements). So joining C's prefix
+  * against the OTHER side's full token list finds every qualifying pair —
+  * the join input drops from full x full (df^2 per shingle) to
+  * full x prefix (df x df_prefix), and ordering prefixes by global shingle
+  * rarity (corpus frequency asc, value asc — same order as
+  * [[Jaccard.pairs]]) makes the retained prefix tokens precisely the rare
+  * ones, collapsing the hot-shingle buckets that drive the quadratic term.
+  *
+  * Which side is constrained differs per operator:
+  *   - [[pairs]] (min-denominator containment): the SMALLER set is the
+  *     denominator, so orient each unordered pair by (set size, id) and
+  *     probe with the smaller side's prefix.
+  *   - [[subsets]] (directional, later-doc denominator): the LATER doc is
+  *     the denominator regardless of size, so its prefix probes the full
+  *     exploded rows of earlier docs.
+  *
+  * Verification is exact in both: candidates re-join the full (df-capped)
+  * sets and compute the true intersection with array_intersect, so the
+  * output is identical to the direct co-occurrence plan — both are pinned
+  * by the same DuckDB oracle.
+  */
+object Containment {
+
+  /** (exploded full rows with sizes, rarity-ordered prefix rows). Shared
+    * candidate-generation scaffolding: explode the capped sets once,
+    * repartition on the shingle so the frequency aggregate, the probe join
+    * build, and the prefix ranking all reuse one exchange. */
+  private def explodedAndPrefix(sets: DataFrame, minBp: Long): (DataFrame, DataFrame) = {
+    val exploded = sets
+      .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
+      .repartition(col("__x"))
+    val freq = exploded.groupBy(col("__x")).agg(count(lit(1)).as("__f"))
+    val ranked = exploded
+      .join(freq, "__x")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__id")).orderBy(col("__f"), col("__x"))))
+    // prefix length n - ceil(t*n) + 1, exact in integer arithmetic:
+    // ceil(minBp*n/10000) = floor((minBp*n + 9999)/10000)
+    val prefix = ranked
+      .filter(col("__rn") <= col("__n") - floor((col("__n") * minBp + 9999) / 10000) + 1)
+      .select(col("__id"), col("__n"), col("__x"))
+    (exploded, prefix)
+  }
+
+  /** All pairs with floor(10000*|A∩B| / min(|A|,|B|)) >= minBp over
+    * df-capped 3-gram shingle sets. Output (id_1, id_2, inter, min_n,
+    * containment_bp), id_1 < id_2 — same result as the direct
+    * co-occurrence containment plan. */
+  def pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBp: Long,
+      native: Boolean = false,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
+    val sets = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    val (exploded, prefix) = explodedAndPrefix(sets, minBp)
+    // probe = the (size, id)-smaller side of each pair: min(|A|,|B|) is its
+    // size, so its prefix is the one the pigeonhole argument covers
+    val cand = prefix.as("a")
+      .join(exploded.as("b"),
+        col("a.__x") === col("b.__x") &&
+          (col("a.__n") < col("b.__n") ||
+            (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))))
+      .select(
+        least(col("a.__id"), col("b.__id")).as("id_1"),
+        greatest(col("a.__id"), col("b.__id")).as("id_2"))
+      .distinct()
+    cand
+      .join(sets.as("sa"), col("id_1") === col("sa.__id"))
+      .join(sets.as("sb"), col("id_2") === col("sb.__id"))
+      .select(
+        col("id_1"), col("id_2"),
+        size(array_intersect(col("sa.__set"), col("sb.__set"))).cast(LongType).as("inter"),
+        least(size(col("sa.__set")), size(col("sb.__set"))).cast(LongType).as("min_n"))
+      .withColumn("containment_bp", expr("inter * 10000 div min_n"))
+      .filter(col("containment_bp") >= minBp)
+      .select("id_1", "id_2", "inter", "min_n", "containment_bp")
+  }
+
+  /** Directional near-subset pruning: docs whose df-capped shingle set is
+    * >= minBp contained in an EARLIER doc, flagged with their best
+    * container (highest containment, ties to the smallest id). Output
+    * (doc_id, contained_in, inter, cont_bp) — same result as the direct
+    * plan behind subset_docs. */
+  def subsets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBp: Long,
+      native: Boolean = false,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
+    val sets = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    val (exploded, prefix) = explodedAndPrefix(sets, minBp)
+    // the LATER doc's set is the denominator, so its prefix is the probe;
+    // earlier docs are matched against their full token lists
+    val cand = prefix.as("b")
+      .join(exploded.as("a"),
+        col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_1"), col("b.__id").as("id_2"))
+      .distinct()
+    cand
+      .join(sets.as("sa"), col("id_1") === col("sa.__id"))
+      .join(sets.as("sb"), col("id_2") === col("sb.__id"))
+      .select(
+        col("id_1"), col("id_2"),
+        size(array_intersect(col("sa.__set"), col("sb.__set"))).cast(LongType).as("inter"),
+        size(col("sb.__set")).cast(LongType).as("__n2"))
+      .withColumn("cont_bp", expr("inter * 10000 div __n2"))
+      .filter(col("cont_bp") >= minBp)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id_2"))
+          .orderBy(col("cont_bp").desc, col("id_1").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("id_2").as("doc_id"), col("id_1").as("contained_in"),
+        col("inter"), col("cont_bp"))
+  }
+}

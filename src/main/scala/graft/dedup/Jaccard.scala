@@ -35,6 +35,33 @@ object Jaccard {
     * shingle otherwise turns the equi-join into a full quadratic shuffle on
     * one key). With the cap above the corpus max df the filter passes
     * everything and the result is the unfiltered exact answer. */
+  /** Distinct 3-gram shingle sets per id, optionally redefined as
+    * {x : df(x) <= maxDf} (the stop-shingle guard). Shared by the
+    * prefix-filtered Jaccard and containment joins: (__id, __set) with
+    * __set sorted and non-empty. */
+  private[dedup] def cappedSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      native: Boolean,
+      maxDf: Long): DataFrame = {
+    val raw = MinHash.withShingles(df, idCol, textCol, native)
+      .select(col(idCol).as("__id"), array_distinct(col("__sh")).as("__set"))
+      .filter(size(col("__set")) > 0)
+    if (maxDf == Long.MaxValue) raw
+    else {
+      // redefine each set as {x : df(x) <= maxDf}: one exchange on the
+      // shingle feeds the df window, one on the id rebuilds the arrays
+      raw
+        .select(col("__id"), explode(col("__set")).as("__x"))
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__x"))))
+        .filter(col("__df") <= maxDf)
+        .groupBy(col("__id"))
+        .agg(sort_array(collect_list(col("__x"))).as("__set"))
+        .filter(size(col("__set")) > 0)
+    }
+  }
+
   def pairs(
       df: DataFrame,
       idCol: String,
@@ -43,22 +70,7 @@ object Jaccard {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val raw = MinHash.withShingles(df, idCol, textCol, native)
-      .select(col(idCol).as("__id"), array_distinct(col("__sh")).as("__set"))
-      .filter(size(col("__set")) > 0)
-    val sets =
-      if (maxDf == Long.MaxValue) raw
-      else {
-        // redefine each set as {x : df(x) <= maxDf}: one exchange on the
-        // shingle feeds the df window, one on the id rebuilds the arrays
-        raw
-          .select(col("__id"), explode(col("__set")).as("__x"))
-          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__x"))))
-          .filter(col("__df") <= maxDf)
-          .groupBy(col("__id"))
-          .agg(sort_array(collect_list(col("__x"))).as("__set"))
-          .filter(size(col("__set")) > 0)
-      }
+    val sets = cappedSets(df, idCol, textCol, native, maxDf)
     val exploded = sets
       .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
       .repartition(col("__x"))
