@@ -10,7 +10,7 @@ import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, La
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.HLL
 import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
-import graft.text.{BPE, ChunkDedup, Hashing, Text}
+import graft.text.{BPE, ChunkDedup, Hashing, SpanDedup, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
   * tables (TESTDATA.md). Each query has a DuckDB oracle twin in
@@ -2379,6 +2379,29 @@ object Queries {
     ChunkDedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text", divisor = 13)
       .orderBy(col("doc_id"))
 
+  /** Position-level exact substring dedup (see [[SpanDedup.dedupSpans]]):
+    * 8-token sliding anchors, corpus-wide keep-first per anchor, redundant
+    * spans excised token by token. Catches every repeated span >= 8 tokens
+    * regardless of chunk alignment — the suffix-array "ExactSubstr" pass
+    * as a group-by. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", gramTokens = 8)
+      .orderBy(col("doc_id"))
+
+  /** Span-level decontamination (see [[SpanDedup.contaminationSpans]]):
+    * src0 documents stand in for the benchmark; per training document, the
+    * count of token positions inside an 8-gram the benchmark also
+    * contains. Localizes contamination that doc-level shingle overlap
+    * (`decontaminate`) can only flag wholesale. */
+  def contaminationSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    SpanDedup.contaminationSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", gramTokens = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Point-in-interval range join via bucketized equi-join (never a
     * nested-loop cross product): purchase events matched to the 2-day-gap
     * click session of the same user whose [start, end] span contains them.
@@ -2610,6 +2633,8 @@ object Queries {
     "embedding_neardup" -> embeddingNearDup _,
     "semantic_dedup" -> semanticDedup _,
     "chunk_dedup" -> chunkDedup _,
+    "span_dedup" -> spanDedup _,
+    "contamination_spans" -> contaminationSpans _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,

@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Position-level exact substring deduplication ("ExactSubstr"): every
+  * maximal repeated token span of length >= `gramTokens` keeps only its
+  * corpus-wide first occurrence; all later occurrences are excised from
+  * their documents, token by token, and each document is re-assembled
+  * from its surviving tokens in original order.
+  *
+  * This is the span-granular sibling of [[ChunkDedup]]: fixed/CDC chunking
+  * only catches repeats that align with chunk frames, while the k-gram
+  * anchor here slides over EVERY token position, so any shared span
+  * >= k tokens is caught regardless of alignment — the property the
+  * suffix-array formulation of exact-substring dedup provides, re-expressed
+  * as a group-by instead of a global suffix sort.
+  *
+  * Semantics: an occurrence of a k-gram is redundant when an identical
+  * k-gram occurs earlier in (doc id, position) order anywhere in the
+  * corpus. Redundant gram starts expand to their k covered positions;
+  * covered positions are removed. Overlapping redundant grams union into
+  * maximal excised spans, so a repeated 30-token span at k=8 is removed
+  * whole (23 overlapping anchors cover all 30 tokens), not in chunks.
+  * First occurrences stay intact unless a DIFFERENT overlapping span
+  * already covered those positions — the same one-copy-survives guarantee
+  * the reference formulation makes.
+  *
+  * Physical shape: one posexplode for grams (narrow, k tokens of payload
+  * per position), one hash exchange on the gram for the keep-first window,
+  * one exchange on (doc, position) to subtract covered positions, one
+  * exchange on doc id to re-assemble — shuffle linear in corpus token
+  * count times k, nothing driver-side, no all-pairs stage anywhere. At
+  * 100 TB the gram text dominates shuffle bytes; `hashGrams = true` keys
+  * the window by xxhash64 of the gram instead (8x fewer bytes at k=8, the
+  * production setting; a 64-bit collision at web scale is vanishingly rare
+  * and costs one extra dropped span, not a wrong pipeline). The catalog
+  * path keeps the exact gram text so the DuckDB oracle is bit-identical.
+  */
+object SpanDedup {
+
+  /** Per-document span-dedup summary: (idCol, n_tokens, n_removed,
+    * dedup_text). `dedup_text` is the space-joined surviving tokens
+    * (empty string when every token sat inside a repeated span seen
+    * earlier in the corpus). Documents shorter than `gramTokens` carry no
+    * anchors and pass through untouched. */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8,
+      hashGrams: Boolean = false): DataFrame = {
+    require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
+    val k = gramTokens
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val grams = docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
+      .where(size(col("__tk")) >= k)
+      .select(col("__id"), posexplode(expr(
+        s"""transform(sequence(0, size(__tk) - $k),
+           | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
+        .as(Seq("__p", "__gram")))
+    val gramKey = if (hashGrams) xxhash64(col("__gram")) else col("__gram")
+    val w = Window.partitionBy(gramKey).orderBy(col("__id"), col("__p"))
+    val covered = grams
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col("__id"),
+        explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cpos"))
+      .distinct()
+    toks
+      .join(covered,
+        toks("__id") === covered("__id") && toks("__pos") === covered("__cpos"),
+        "left")
+      .select(toks("__id"), col("__pos"), col("__tok"),
+        col("__cpos").isNull.as("__keep"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(
+          expr("transform(array_sort(filter(collect_list(struct(__pos, __tok, __keep)), " +
+            "x -> x.__keep)), x -> x.__tok)"),
+          " ").as("dedup_text"))
+  }
+
+  /** Span-level contamination report against a benchmark set: for every
+    * candidate training document, how many of its token positions sit
+    * inside a k-gram that also occurs in `bench` — the span-granular
+    * sibling of shingle-overlap decontamination (which flags whole
+    * documents). A document with contaminated_tokens = 0 shares no
+    * k-token span with the benchmark; a large value localizes HOW MUCH
+    * of it is benchmark text, which doc-level Jaccard cannot see.
+    *
+    * Physical shape: grams on both sides, one exchange keyed by the gram
+    * with the (tiny) benchmark side aggregated to distinct grams first —
+    * at 100 TB this is a broadcast-able build side whenever the benchmark
+    * is a real eval suite (MBs), so the probe stays a map-side join. */
+  def contaminationSpans(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8): DataFrame = {
+    require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
+    val k = gramTokens
+    def gramsOf(df: DataFrame) = df
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
+      .where(size(col("__tk")) >= k)
+      .select(col("__id"), posexplode(expr(
+        s"""transform(sequence(0, size(__tk) - $k),
+           | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
+        .as(Seq("__p", "__gram")))
+    val benchGrams = gramsOf(bench).select(col("__gram")).distinct()
+    val covered = gramsOf(docs)
+      .join(benchGrams, Seq("__gram"))
+      .select(col("__id"),
+        explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cpos"))
+      .distinct()
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("contaminated_tokens"))
+    docs
+      .select(col(idCol).as("__id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("contaminated_tokens"), lit(0L)).as("contaminated_tokens"))
+  }
+}

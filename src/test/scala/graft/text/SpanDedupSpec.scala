@@ -1,0 +1,73 @@
+package graft.text
+
+import graft.SparkSpec
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a repeated span is excised whole from the later document") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),       // owns the span
+      (2L, "x a b c d e f g h i j y"))   // 10-token repeat, k=4 anchors
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, "doc_id", "text", gramTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // every anchor of the repeated span in doc 2 is redundant; the union of
+    // their 4-token windows covers all 10 tokens — maximal-span removal
+    assert(out == Seq(
+      (1L, 10L, 0L, "a b c d e f g h i j"),
+      (2L, 12L, 10L, "x y")))
+  }
+
+  test("sub-anchor repeats survive; docs shorter than k pass through") {
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r z"),  // only a 3-token overlap at k=4 -> untouched
+      (3L, "p q"))      // shorter than k -> no anchors at all
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, "doc_id", "text", gramTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 6L, 0L, "p q r s t u"),
+      (2L, 4L, 0L, "p q r z"),
+      (3L, 2L, 0L, "p q")))
+  }
+
+  test("within-doc repetition keeps only the first occurrence") {
+    val docs = Seq((7L, "a b c d a b c d")).toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, "doc_id", "text", gramTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((7L, 8L, 4L, "a b c d")))
+  }
+
+  test("hashed-gram path matches the exact-text path") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f g h i j y"),
+      (3L, "q r s t"),
+      (4L, "a b c d a b c d e f"))
+      .toDF("doc_id", "text")
+    val exact = SpanDedup.dedupSpans(docs, "doc_id", "text", gramTokens = 4)
+      .orderBy("doc_id").collect().toSeq
+    val hashed = SpanDedup.dedupSpans(docs, "doc_id", "text", gramTokens = 4,
+        hashGrams = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(exact == hashed)
+  }
+
+  test("contamination spans count covered positions against a benchmark") {
+    val bench = Seq((100L, "m n o p q")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "z z m n o p q z"),  // anchors "m n o p" and "n o p q" -> 5 covered
+      (2L, "m n o z z z z"))    // only a 3-token overlap -> clean
+      .toDF("doc_id", "text")
+    val out = SpanDedup.contaminationSpans(docs, bench, "doc_id", "text",
+        gramTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 8L, 5L), (2L, 7L, 0L)))
+  }
+}
