@@ -369,7 +369,10 @@ object Oracles {
     * shared tail of neardup_components and cluster_best. Splice after
     * `minhashCtes` with its WITH upgraded to WITH RECURSIVE; ends in
     * `comp(doc_id, component)` covering only docs incident to a pair. */
-  private val componentCtes: String = {
+  /** The symmetric jaccard >= 5000bp near-pair edge list — the graph every
+    * graph finisher (components, k-core) peels or closes over. Splice after
+    * `minhashCtes`; ends in `edges(u, v)` with both directions listed. */
+  private val edgeCtes: String = {
     val bandSelects = (0 until Bands).map { b =>
       s"SELECT doc_id, $b AS bi, ${bandE(b)} AS k FROM mf"
     }.mkString(" UNION ALL ")
@@ -385,14 +388,17 @@ object Oracles {
        |  FROM cand JOIN sets sa ON id_1 = sa.doc_id JOIN sets sb ON id_2 = sb.doc_id)
        | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 5000),
        |edges AS (SELECT id_1 AS u, id_2 AS v FROM pairs
-       |          UNION SELECT id_2, id_1 FROM pairs),
+       |          UNION SELECT id_2, id_1 FROM pairs)""".stripMargin
+  }
+
+  private val componentCtes: String =
+    s"""$edgeCtes,
        |reach(node, lab) AS (
        |  SELECT u, u FROM edges
        |  UNION
        |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v),
        |comp AS (SELECT node AS doc_id, MIN(lab) AS component
        | FROM reach GROUP BY node)""".stripMargin
-  }
 
   /** The FULL curation pipeline mirrored stage by stage: cleanup ->
     * annotate (tokens + lang) -> quality gates -> exact dedup -> minhash
@@ -1457,6 +1463,23 @@ object Oracles {
     "neardup_components" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+
+    // 2-core of the near-dup graph: 4 peel rounds unrolled as plain CTEs
+    // (peeling has a unique fixpoint and near-dup clusters settle in 1-2
+    // rounds, so a constant unroll replays KCore.run exactly)
+    "kcore_docs" -> {
+      val peel = (1 to 4).map { i =>
+        s"""d$i AS (SELECT u, COUNT(*) AS c FROM alive${i - 1} GROUP BY u),
+           |k$i AS (SELECT u FROM d$i WHERE c >= 2),
+           |alive$i AS (SELECT e.u, e.v FROM alive${i - 1} e
+           | JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCtes, $edgeCtes,
+         |alive0 AS (SELECT u, v FROM edges),
+         |$peel
+         |SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM alive4 GROUP BY u ORDER BY doc_id""".stripMargin
+    },
 
     "neardup_cluster_sizes" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Strings, Times}
-import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, LabelProp, PageRank, RangeJoin, Sessionize, Triangles}
+import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, KCore, LabelProp, PageRank, RangeJoin, Sessionize, Triangles}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.HLL
 import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
@@ -1546,6 +1546,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** 2-core of the near-dup graph (see [[KCore.run]]): peel degree-<2
+    * nodes for 4 rounds; what survives is the dense center — template
+    * families and mirror farms — with each member's within-core degree.
+    * One-off pair matches (the bulk of near-dup output) peel away in the
+    * first round. */
+  def kcoreDocs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHash.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      minBp = 5000L, native = true)
+    val edges = pairs.select(col("id_1").as("u"), col("id_2").as("v"))
+      .unionByName(pairs.select(col("id_2").as("u"), col("id_1").as("v")))
+    KCore.run(edges, "u", "v", k = 2, rounds = 4)
+      .select(col("node").as("doc_id"), col("core_degree"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup cluster size histogram — the one-table summary every dedup
     * report leads with: how many clusters of each size the jaccard >=
     * 5000bp graph contains (size 2 = simple pairs, the tail = mirror
@@ -2635,6 +2650,7 @@ object Queries {
     "chunk_dedup" -> chunkDedup _,
     "span_dedup" -> spanDedup _,
     "contamination_spans" -> contaminationSpans _,
+    "kcore_docs" -> kcoreDocs _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
