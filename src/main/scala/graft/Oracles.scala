@@ -1464,6 +1464,21 @@ object Oracles {
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
 
+    // fastText-shaped hashed linear model: tokens -> 1024 feature buckets,
+    // deterministic integer weights, per-doc logit sum, keep = logit >= 0
+    "quality_logit" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${tokensOf("text")}) AS tok FROM documents),
+         |f AS (SELECT doc_id,
+         |  (length(tok) * $WordBase + ascii(tok)) % 1024 AS feature FROM toks),
+         |w AS (SELECT CAST(t.i AS BIGINT) AS feature,
+         |  t.i * $TokenHashA % $P % 17 - 8 AS weight
+         | FROM UNNEST(range(1024)) AS t(i))
+         |SELECT f.doc_id, COUNT(*) AS n_tokens,
+         | CAST(SUM(w.weight) AS BIGINT) AS logit,
+         | CAST(SUM(w.weight) AS BIGINT) >= 0 AS keep
+         |FROM f JOIN w USING (feature)
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
     // 2-core of the near-dup graph: 4 peel rounds unrolled as plain CTEs
     // (peeling has a unique fixpoint and near-dup clusters settle in 1-2
     // rounds, so a constant unroll replays KCore.run exactly)

@@ -10,7 +10,7 @@ import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, KC
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.HLL
 import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
-import graft.text.{BPE, ChunkDedup, Hashing, SpanDedup, Text}
+import graft.text.{BPE, ChunkDedup, Hashing, LinearModel, SpanDedup, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
   * tables (TESTDATA.md). Each query has a DuckDB oracle twin in
@@ -1561,6 +1561,19 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Learned quality filter (see [[LinearModel.score]]): fastText-shaped
+    * hashed bag-of-words linear model — tokens hash into 1024 feature
+    * buckets, the (broadcast) weights table maps bucket -> integer
+    * weight, a doc's logit is the sum, keep = logit >= 0. The catalog
+    * weights are the deterministic stand-in; production loads trained
+    * weights from parquet through the same plumbing. */
+  def qualityLogit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    LinearModel.score(docs, "doc_id", "text",
+        LinearModel.hashWeights(docs, 1024), "feature", "weight", buckets = 1024)
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup cluster size histogram — the one-table summary every dedup
     * report leads with: how many clusters of each size the jaccard >=
     * 5000bp graph contains (size 2 = simple pairs, the tail = mirror
@@ -2651,6 +2664,7 @@ object Queries {
     "span_dedup" -> spanDedup _,
     "contamination_spans" -> contaminationSpans _,
     "kcore_docs" -> kcoreDocs _,
+    "quality_logit" -> qualityLogit _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
