@@ -1464,6 +1464,37 @@ object Oracles {
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
 
+    // per-label centroid in the dimension-exploded layout, exact integer
+    // squared-L2 distance, 3 farthest per label flagged (// truncates
+    // toward zero in DuckDB, matching Spark's div on negative sums)
+    "embedding_outliers" ->
+      s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  $quantE AS v FROM embeddings),
+         |dims AS (SELECT vec_id, label, CAST(t.i AS BIGINT) AS dim, v[t.i + 1] AS qv
+         | FROM q, UNNEST(range(len(v))) AS t(i)),
+         |cent AS (SELECT label, dim,
+         |  CAST(SUM(qv) AS BIGINT) // COUNT(*) AS cv FROM dims GROUP BY 1, 2),
+         |dist AS (SELECT d.vec_id, d.label,
+         |  CAST(SUM((d.qv - c.cv) * (d.qv - c.cv)) AS BIGINT) AS dist
+         | FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+         | GROUP BY 1, 2),
+         |r AS (SELECT vec_id, label, dist,
+         |  row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn
+         | FROM dist)
+         |SELECT vec_id, label, dist, rn <= 3 AS is_outlier
+         |FROM r ORDER BY vec_id""".stripMargin,
+
+    // exactly 5 eval docs per source, picked by ranking the stable hash
+    "quota_split" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  doc_id % $P * $TokenHashA % $P AS hv FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+         | FROM h)
+         |SELECT doc_id, source,
+         | CASE WHEN rn <= 5 THEN 'eval' ELSE 'train' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     // fastText-shaped hashed linear model: tokens -> 1024 feature buckets,
     // deterministic integer weights, per-doc logit sum, keep = logit >= 0
     "quality_logit" ->

@@ -9,7 +9,7 @@ import graft.functions.{Strings, Times}
 import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, KCore, LabelProp, PageRank, RangeJoin, Sessionize, Triangles}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.HLL
-import graft.similarity.{IVF, IVFPQ, PQ, SemanticDedup, Similarity}
+import graft.similarity.{IVF, IVFPQ, Outliers, PQ, SemanticDedup, Similarity}
 import graft.text.{BPE, ChunkDedup, Hashing, LinearModel, SpanDedup, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
@@ -1561,6 +1561,31 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding outliers (see [[Outliers.byCentroid]]): per-label centroid
+    * in the dimension-exploded layout, exact integer squared-L2 distance,
+    * the 3 farthest vectors per label flagged. The curation pass that
+    * surfaces mislabeled or garbage members of an otherwise-tight
+    * cluster. */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame =
+    Outliers.byCentroid(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        topK = 3)
+      .orderBy(col("vec_id"))
+
+  /** Quota-based stratified split: exactly 5 eval docs per source, chosen
+    * by ranking the stable per-doc hash within each stratum — the
+    * balanced-eval-set sibling of `stable_split`'s proportional buckets.
+    * Deterministic on any partitioning; one rank window per stratum. */
+  def quotaSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = col("doc_id") % Hashing.P * Hashing.TokenHashA % Hashing.P
+    val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("doc_id"), col("source"),
+        when(col("__rn") <= 5, "eval").otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Learned quality filter (see [[LinearModel.score]]): fastText-shaped
     * hashed bag-of-words linear model — tokens hash into 1024 feature
     * buckets, the (broadcast) weights table maps bucket -> integer
@@ -2665,6 +2690,8 @@ object Queries {
     "contamination_spans" -> contaminationSpans _,
     "kcore_docs" -> kcoreDocs _,
     "quality_logit" -> qualityLogit _,
+    "embedding_outliers" -> embeddingOutliers _,
+    "quota_split" -> quotaSplit _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
