@@ -40,7 +40,9 @@ object BenchMed {
     "label_spread", "user_ewma", "bpe_train_merges", "kn_bigram_bits",
     "knn_graph", "knn_graph_scaled", "knn_clusters", "ngram_novelty",
     "split_leakage", "kmv_bottomk", "vocab_growth",
-    "neardup_cluster_sizes", "ivf_balance", "subset_docs")
+    "neardup_cluster_sizes", "ivf_balance", "subset_docs",
+    "span_dedup", "contamination_spans", "kcore_docs", "quality_logit",
+    "embedding_outliers", "quota_split")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
