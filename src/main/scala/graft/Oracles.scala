@@ -2086,6 +2086,36 @@ object Oracles {
         | CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits_per_bigram
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // CCNet-style head/middle/tail tertiles by bigram-surprisal millibits;
+    // cutoffs from the cumulated score histogram, ties share a bucket
+    "ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, tk[i - 1] AS prev, tk[i] AS tok
+        | FROM t, UNNEST(range(2, len(tk) + 1)) AS u(i)),
+        |pc AS (SELECT prev, COUNT(*) AS cnt_prev FROM bi GROUP BY prev),
+        |bc AS (SELECT prev, tok, COUNT(*) AS cnt_bi FROM bi GROUP BY prev, tok),
+        |scored AS (SELECT bi.doc_id,
+        |  length(bin(pc.cnt_prev)) - length(bin(bc.cnt_bi)) AS bits
+        | FROM bi JOIN bc ON bi.prev = bc.prev AND bi.tok = bc.tok
+        | JOIN pc ON bi.prev = pc.prev),
+        |sc AS (SELECT doc_id,
+        |  CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mbpb
+        | FROM scored GROUP BY doc_id),
+        |hist AS (SELECT mbpb, COUNT(*) AS c FROM sc GROUP BY mbpb),
+        |cum AS (SELECT mbpb,
+        |  SUM(c) OVER (ORDER BY mbpb ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        |tot AS (SELECT COUNT(*) AS n FROM sc),
+        |cuts AS (SELECT
+        |  MIN(CASE WHEN cum * 3 >= n THEN mbpb END) AS t1,
+        |  MIN(CASE WHEN cum * 3 >= n * 2 THEN mbpb END) AS t2
+        | FROM cum CROSS JOIN tot)
+        |SELECT sc.doc_id, sc.mbpb AS millibits_per_bigram,
+        | CASE WHEN sc.mbpb <= c.t1 THEN 'head'
+        |      WHEN sc.mbpb <= c.t2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN cuts c ORDER BY sc.doc_id""".stripMargin,
+
     // Kneser-Ney bigram bits: fixed-point millionth probabilities with
     // floor division at every step, bit cost 20 - bitlength(p_mil)
     "kn_bigram_bits" ->

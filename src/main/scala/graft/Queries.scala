@@ -2254,6 +2254,35 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity buckets: the corpus split into head/middle/
+    * tail thirds by LM fluency (bigram-surprisal millibits; lower =
+    * more predictable = head). Scale-correct tertiles: the cutoffs come
+    * from the SCORE HISTOGRAM — distinct integer scores, a tiny table —
+    * cumulated in score order and broadcast back as two scalars, so the
+    * corpus is never globally sorted and the only full-width exchanges
+    * are the surprisal aggregates themselves. Equal scores share a
+    * bucket by construction (threshold semantics, the CCNet form), so
+    * the split is deterministic on any partitioning. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scores = bigramSurprisal(s, dir)
+      .select(col("doc_id"), col("millibits_per_bigram").as("mbpb"))
+    val hist = scores.groupBy(col("mbpb")).agg(count(lit(1)).as("__c"))
+    // the window input is the histogram (O(distinct scores)), not the corpus
+    val w = Window.orderBy(col("mbpb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = scores.agg(count(lit(1)).as("__n"))
+    val cuts = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("mbpb"))).as("__t1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("mbpb"))).as("__t2"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("mbpb").as("millibits_per_bigram"),
+        when(col("mbpb") <= col("__t1"), "head")
+          .when(col("mbpb") <= col("__t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Kneser-Ney-smoothed bigram surprisal — the LM-quality score one rung
     * above raw conditional counts: absolute discounting (d = 0.75) plus
     * the continuation-probability backoff, so bigrams with a rare RIGHT
@@ -2692,6 +2721,7 @@ object Queries {
     "quality_logit" -> qualityLogit _,
     "embedding_outliers" -> embeddingOutliers _,
     "quota_split" -> quotaSplit _,
+    "ppl_buckets" -> pplBuckets _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
