@@ -1495,6 +1495,30 @@ object Oracles {
          | CASE WHEN rn <= 5 THEN 'eval' ELSE 'train' END AS split
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    // Unicode NFC composition; the injected decomposed accent makes the
+    // normalization live on the ASCII corpus (n_chars shrinks by one)
+    "nfc_normalize" ->
+      """WITH raw AS (SELECT doc_id, 'e' || chr(769) || ' ' || text AS raw
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        | length(raw) AS n_chars_raw,
+        | length(nfc_normalize(raw)) AS n_chars_nfc
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    // per-source mean ensemble quality in millis; sources under the
+    // threshold gate out all their docs (the two-level domain filter)
+    "domain_gate" ->
+      s"""WITH $qualityCtes,
+         |sc AS (SELECT d.doc_id, d.source, q.score
+         | FROM documents d JOIN qscored q ON d.doc_id = q.doc_id),
+         |bys AS (SELECT source,
+         |  CAST(SUM(score) AS BIGINT) * 1000 // COUNT(*) AS source_mean_millis
+         | FROM sc GROUP BY source)
+         |SELECT sc.doc_id, sc.source, sc.score, b.source_mean_millis,
+         | b.source_mean_millis >= 3400000 AS keep
+         |FROM sc JOIN bys b ON sc.source = b.source
+         |ORDER BY sc.doc_id""".stripMargin,
+
     // fastText-shaped hashed linear model: tokens -> 1024 feature buckets,
     // deterministic integer weights, per-doc logit sum, keep = logit >= 0
     "quality_logit" ->

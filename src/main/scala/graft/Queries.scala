@@ -1586,6 +1586,42 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode NFC normalization via the native `graft_nfc` expression —
+    * the canonical-composition pass crawled text needs before any byte-
+    * or char-keyed dedup (decomposed and precomposed accents must hash
+    * identically). The catalog injects a decomposed "e + combining
+    * acute" in front of every doc so the composition is LIVE on the
+    * ASCII corpus: n_chars_nfc = n_chars_raw - 1. Row-local and
+    * codegen'd — fuses into the scan projection, zero allocation on
+    * already-NFC text. */
+  def nfcNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), concat(lit("e\u0301 "), col("text")).as("raw"))
+      .select(col("doc_id"),
+        call_function("graft_nfc", col("raw")).as("nfc_text"),
+        length(col("raw")).cast(LongType).as("n_chars_raw"))
+      .withColumn("n_chars_nfc", length(col("nfc_text")).cast(LongType))
+      .orderBy(col("doc_id"))
+
+  /** FineWeb-style domain gate: per-source MEAN ensemble quality (exact
+    * integer millis), sources whose mean falls below 3,400,000 gate out
+    * ALL their docs — the two-level filter that removes spam domains
+    * whose individual pages sneak past doc-level gates. The source
+    * aggregate is O(sources) and broadcast back onto the doc stream, so
+    * the gate costs one extra map-side join. */
+  def domainGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(qualityEnsemble(s, dir).select(col("doc_id"), col("score")), Seq("doc_id"))
+    val bySource = scored.groupBy(col("source"))
+      .agg(expr("sum(score) * 1000 div count(1)").as("source_mean_millis"))
+    scored
+      .join(broadcast(bySource), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"),
+        col("source_mean_millis"),
+        (col("source_mean_millis") >= 3400000L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Learned quality filter (see [[LinearModel.score]]): fastText-shaped
     * hashed bag-of-words linear model — tokens hash into 1024 feature
     * buckets, the (broadcast) weights table maps bucket -> integer
@@ -2722,6 +2758,8 @@ object Queries {
     "embedding_outliers" -> embeddingOutliers _,
     "quota_split" -> quotaSplit _,
     "ppl_buckets" -> pplBuckets _,
+    "nfc_normalize" -> nfcNormalize _,
+    "domain_gate" -> domainGate _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,

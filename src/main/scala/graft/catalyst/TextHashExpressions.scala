@@ -71,6 +71,16 @@ case class SimHash64(child: Expression) extends TextHashUnary {
   override def prettyName: String = "graft_simhash64"
 }
 
+/** graft_nfc(text) -> string: Unicode NFC canonical composition. */
+case class NfcNormalize(child: Expression) extends TextHashUnary {
+  override def dataType: DataType = StringType
+  override protected def kernel: String = "nfc"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize = copy(newChild)
+  override def prettyName: String = "graft_nfc"
+}
+
 /** graft_fingerprint(text) -> bigint. */
 case class Fingerprint(child: Expression) extends TextHashUnary {
   override def dataType: DataType = LongType
@@ -100,6 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_simhash16", c => SimHash16(c.head))
     register("graft_simhash64", c => SimHash64(c.head))
     register("graft_fingerprint", c => Fingerprint(c.head))
+    register("graft_nfc", c => NfcNormalize(c.head))
     // vector functions coerce their own argument shapes
     ext.injectFunction((
       FunctionIdentifier("graft_quantize"),

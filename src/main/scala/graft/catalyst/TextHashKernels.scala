@@ -148,4 +148,17 @@ object TextHashKernels {
     }
     h
   }
+
+  /** Unicode NFC normalization (java.text.Normalizer), the canonical-
+    * composition pass web-crawled text needs before any byte- or
+    * char-keyed dedup (decomposed "é" and precomposed "é"
+    * must hash identically). The isNormalized fast path returns the
+    * input UTF8String untouched for already-NFC text — the overwhelming
+    * case — so ASCII corpora pay one scan and zero allocation. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }

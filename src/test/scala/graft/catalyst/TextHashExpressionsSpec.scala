@@ -86,4 +86,34 @@ class TextHashExpressionsSpec extends SparkSpec {
       .select(call_function("graft_simhash16", col("text"))).head
     assert(n.isNullAt(0))
   }
+
+  test("graft_nfc composes decomposed accents and passes NFC text through") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "e\u0301clair"),              // decomposed e + combining acute
+      (2L, "\u00e9clair"),               // precomposed, already NFC
+      (3L, "plain ascii"),
+      (4L, "o\u0308 a\u030a mixed"))     // decomposed o-umlaut, a-ring
+      .toDF("id", "text")
+    val out = d.select(col("id"),
+        call_function("graft_nfc", col("text")).as("nfc"),
+        length(col("text")).as("raw_len"),
+        length(call_function("graft_nfc", col("text"))).as("nfc_len"))
+      .orderBy("id")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(out(0)._2 == "\u00e9clair" && out(0)._3 == 7 && out(0)._4 == 6)
+    assert(out(1)._2 == "\u00e9clair" && out(1)._3 == 6 && out(1)._4 == 6)
+    assert(out(2)._2 == "plain ascii" && out(2)._4 == 11)
+    assert(out(3)._2 == "\u00f6 \u00e5 mixed" && out(3)._4 == 9)
+    // decomposed and precomposed must now hash identically (the reason
+    // this pass runs before any char-keyed dedup)
+    val fp = d.filter(col("id") <= 2)
+      .select(call_function("graft_fingerprint",
+        call_function("graft_nfc", col("text")))).collect().map(_.getLong(0))
+    assert(fp(0) == fp(1))
+    // null stays null
+    val n = Seq((5L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(call_function("graft_nfc", col("text"))).head
+    assert(n.isNullAt(0))
+  }
 }
