@@ -2293,6 +2293,23 @@ object Oracles {
         |WHERE length(text) >= 16 AND octet_length(encode(substr(text, 1, 16))) = 16
         |ORDER BY doc_id""".stripMargin,
 
+    // aHash over the 16 synthesized pixels: mean-thresholded bits, docs
+    // sharing a phash flagged duplicate candidates (dedup as a group-by)
+    "image_phash" ->
+      """WITH src AS (SELECT doc_id, substr(text, 1, 16) AS px FROM documents
+        | WHERE length(text) >= 16 AND octet_length(encode(substr(text, 1, 16))) = 16),
+        |pix AS (SELECT doc_id,
+        |  list_transform(range(1, 17), i -> ascii(substr(px, CAST(i AS INT), 1))) AS p
+        | FROM src),
+        |m AS (SELECT doc_id, p, CAST(list_sum(p) AS BIGINT) // 16 AS mean FROM pix),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 17),
+        |  i -> CASE WHEN p[i] > mean THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS phash
+        | FROM m)
+        |SELECT doc_id, phash,
+        | CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
+        | COUNT(*) OVER (PARTITION BY phash) > 1 AS is_dup
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     // stride-2 frame sampling of a synthesized 6-frame array<binary>
     "multimodal_frames" ->
       """SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,

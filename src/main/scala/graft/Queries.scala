@@ -2611,6 +2611,27 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual image dedup pinned cross-engine: the 4x4x1 fake payload
+    * (same synthesis and ASCII gate as multimodal_resize) is aHashed —
+    * 16 mean-thresholded pixel bits — and documents sharing a phash are
+    * flagged duplicate candidates. Image dedup as a group-by, never a
+    * pairwise compare; the oracle replays the threshold arithmetic over
+    * the same 16 ascii codes. */
+  def imagePhash(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents")
+      .filter(length(col("text")) >= 16 &&
+        octet_length(substring(col("text"), 1, 16)) === 16)
+      .select(col("doc_id"),
+        concat(unhex(lit("0004000401")),
+          substring(col("text"), 1, 16).cast(BinaryType)).as("payload"))
+    val w = Window.partitionBy(col("phash"))
+    graft.multimodal.Multimodal.phash(src, "payload", bits = 16)
+      .withColumn("n_same", count(lit(1)).over(w))
+      .select(col("doc_id"), col("phash"), col("n_same"),
+        (col("n_same") > 1).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Video-shaped frame sampling pinned cross-engine: a 6-frame fake
     * "video" is synthesized per document (frame i = 8 ASCII bytes of the
     * text), stride-2 sampled by the posexplode+filter operator, and
@@ -2760,6 +2781,7 @@ object Queries {
     "ppl_buckets" -> pplBuckets _,
     "nfc_normalize" -> nfcNormalize _,
     "domain_gate" -> domainGate _,
+    "image_phash" -> imagePhash _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,

@@ -143,6 +143,43 @@ object Multimodal {
       .drop(framesCol)
   }
 
+  /** Perceptual hash (aHash) of a decoded payload: each of the first
+    * `bits` pixels compares to their integer mean; bit i is set when
+    * pixel i exceeds it. Identical and near-identical images (re-encodes,
+    * tiny edits) collide on the hash, so image dedup becomes the same
+    * group-by-key shape as text fingerprint dedup — no pairwise image
+    * comparison ever runs. A real deployment hashes a downscaled
+    * luminance plane (resize feeds this directly); the mean-threshold
+    * arithmetic is the part pinned cross-engine. Adds a `phash` column
+    * (null when the payload fails decode). */
+  def phash(df: DataFrame, binCol: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    val idx = df.schema.fieldIndex(binCol)
+    val schema = StructType(df.schema.fields :+ StructField("phash", LongType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h: java.lang.Long = FakeCodec.decode(r.getAs[Array[Byte]](idx)) match {
+          case Some((_, _, _, px)) if px.nonEmpty =>
+            val n = math.min(bits, px.length)
+            var sum = 0L
+            var i = 0
+            while (i < n) { sum += (px(i) & 0xff); i += 1 }
+            val mean = sum / n
+            var out = 0L
+            i = 0
+            while (i < n) {
+              if ((px(i) & 0xff) > mean) out |= 1L << i
+              i += 1
+            }
+            out
+          case _ => null
+        }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
   /** Rebalance by payload size before expensive per-byte work: targets
     * `bytesPerPartition` per task, so mixed thumbnail/4K corpora decode with
     * even task durations instead of long-tail stragglers. */

@@ -64,6 +64,22 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.head.schema.fieldNames.contains("frames"))
   }
 
+  test("phash sets the above-mean pixel bits; dup payloads collide") {
+    val ramp = FakeCodec.encode(4, 4, 1, Array.tabulate(16)(_.toByte)) // mean 7
+    val d = Seq(
+      (1L, ramp),
+      (2L, ramp),                                   // identical -> same hash
+      (3L, FakeCodec.encode(4, 4, 1, Array.fill(16)(5.toByte))), // flat -> 0
+      (4L, Array[Byte](1, 2)))                      // undecodable -> null
+      .toDF("id", "payload")
+    val out = Multimodal.phash(d, "payload", bits = 16).orderBy("id").collect()
+    // pixels 0..15, mean 7 -> bits 8..15 set = 0xFF00
+    assert(out(0).getAs[Long]("phash") == 0xFF00L)
+    assert(out(1).getAs[Long]("phash") == 0xFF00L)
+    assert(out(2).getAs[Long]("phash") == 0L)
+    assert(out(3).isNullAt(out(3).fieldIndex("phash")))
+  }
+
   test("repartitionBySize targets byte budget per partition") {
     val big = Multimodal.repartitionBySize(df, "payload", bytesPerPartition = 100L)
     assert(big.rdd.getNumPartitions >= 2)
