@@ -42,7 +42,8 @@ object BenchMed {
     "split_leakage", "kmv_bottomk", "vocab_growth",
     "neardup_cluster_sizes", "ivf_balance", "subset_docs",
     "span_dedup", "contamination_spans", "kcore_docs", "quality_logit",
-    "embedding_outliers", "quota_split", "ppl_buckets")
+    "embedding_outliers", "quota_split", "ppl_buckets",
+    "nfc_normalize", "domain_gate", "image_phash")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
