@@ -840,6 +840,50 @@ object Oracles {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // forward as-of: first click at-or-after each purchase (native ASOF
+    // with the inequality reversed)
+    "asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        | FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        | FROM c0 WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.value,
+        | coalesce(c.click_id, -1) AS click_id,
+        | coalesce(c.click_value, -1.0) AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // nearest as-of: closer of the backward/forward matches, ties backward
+    "asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        | FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        | FROM c0 WHERE rn = 1),
+        |b AS (SELECT p.event_id, MAX(c.ts) AS rts FROM p JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts GROUP BY p.event_id),
+        |f AS (SELECT p.event_id, MIN(c.ts) AS rts FROM p JOIN c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts GROUP BY p.event_id),
+        |pick AS (SELECT p.event_id, p.user_id, p.value,
+        |  CASE WHEN f.rts IS NULL THEN b.rts
+        |       WHEN b.rts IS NULL THEN f.rts
+        |       WHEN epoch_us(f.rts) - epoch_us(p.ts)
+        |            < epoch_us(p.ts) - epoch_us(b.rts) THEN f.rts
+        |       ELSE b.rts END AS rts
+        | FROM p LEFT JOIN b ON p.event_id = b.event_id
+        |        LEFT JOIN f ON p.event_id = f.event_id)
+        |SELECT pick.event_id, pick.user_id, pick.value,
+        | coalesce(c.click_id, -1) AS click_id,
+        | coalesce(c.click_value, -1.0) AS click_value
+        |FROM pick LEFT JOIN c
+        | ON pick.user_id = c.user_id AND pick.rts = c.ts
+        |ORDER BY pick.event_id""".stripMargin,
+
     "sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (

@@ -766,7 +766,24 @@ object Queries {
   /** As-of join: each purchase event matched to the user's most recent
     * preceding (or simultaneous) click — union-merge formulation, no range
     * join. Right side deduped to one row per (user, ts) for determinism. */
-  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+  // sentinel instead of null for the no-matching-click case in all three
+  // directions: result hashes must not depend on engine null encodings
+  def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofDirectional(s, dir, "backward")
+
+  /** Forward as-of: each purchase matched to the FIRST click at-or-after
+    * it per user (the "next event" direction of merge_asof) — same
+    * union-merge plan as asof_join, the carry just runs over the
+    * following frame. */
+  def asofForward(s: SparkSession, dir: String): DataFrame =
+    asofDirectional(s, dir, "forward")
+
+  /** Nearest as-of: whichever click is closer in time, ties to the
+    * backward match — both carries resolved in ONE union-merge pass. */
+  def asofNearest(s: SparkSession, dir: String): DataFrame =
+    asofDirectional(s, dir, "nearest")
+
+  private def asofDirectional(s: SparkSession, dir: String, direction: String): DataFrame = {
     val events = t(s, dir, "events")
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -776,9 +793,8 @@ object Queries {
       .withColumn("__rn", row_number().over(clicksW)).filter(col("__rn") === 1)
       .select(col("user_id"), col("ts"),
         col("event_id").as("click_id"), col("value").as("click_value"))
-    // sentinel instead of null for the no-preceding-click case: result
-    // hashes must not depend on engine-specific null encodings
-    AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "ts")
+    AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        direction = direction)
       .select(col("event_id"), col("user_id"), col("value"),
         coalesce(col("click_id"), lit(-1L)).as("click_id"),
         coalesce(col("click_value"), lit(-1d)).as("click_value"))
@@ -2782,6 +2798,8 @@ object Queries {
     "nfc_normalize" -> nfcNormalize _,
     "domain_gate" -> domainGate _,
     "image_phash" -> imagePhash _,
+    "asof_forward" -> asofForward _,
+    "asof_nearest" -> asofNearest _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,

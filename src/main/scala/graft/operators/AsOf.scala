@@ -4,49 +4,63 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (point-in-time) join: for each left row, attach the single most
-  * recent right row whose timestamp is <= the left row's timestamp, per key.
+/** As-of (point-in-time) join: for each left row, attach the single
+  * nearest right row per key in the requested direction — the most recent
+  * at-or-before (`backward`, the default), the first at-or-after
+  * (`forward`), or whichever of the two is closer (`nearest`, ties to the
+  * backward match) — the three directions of pandas' merge_asof.
   *
   * Spark has no built-in as-of join (a naive formulation is a range join
   * that explodes to a broadcast-nested-loop). The scale-first formulation
   * here is the union-merge: tag both sides, union them, sort within each key
-  * by (ts, side) once, and carry the right side's payload forward with
-  * `last(_, ignoreNulls)` over the running window. Cost: ONE hash exchange
-  * per side on the key plus one sort — no cross product at any data size,
-  * no driver-side state, skew bounded by the hottest key like any window.
+  * by (ts, side) once, and carry the right side's payload across the running
+  * window — `last(_, ignoreNulls)` over the preceding frame for backward,
+  * `first(_, ignoreNulls)` over the following frame for forward, both in
+  * the same pass for nearest. Cost: ONE hash exchange per side on the key
+  * plus one sort — no cross product at any data size, no driver-side
+  * state, skew bounded by the hottest key like any window.
   *
   * Contract: the right side must be unique per (key, rightTsCol) — dedup it
   * first (e.g. [[Dedup.keepLast]]) so the matched row is deterministic.
-  * Right rows at exactly the left timestamp DO match (inclusive, the same
-  * convention as DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`).
+  * Right rows at exactly the left timestamp DO match in every direction
+  * (inclusive, the same convention as DuckDB's `ASOF JOIN ... ON l.ts >=
+  * r.ts` / `<= r.ts`); an exact-timestamp match is distance zero, so
+  * `nearest` always resolves it to the backward side.
   */
 object AsOf {
 
-  /** `toleranceSeconds`: when set, a match older than the tolerance is
-    * discarded (null payload) — the bounded-lookback variant every
-    * point-in-time feature join wants, applied as a post-window filter so
-    * the plan shape is unchanged. */
+  /** `toleranceSeconds`: when set, a match farther than the tolerance (in
+    * the match's direction) is discarded (null payload) — the bounded-
+    * lookback/lookahead variant every point-in-time feature join wants,
+    * applied as a post-window filter so the plan shape is unchanged.
+    * `direction`: "backward" | "forward" | "nearest"; nearest (and
+    * tolerance) need TimestampType ts columns for exact distance
+    * arithmetic. */
   def joinAsOf(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       leftTsCol: String,
       rightTsCol: String,
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward/forward/nearest, got $direction")
     val leftData = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTsCol)
     val payload = right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTsCol)
     require(
       payload.intersect(leftData).isEmpty && !payload.contains(leftTsCol),
       s"right payload columns ${payload.mkString(",")} must not collide with left columns")
-    val reserved = Seq("__ts", "__side", "__payload", "__matched", "__rts")
+    val reserved = Seq("__ts", "__side", "__payload", "__matched", "__rts", "__b", "__f")
     require(
       (left.columns ++ right.columns).intersect(reserved).isEmpty,
       s"columns named ${reserved.mkString("/")} are reserved by joinAsOf")
-    toleranceSeconds.foreach { _ =>
+    val needExactTs = toleranceSeconds.isDefined || direction == "nearest"
+    if (needExactTs) {
       require(
         left.schema(leftTsCol).dataType == org.apache.spark.sql.types.TimestampType &&
           right.schema(rightTsCol).dataType == org.apache.spark.sql.types.TimestampType,
-        "toleranceSeconds requires TimestampType ts columns on both sides " +
+        "toleranceSeconds/nearest require TimestampType ts columns on both sides " +
           "(a numeric epoch would silently use the wrong unit)")
     }
 
@@ -57,6 +71,12 @@ object AsOf {
     // from ASOF semantics (the matched row, exactly as it was)
     val payloadExpr = struct(col(rightTsCol).as("__rts") +: payload.map(col): _*)
     val payloadType = right.select(payloadExpr).schema.head.dataType
+    // side ordering makes equal-timestamp right rows visible inclusively:
+    // before the left row for the backward frame (0 < 1), after it for the
+    // pure-forward frame (2 > 1). nearest keeps the backward ordering — the
+    // forward frame then misses an exact-ts right row, but that match is
+    // distance zero through the backward leg, which wins every tie anyway.
+    val rightSideTag = if (direction == "forward") 2 else 0
     val leftSide = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTsCol).as("__ts"), lit(1).as("__side"),
@@ -64,23 +84,37 @@ object AsOf {
         leftData.map(col): _*)
     val rightSide = right.select(
       keyCols.map(col) ++ Seq(
-        col(rightTsCol).as("__ts"), lit(0).as("__side"),
+        col(rightTsCol).as("__ts"), lit(rightSideTag).as("__side"),
         payloadExpr.as("__payload")) ++
         leftData.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    // right rows (__side=0) sort before left rows at the same timestamp, so
-    // an exactly-simultaneous right row is visible to the left row
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val ord = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = leftSide.unionByName(rightSide)
-      .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = leftSide.unionByName(rightSide)
+    def dist(p: Column): Column =
+      abs(unix_micros(col("__ts")) - unix_micros(p.getField("__rts")))
+    val matched = (direction match {
+      case "backward" =>
+        unioned.withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        unioned.withColumn("__matched", first(col("__payload"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        unioned
+          .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wBack))
+          .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(wFwd))
+          .withColumn("__matched",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(dist(col("__f")) < dist(col("__b")), col("__f"))
+              .otherwise(col("__b")))
+          .drop("__b", "__f")
+    }).filter(col("__side") === 1)
     val inTolerance = toleranceSeconds match {
       case Some(tol) =>
         matched.withColumn("__matched",
-          when(unix_micros(col("__ts")) - unix_micros(col("__matched.__rts")) <= tol * 1000000L,
-            col("__matched")))
+          when(dist(col("__matched")) <= tol * 1000000L, col("__matched")))
       case None => matched
     }
     inTolerance.select(

@@ -59,6 +59,43 @@ class AsOfSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("ref_id")))
   }
 
+  test("forward direction matches the first right row at-or-after, inclusively") {
+    val left = Seq(("k", ts(10), 1L), ("k", ts(25), 2L), ("k", ts(40), 3L))
+      .toDF("k", "ts", "event_id")
+    val right = Seq(("k", ts(10), 100L), ("k", ts(30), 200L)).toDF("k", "ts", "ref_id")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts", direction = "forward")
+      .orderBy("event_id").collect()
+    // ts=10 matches the equal-ts row; ts=25 looks ahead to 30; ts=40 has none
+    assert(out(0).getAs[java.lang.Long]("ref_id") == 100L)
+    assert(out(1).getAs[java.lang.Long]("ref_id") == 200L)
+    assert(out(2).isNullAt(out(2).fieldIndex("ref_id")))
+  }
+
+  test("nearest direction picks the closer side and breaks ties backward") {
+    val left = Seq(
+      ("k", ts(12), 1L),  // back 10 (d=2) vs fwd 30 (d=18) -> back
+      ("k", ts(29), 2L),  // back 10 (d=19) vs fwd 30 (d=1) -> fwd
+      ("k", ts(20), 3L),  // back 10 (d=10) vs fwd 30 (d=10) -> tie -> back
+      ("k", ts(30), 4L))  // exact-ts match -> distance 0 backward
+      .toDF("k", "ts", "event_id")
+    val right = Seq(("k", ts(10), 100L), ("k", ts(30), 200L)).toDF("k", "ts", "ref_id")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts", direction = "nearest")
+      .orderBy("event_id").collect()
+    assert(out.map(_.getAs[java.lang.Long]("ref_id")).toSeq ==
+      Seq(100L, 200L, 100L, 200L))
+  }
+
+  test("nearest with tolerance drops matches beyond the window on either side") {
+    val left = Seq(("k", ts(100), 1L), ("k", ts(300), 2L)).toDF("k", "ts", "event_id")
+    val right = Seq(("k", ts(90), 7L), ("k", ts(430), 8L)).toDF("k", "ts", "ref_id")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts",
+      toleranceSeconds = Some(60L), direction = "nearest")
+      .orderBy("event_id").collect()
+    // ts=100: back 90 at d=10 ok; ts=300: nearest is fwd 430 at d=130 -> dropped
+    assert(out(0).getAs[java.lang.Long]("ref_id") == 7L)
+    assert(out(1).isNullAt(out(1).fieldIndex("ref_id")))
+  }
+
   test("joinAsOf preserves all left columns and row count") {
     val left = Seq(("k", ts(10), "a", 1.5), ("k", ts(20), "b", 2.5))
       .toDF("k", "ts", "tag", "score")
