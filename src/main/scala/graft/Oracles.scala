@@ -2093,6 +2093,31 @@ object Oracles {
         | AND p.ts_us BETWEEN s.session_start_us AND s.session_end_us
         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
+    // cross-user overlapping 2-day-gap sessions with the overlap window
+    // (the naive quadratic overlap join the bucketized plan must equal)
+    "interval_overlap" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) > 172800000000
+        |   THEN 1 ELSE 0 END AS flag
+        | FROM events WHERE event_type = 'click'),
+        |y AS (SELECT user_id, ts,
+        |  SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM x),
+        |sess AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(epoch_us(ts)) AS session_start_us,
+        |  MAX(epoch_us(ts)) AS session_end_us
+        | FROM y GROUP BY 1, 2)
+        |SELECT a.user_id AS user_1, a.session_id AS session_1,
+        | b.user_id AS user_2, b.session_id AS session_2,
+        | greatest(a.session_start_us, b.session_start_us) AS overlap_start_us,
+        | least(a.session_end_us, b.session_end_us) AS overlap_end_us
+        |FROM sess a JOIN sess b ON a.user_id < b.user_id
+        | AND a.session_start_us <= b.session_end_us
+        | AND b.session_start_us <= a.session_end_us
+        |ORDER BY user_1, session_1, user_2, session_2""".stripMargin,
+
     // integer-exact unigram surprisal: bitlen(total) - bitlen(count) per token
     "unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

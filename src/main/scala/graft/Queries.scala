@@ -2554,6 +2554,28 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Interval-overlap join (see [[RangeJoin.intervalOverlap]]): pairs of
+    * 2-day-gap click sessions from DIFFERENT users that overlap in time,
+    * with the overlap window — concurrency analysis as a bucketized
+    * equi-join, never a quadratic interval compare. Each pair is emitted
+    * exactly once from the later start's bucket. */
+  def intervalOverlapSessions(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessions(
+      t(s, dir, "events").filter(col("event_type") === "click"),
+      Seq("user_id"), "ts", "event_id", 172800L)
+    val a = sess.select(col("user_id").as("user_1"), col("session_id").as("session_1"),
+      col("session_start_us").as("start_1"), col("session_end_us").as("end_1"))
+    val b = sess.select(col("user_id").as("user_2"), col("session_id").as("session_2"),
+      col("session_start_us").as("start_2"), col("session_end_us").as("end_2"))
+    RangeJoin.intervalOverlap(a, "start_1", "end_1", b, "start_2", "end_2",
+        bucketWidth = 86400L * 1000000L)
+      .filter(col("user_1") < col("user_2"))
+      .select(col("user_1"), col("session_1"), col("user_2"), col("session_2"),
+        greatest(col("start_1"), col("start_2")).as("overlap_start_us"),
+        least(col("end_1"), col("end_2")).as("overlap_end_us"))
+      .orderBy(col("user_1"), col("session_1"), col("user_2"), col("session_2"))
+  }
+
   /** Year-over-year customer retention via FULL OUTER join of two distinct
     * key sets (the symmetric-difference shape: retained / churned /
     * acquired). Both legs prune to distinct keys before the join, so the
@@ -2800,6 +2822,7 @@ object Queries {
     "image_phash" -> imagePhash _,
     "asof_forward" -> asofForward _,
     "asof_nearest" -> asofNearest _,
+    "interval_overlap" -> intervalOverlapSessions _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,

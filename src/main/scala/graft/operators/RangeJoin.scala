@@ -70,4 +70,50 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-x-interval overlap join on the same bucketized axis: both
+    * sides explode to their covered buckets, the hash join runs on
+    * (keys…, bucket), and the exact inclusive-overlap predicate
+    * `loL <= hiR && loR <= hiL` restores the semantics. A qualifying pair
+    * shares every bucket their overlap covers, so it is emitted EXACTLY
+    * once by keeping only the first shared bucket — the later of the two
+    * interval start buckets (`bucket == greatest(loB_left, loB_right)`),
+    * which is by construction inside the overlap. Same linear shuffle
+    * (Σ span/bucketWidth rows per side) and the same loud too-wide guard
+    * as [[pointInInterval]]; both sides' column sets must be disjoint
+    * apart from `keys`. */
+  def intervalOverlap(
+      left: DataFrame,
+      loL: String,
+      hiL: String,
+      right: DataFrame,
+      loR: String,
+      hiR: String,
+      keys: Seq[String] = Nil,
+      bucketWidth: Long = 3600L * 1000000L,
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"left/right column sets must be disjoint apart from keys; shared: ${shared.mkString(",")}")
+    def exploded(df: DataFrame, lo: String, hi: String, startTag: String): DataFrame = {
+      val loB = expr(bucketExpr(lo, bucketWidth))
+      val hiB = expr(bucketExpr(hi, bucketWidth))
+      df.filter(col(hi) >= col(lo))
+        .withColumn(startTag, loB)
+        .withColumn("__bucket", explode(sequence(
+          when(hiB - loB >= maxBucketsPerInterval || hiB - loB < 0, raise_error(concat(
+            lit(s"RangeJoin: interval spans more than $maxBucketsPerInterval " +
+              s"buckets of width $bucketWidth (["),
+            col(lo), lit(", "), col(hi),
+            lit("]); widen bucketWidth or fix the interval")))).otherwise(loB),
+          hiB)))
+    }
+    exploded(left, loL, hiL, "__loBL")
+      .join(exploded(right, loR, hiR, "__loBR"), keys :+ "__bucket")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(col("__bucket") === greatest(col("__loBL"), col("__loBR")))
+      .drop("__bucket", "__loBL", "__loBR")
+  }
 }

@@ -55,4 +55,32 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid", "iid").as[(Long, Long)].collect().toSeq
     assert(rows == Seq((1L, 10L))) // u2's point is outside u2's interval
   }
+
+  test("intervalOverlap finds exactly the overlapping pairs, once each") {
+    val a = Seq((1L, 0L, 100L), (2L, 200L, 210L)).toDF("aid", "alo", "ahi")
+    val b = Seq(
+      (10L, 50L, 300L),   // overlaps BOTH a-intervals, spanning many buckets
+      (20L, 100L, 110L),  // touches a1 at exactly hi=100 (inclusive)
+      (30L, 101L, 150L),  // disjoint from a1, inside a2's gap
+      (40L, 400L, 500L))  // disjoint from everything
+      .toDF("bid", "blo", "bhi")
+    val rows = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi",
+        bucketWidth = 7L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq((1L, 10L), (1L, 20L), (2L, 10L)))
+  }
+
+  test("intervalOverlap handles negative axes and rejects shared columns") {
+    val a = Seq((1L, -50L, -10L)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, -20L, 5L), (20L, -200L, -60L)).toDF("bid", "blo", "bhi")
+    val rows = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi",
+        bucketWidth = 16L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 10L)))
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, "alo", "ahi",
+        Seq((1L, 1L, 2L)).toDF("aid", "blo", "bhi"), "blo", "bhi")
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
 }
