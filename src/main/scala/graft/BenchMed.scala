@@ -43,7 +43,8 @@ object BenchMed {
     "neardup_cluster_sizes", "ivf_balance", "subset_docs",
     "span_dedup", "contamination_spans", "kcore_docs", "quality_logit",
     "embedding_outliers", "quota_split", "ppl_buckets",
-    "nfc_normalize", "domain_gate", "image_phash")
+    "nfc_normalize", "domain_gate", "image_phash",
+    "asof_forward", "asof_nearest", "interval_overlap")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
