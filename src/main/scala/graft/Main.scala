@@ -18,7 +18,7 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service, YamlConfi
   *   # under <output>/_checkpoints/<topic>)
   * runMain graft.Main --curate --input docs.parquet --output out/ \
   *   [--keep-langs en,de] [--keep-best] [--block-terms w1,w2]
-  *   [--block-phrases "bad phrase,other phrase"]
+  *   [--block-phrases "bad phrase,other phrase"] [--span-grams 8]
   *   # corpus curation: cleanup -> quality gate -> exact + near dedup ->
   *   # deterministic split, written partitioned by split (no --config)
   * }}}
@@ -42,6 +42,7 @@ object Main {
     var blockTerms: Set[String] = Set.empty
     var blockPhrases: Set[String] = Set.empty
     var keepBest = false
+    var spanGrams: Option[Int] = None
     var interval: Option[Long] = None
     var cleanerInterval: Option[Long] = None
     var cleanerAgeMs: Option[Long] = None
@@ -74,6 +75,7 @@ object Main {
         case "--block-phrases" =>
           blockPhrases = value(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
           i += 2
+        case "--span-grams"       => spanGrams = Some(value(i + 1).toInt); i += 2
         case "--interval"         => interval = Some(value(i + 1).toLong); i += 2
         case "--cleaner-interval" => cleanerInterval = Some(value(i + 1).toLong); i += 2
         case "--cleaner-age-ms"   => cleanerAgeMs = Some(value(i + 1).toLong); i += 2
@@ -95,6 +97,10 @@ object Main {
       System.err.println("--block-terms/--block-phrases only apply to --curate mode")
       sys.exit(2)
     }
+    if (spanGrams.nonEmpty && !curate) {
+      System.err.println("--span-grams only applies to --curate mode")
+      sys.exit(2)
+    }
     if (curate) {
       val (in, out) = (input, output) match {
         case (Some(a), Some(b)) => (a, b)
@@ -103,7 +109,8 @@ object Main {
           sys.exit(2); throw new IllegalStateException
       }
       val spark = Sessions.build("graft-curate")
-      val n = runCurate(spark, in, out, keepLangs, keepBest, blockTerms, blockPhrases)
+      val n = runCurate(spark, in, out, keepLangs, keepBest, blockTerms, blockPhrases,
+        spanGrams)
       println(s"[graft] curated $n docs -> $out")
       spark.stop()
       return
@@ -197,12 +204,14 @@ object Main {
       keepLangs: Set[String] = Set.empty,
       keepBest: Boolean = false,
       blockTerms: Set[String] = Set.empty,
-      blockPhrases: Set[String] = Set.empty): Long = {
+      blockPhrases: Set[String] = Set.empty,
+      spanGrams: Option[Int] = None): Long = {
     val curated = pipelines.CorpusPipeline
       .curate(spark.read.parquet(in), "doc_id", "text",
         pipelines.CorpusPipeline.Config(
           keepLangs = keepLangs, keepBestInCluster = keepBest,
-          blockTerms = blockTerms, blockPhrases = blockPhrases))
+          blockTerms = blockTerms, blockPhrases = blockPhrases,
+          spanDedupGrams = spanGrams))
     // rebalance on the partition column before the dynamic-partition write —
     // same tiny-file fix as Restructure.write (without it every task writes
     // to every split directory)

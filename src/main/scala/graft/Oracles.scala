@@ -406,7 +406,10 @@ object Oracles {
     * per duplicate component (corpus_curate) or keep-best-by-ensemble-score
     * (corpus_curate_best, ties to the smaller id), mirroring
     * [[graft.pipelines.CorpusPipeline.nearDedup]] / `nearDedupBest`. */
-  private def curateSql(keepBest: Boolean): String = {
+  private def curateSql(
+      keepBest: Boolean,
+      spanGrams: Option[Int] = None,
+      nearDupMinBp: Long = 9000L): String = {
     val scores = Text.LangMarkers.zipWithIndex.map { case ((_, ws), i) =>
       s"len(list_filter(${tokensOf("clean_text")}, w -> w IN ${inList(ws)})) AS s$i"
     }.mkString(", ")
@@ -477,7 +480,7 @@ object Oracles {
        |   len(list_intersect(sa.st, sb.st)) AS inter,
        |   len(sa.st) + len(sb.st) AS szsum
        |  FROM cand JOIN sets2 sa ON id_1 = sa.doc_id JOIN sets2 sb ON id_2 = sb.doc_id)
-       | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= 9000),
+       | WHERE CAST(floor(inter * 10000.0 / (szsum - inter)) AS BIGINT) >= $nearDupMinBp),
        |nedges AS (SELECT id_1 AS u, id_2 AS v FROM npairs
        |           UNION SELECT id_2, id_1 FROM npairs),
        |reach(node, lab) AS (
@@ -485,12 +488,42 @@ object Oracles {
        |  UNION
        |  SELECT e.u, r.lab FROM nedges e JOIN reach r ON r.node = e.v),
        |$finisher,
-       |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+       |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |${spanStageSql(spanGrams)}
        |SELECT doc_id, clean_text, n_tokens, pred_lang,
        | CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
        |      WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
        |      ELSE 'test' END AS split
-       |FROM fin ORDER BY doc_id""".stripMargin
+       |FROM fin2 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Optional position-level span-dedup stage between the doc-dedup
+    * survivors (`fin`) and the split — mirrors the spanDedupGrams stage of
+    * [[graft.pipelines.CorpusPipeline.curate]]: n_tokens becomes the KEPT
+    * count and the minTokens gate re-applies. Identity when disabled. */
+  private def spanStageSql(spanGrams: Option[Int]): String = spanGrams match {
+    case None => "fin2 AS (SELECT * FROM fin)"
+    case Some(k) =>
+      s"""sp_tk AS (SELECT doc_id, ${tokensOf("clean_text")} AS tk FROM fin),
+         |sp_g AS (SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
+         |  array_to_string(list_slice(tk, t.p + 1, t.p + $k), ' ') AS gram
+         | FROM sp_tk, UNNEST(range(len(tk) - ${k - 1})) AS t(p) WHERE len(tk) >= $k),
+         |sp_red AS (SELECT doc_id, pos FROM (
+         |  SELECT doc_id, pos,
+         |   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |  FROM sp_g) WHERE rn > 1),
+         |sp_cov AS (SELECT DISTINCT doc_id, pos + u.i AS cpos
+         | FROM sp_red, UNNEST(range($k)) AS u(i)),
+         |sp_toks AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, tk[t.i + 1] AS tok
+         | FROM sp_tk, UNNEST(range(len(tk))) AS t(i)),
+         |sp AS (SELECT t.doc_id,
+         |  COALESCE(string_agg(tok, ' ' ORDER BY t.pos) FILTER (WHERE c.cpos IS NULL), '')
+         |   AS clean_text,
+         |  CAST(SUM(CASE WHEN c.cpos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens
+         | FROM sp_toks t LEFT JOIN sp_cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+         | GROUP BY t.doc_id),
+         |fin2 AS (SELECT f.doc_id, s.clean_text, s.n_tokens, f.pred_lang
+         | FROM fin f JOIN sp s ON f.doc_id = s.doc_id WHERE s.n_tokens >= 5)""".stripMargin
   }
 
   /** DSIR importance-scoring chain (dsir_weights and dsir_resample);
@@ -1080,6 +1113,11 @@ object Oracles {
 
     "corpus_curate" -> curateSql(keepBest = false),
     "corpus_curate_best" -> curateSql(keepBest = true),
+    // doc-level near-dedup disabled (threshold above the 10000bp ceiling)
+    // so near-identical docs survive into the span stage and the
+    // position-level excision does the dedup work — trim, don't drop
+    "corpus_curate_span" ->
+      curateSql(keepBest = false, spanGrams = Some(4), nearDupMinBp = 10001L),
 
     "lang_id" -> {
       val scores = Text.LangMarkers.zipWithIndex.map { case ((_, ws), i) =>

@@ -913,6 +913,25 @@ object Queries {
     graft.pipelines.CorpusPipeline.curate(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The full curation pipeline with the position-level span-dedup stage
+    * enabled (`--span-grams 4` on the CLI): repeated >= 4-token spans
+    * excised corpus-wide after doc-level dedup, n_tokens re-counted over
+    * the survivors, minTokens re-gated. The short anchor makes this the
+    * boilerplate-clause excision setting — 1,348 positions across 211 of
+    * 476 surviving docs are live at sf0.01, so the oracle pins real
+    * excision work, not an identity pass. Doc-level near-dedup is DISABLED
+    * in this configuration (threshold above the 10000bp ceiling):
+    * near-identical docs stay, and the span stage removes their shared
+    * passages instead of dropping whole documents — the "trim, don't
+    * drop" recipe that preserves each copy's unique tail. The DuckDB
+    * oracle splices the span CTEs between the (empty) near-dedup
+    * finisher and the split. */
+  def corpusCurateSpan(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CorpusPipeline.curate(t(s, dir, "documents"), "doc_id", "text",
+        graft.pipelines.CorpusPipeline.Config(
+          nearDupMinBp = 10001L, spanDedupGrams = Some(4)))
+      .orderBy(col("doc_id"))
+
   /** The same end-to-end curation but with the keep-best-in-cluster
     * finisher (`--keep-best` on the CLI): each near-dup component keeps its
     * highest quality-ensemble scorer instead of its smallest id. Same
@@ -2765,6 +2784,7 @@ object Queries {
     "corpus_report" -> corpusReport _,
     "corpus_curate" -> corpusCurate _,
     "corpus_curate_best" -> corpusCurateBest _,
+    "corpus_curate_span" -> corpusCurateSpan _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
     "simhash16" -> simhash16 _,

@@ -31,6 +31,7 @@ object CorpusPipeline {
       blockPhrases: Set[String] = Set.empty, // drop docs containing any (substring match)
       nearDupMinBp: Long = 9000L, // near-dup Jaccard threshold
       keepBestInCluster: Boolean = false, // near-dup keeps max-quality, not min-id
+      spanDedupGrams: Option[Int] = None, // position-level span dedup anchor width
       trainPct: Int = 80,
       valPct: Int = 10)
 
@@ -179,7 +180,24 @@ object CorpusPipeline {
     val near =
       if (cfg.keepBestInCluster) nearDedupBest(exact, idCol, "clean_text", cfg.nearDupMinBp)
       else nearDedup(exact, idCol, "clean_text", cfg.nearDupMinBp)
-    withSplit(near, idCol, cfg)
+    // optional position-level span dedup (the ExactSubstr pass) over the
+    // doc-dedup survivors: repeated spans >= k tokens keep one corpus-wide
+    // occurrence, documents are re-assembled, n_tokens becomes the KEPT
+    // count, and the minTokens gate re-applies (a doc emptied by span
+    // removal must not survive on its pre-dedup token count)
+    val span = cfg.spanDedupGrams match {
+      case Some(k) =>
+        val sd = graft.text.SpanDedup.dedupSpans(near, idCol, "clean_text", k)
+          .select(col(idCol), col("dedup_text"),
+            (col("n_tokens") - col("n_removed")).as("__kept"))
+        near.drop("clean_text", "n_tokens")
+          .join(sd, Seq(idCol))
+          .withColumnRenamed("dedup_text", "clean_text")
+          .withColumnRenamed("__kept", "n_tokens")
+          .filter(col("n_tokens") >= cfg.minTokens)
+      case None => near
+    }
+    withSplit(span, idCol, cfg)
       .select(col(idCol), col("clean_text"), col("n_tokens"), col("pred_lang"), col("split"))
   }
 }

@@ -96,4 +96,25 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(out == Seq(7L, 8L))
   }
+
+  test("span-dedup stage excises repeated spans and re-gates minTokens") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = Seq(
+      (1L, s"$span india juliett kilo lima mike november"), // owns the span
+      (2L, s"oscar papa quebec romeo sierra tango $span"),  // span repeats -> excised
+      (3L, s"$span victor"))                                // emptied below minTokens
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(d, "doc_id", "text",
+        CorpusPipeline.Config(spanDedupGrams = Some(4)))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // doc 2 keeps only its own prefix; doc 3 shrinks to 1 token and drops
+    assert(out == Seq(
+      (1L, s"$span india juliett kilo lima mike november", 14L),
+      (2L, "oscar papa quebec romeo sierra tango", 6L)))
+    // without the stage, all three survive intact
+    val plain = CorpusPipeline.curate(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+  }
 }
