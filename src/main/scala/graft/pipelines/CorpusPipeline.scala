@@ -177,8 +177,13 @@ object CorpusPipeline {
     val annotated = annotate(df, textCol).repartition(col(idCol))
     val filtered = qualityFilter(annotated, idCol, cfg)
     val exact = exactDedup(filtered, idCol)
+    // Jaccard is capped at 10000bp, so a threshold above it disables
+    // doc-level near-dedup; skip the whole LSH pipeline rather than
+    // building signatures and bands whose pairs all fail verification
+    // (the span-stage "trim, don't drop" recipe runs this way)
     val near =
-      if (cfg.keepBestInCluster) nearDedupBest(exact, idCol, "clean_text", cfg.nearDupMinBp)
+      if (cfg.nearDupMinBp > 10000L) exact
+      else if (cfg.keepBestInCluster) nearDedupBest(exact, idCol, "clean_text", cfg.nearDupMinBp)
       else nearDedup(exact, idCol, "clean_text", cfg.nearDupMinBp)
     // optional position-level span dedup (the ExactSubstr pass) over the
     // doc-dedup survivors: repeated spans >= k tokens keep one corpus-wide
