@@ -1250,6 +1250,26 @@ object Oracles {
          | cum_before % 512 AS pack_offset
          |FROM c ORDER BY split, shard, doc_id""".stripMargin,
 
+    // per-pack manifest: doc count, token mass, ordered segment lengths
+    "pack_manifest" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |       WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id % 64 AS shard
+         | FROM documents),
+         |c AS (SELECT doc_id, split, shard, n_tokens,
+         |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         | FROM d)
+         |SELECT split, shard, cum_before // 512 AS pack_id,
+         | COUNT(*) AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         | string_agg(CAST(n_tokens AS VARCHAR), ',' ORDER BY doc_id) AS segments
+         |FROM c GROUP BY split, shard, pack_id
+         |ORDER BY split, shard, pack_id""".stripMargin,
+
     // integer-exact rational tf-idf: floor(tf*N*10000 / (df*len)); `//` is
     // DuckDB integer division, SUM cast back from HUGEINT
     "tfidf_top_terms" ->

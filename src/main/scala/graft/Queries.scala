@@ -1462,6 +1462,24 @@ object Queries {
       .orderBy(col("split"), col("shard"), col("doc_id"))
   }
 
+  /** The per-pack manifest a dataloader consumes: for every (split,
+    * shard, pack) of `token_pack`, the doc count, token mass, and the
+    * ordered comma-joined segment lengths (the attention-mask boundary
+    * list — a packed window must not attend across document joints). One
+    * aggregate over the packing window's output; collapses to O(packs)
+    * rows, so the manifest is metadata-sized at any corpus scale. */
+  def packManifest(s: SparkSession, dir: String): DataFrame =
+    tokenPack(s, dir)
+      .groupBy(col("split"), col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(doc_id, n_tokens))), " +
+            "x -> cast(x.n_tokens as string))"),
+          ",").as("segments"))
+      .orderBy(col("split"), col("shard"), col("pack_id"))
+
   /** TF-IDF-style salient terms, integer-exact: score = tf/len * N/df as
     * the rational floor(tf*N*10000 / (df*len)) so both engines agree
     * bit-for-bit (a log-idf would hang the oracle on libm rounding).
@@ -2843,6 +2861,7 @@ object Queries {
     "asof_forward" -> asofForward _,
     "asof_nearest" -> asofNearest _,
     "interval_overlap" -> intervalOverlapSessions _,
+    "pack_manifest" -> packManifest _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
