@@ -1653,6 +1653,51 @@ object Oracles {
          |FROM alive4 GROUP BY u ORDER BY doc_id""".stripMargin
     },
 
+    // the one-table dedup audit: every method's removal mass side by side
+    "dedup_report" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes,
+         |near_r AS (SELECT 'near_lsh' AS method,
+         |  CAST(COUNT(*) FILTER (WHERE doc_id <> component) AS BIGINT) AS docs_affected,
+         |  CAST(COUNT(*) FILTER (WHERE doc_id <> component) AS BIGINT) AS units_removed,
+         |  'docs' AS unit FROM comp),
+         |ex_r AS (SELECT 'exact' AS method,
+         |  CAST(SUM(n_dups - 1) AS BIGINT) AS docs_affected,
+         |  CAST(SUM(n_dups - 1) AS BIGINT) AS units_removed,
+         |  'docs' AS unit FROM (
+         |   SELECT COUNT(*) AS n_dups FROM documents GROUP BY text)),
+         |ch_tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |ch_idx AS (SELECT doc_id, tk, unnest(range(((len(tk) - 1) // 32) + 1)) AS ci
+         | FROM ch_tk),
+         |ch AS (SELECT doc_id, ci,
+         |  array_to_string(list_slice(tk, ci * 32 + 1, ci * 32 + 32), ' ') AS chunk
+         | FROM ch_idx),
+         |ch_f AS (SELECT doc_id,
+         |  (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) = 1) AS keep
+         | FROM ch),
+         |ch_d AS (SELECT doc_id, COUNT(*) AS n_chunks,
+         |  SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept FROM ch_f GROUP BY doc_id),
+         |ch_r AS (SELECT 'chunk32' AS method,
+         |  CAST(SUM(CASE WHEN n_kept < n_chunks THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS docs_affected,
+         |  CAST(SUM(n_chunks - n_kept) AS BIGINT) AS units_removed,
+         |  'chunks' AS unit FROM ch_d),
+         |sp_g AS (SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
+         |  array_to_string(list_slice(tk, t.p + 1, t.p + 8), ' ') AS gram
+         | FROM ch_tk, UNNEST(range(len(tk) - 7)) AS t(p) WHERE len(tk) >= 8),
+         |sp_red AS (SELECT doc_id, pos FROM (
+         |  SELECT doc_id, pos,
+         |   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |  FROM sp_g) WHERE rn > 1),
+         |sp_cov AS (SELECT DISTINCT doc_id, pos + u.i AS cpos
+         | FROM sp_red, UNNEST(range(8)) AS u(i)),
+         |sp_r AS (SELECT 'span8' AS method,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+         |  CAST(COUNT(*) AS BIGINT) AS units_removed,
+         |  'tokens' AS unit FROM sp_cov)
+         |SELECT * FROM ex_r UNION ALL SELECT * FROM near_r
+         |UNION ALL SELECT * FROM ch_r UNION ALL SELECT * FROM sp_r
+         |ORDER BY method""".stripMargin,
+
     "neardup_cluster_sizes" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, $componentCtes,
          |csz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz

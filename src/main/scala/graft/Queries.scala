@@ -1688,6 +1688,45 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The one-table dedup audit a data team reads before a training run:
+    * every dedup method's removal mass side by side — whole-doc exact
+    * (fingerprint group), whole-doc near (LSH components at 5000bp),
+    * chunk-level (32-token frames), and position-level span (8-token
+    * anchors) — as (method, docs_affected, units_removed, unit). Each leg
+    * rides its existing backbone and collapses to one row, so the report
+    * costs the union of the passes it summarizes and nothing more. */
+  def dedupReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val exact = Dedup.exactGroups(docs, Seq("text"), "doc_id")
+      .agg(sum(col("n_dups") - 1).as("docs_affected"),
+        sum(col("n_dups") - 1).as("units_removed"))
+      .select(lit("exact").as("method"), col("docs_affected"),
+        col("units_removed"), lit("docs").as("unit"))
+    val near = {
+      val pairs = MinHash.nearDuplicates(docs, "doc_id", "text",
+        minBp = 5000L, native = true)
+      ConnectedComponents.run(pairs, "id_1", "id_2")
+        .filter(col("node") =!= col("component"))
+        .agg(count(lit(1)).as("docs_affected"), count(lit(1)).as("units_removed"))
+        .select(lit("near_lsh").as("method"), col("docs_affected"),
+          col("units_removed"), lit("docs").as("unit"))
+    }
+    val chunk = ChunkDedup.dedupChunks(docs, "doc_id", "text", chunkTokens = 32)
+      .agg(
+        sum(when(col("n_kept") < col("n_chunks"), 1L).otherwise(0L)).as("docs_affected"),
+        sum(col("n_chunks") - col("n_kept")).as("units_removed"))
+      .select(lit("chunk32").as("method"), col("docs_affected"),
+        col("units_removed"), lit("chunks").as("unit"))
+    val span = SpanDedup.dedupSpans(docs, "doc_id", "text", gramTokens = 8)
+      .agg(
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs_affected"),
+        sum(col("n_removed")).as("units_removed"))
+      .select(lit("span8").as("method"), col("docs_affected"),
+        col("units_removed"), lit("tokens").as("unit"))
+    exact.unionByName(near).unionByName(chunk).unionByName(span)
+      .orderBy(col("method"))
+  }
+
   /** Near-dup cluster size histogram — the one-table summary every dedup
     * report leads with: how many clusters of each size the jaccard >=
     * 5000bp graph contains (size 2 = simple pairs, the tail = mirror
@@ -2862,6 +2901,7 @@ object Queries {
     "asof_nearest" -> asofNearest _,
     "interval_overlap" -> intervalOverlapSessions _,
     "pack_manifest" -> packManifest _,
+    "dedup_report" -> dedupReport _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,
