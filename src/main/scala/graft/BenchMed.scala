@@ -44,7 +44,8 @@ object BenchMed {
     "span_dedup", "contamination_spans", "kcore_docs", "quality_logit",
     "embedding_outliers", "quota_split", "ppl_buckets",
     "nfc_normalize", "domain_gate", "image_phash",
-    "asof_forward", "asof_nearest", "interval_overlap", "corpus_curate_span")
+    "asof_forward", "asof_nearest", "interval_overlap", "corpus_curate_span",
+    "pack_manifest", "dedup_report")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
