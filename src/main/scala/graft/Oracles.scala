@@ -2130,6 +2130,27 @@ object Oracles {
         |FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    // cross-corpus span excision vs the src0 reference: batch positions
+    // inside an 8-gram the reference contains are removed, docs re-assembled
+    "span_excise_ref" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (SELECT doc_id, source, CAST(t.p AS BIGINT) AS pos,
+        |  array_to_string(list_slice(tk, t.p + 1, t.p + 8), ' ') AS gram
+        | FROM tk, UNNEST(range(len(tk) - 7)) AS t(p) WHERE len(tk) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+        |hit AS (SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (gram)
+        | WHERE g.source <> 'src0'),
+        |covered AS (SELECT DISTINCT doc_id, pos + u.i AS cpos
+        | FROM hit, UNNEST(range(8)) AS u(i)),
+        |toks AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, tk[t.i + 1] AS tok
+        | FROM tk, UNNEST(range(len(tk))) AS t(i) WHERE source <> 'src0')
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(CASE WHEN c.cpos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        | COALESCE(string_agg(tok, ' ' ORDER BY t.pos) FILTER (WHERE c.cpos IS NULL), '')
+        |  AS dedup_text
+        |FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     // span-level decontamination vs the src0 pseudo-benchmark: per training
     // doc, token positions inside an 8-gram the benchmark also contains
     "contamination_spans" ->

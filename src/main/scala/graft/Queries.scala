@@ -1599,6 +1599,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus span excision (see [[SpanDedup.exciseAgainst]]): every
+    * batch token position inside an 8-gram the reference corpus (src0)
+    * already contains is removed — the crawl-refresh "don't re-ingest
+    * passages the curated corpus has" pass, span-granular where
+    * incremental_dedup drops whole documents. The reference contributes
+    * only its distinct gram set (persistable via saveGrams/loadGrams,
+    * broadcast-able when the reference is an eval-suite-sized corpus). */
+  def spanExciseRef(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    SpanDedup.exciseAgainst(
+        docs.filter(col("source") =!= "src0"),
+        SpanDedup.referenceGrams(
+          docs.filter(col("source") === "src0"), "doc_id", "text", gramTokens = 8),
+        "doc_id", "text", gramTokens = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** 2-core of the near-dup graph (see [[KCore.run]]): peel degree-<2
     * nodes for 4 rounds; what survives is the dense center — template
     * families and mirror farms — with each member's within-core degree.
@@ -2902,6 +2919,7 @@ object Queries {
     "interval_overlap" -> intervalOverlapSessions _,
     "pack_manifest" -> packManifest _,
     "dedup_report" -> dedupReport _,
+    "span_excise_ref" -> spanExciseRef _,
     "cdc_chunks" -> cdcChunks _,
     "range_join" -> rangeJoinSessions _,
     "unigram_surprisal" -> unigramSurprisal _,

@@ -87,6 +87,84 @@ object SpanDedup {
           " ").as("dedup_text"))
   }
 
+  /** The distinct k-gram set of a reference corpus — the persistable
+    * state [[exciseAgainst]] needs. A production crawl-refresh computes
+    * this ONCE from the curated corpus (saveGrams/loadGrams round-trips
+    * it as parquet) and excises every new batch against it without ever
+    * re-reading reference text — the span-level sibling of
+    * [[graft.dedup.Incremental.Index]]. */
+  def referenceGrams(
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8): DataFrame = {
+    require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
+    val k = gramTokens
+    ref
+      .select(split(col(textCol), " ").as("__tk"))
+      .where(size(col("__tk")) >= k)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(__tk) - $k),
+           | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
+        .as("__gram"))
+      .distinct()
+  }
+
+  def saveGrams(grams: DataFrame, path: String): Unit =
+    grams.write.mode("overwrite").parquet(path)
+
+  def loadGrams(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Cross-corpus span excision: remove from each batch document every
+    * token position inside a k-gram the REFERENCE corpus contains —
+    * "don't re-ingest passages the curated corpus already has", applied
+    * at span granularity where [[graft.dedup.Incremental]] drops whole
+    * near-duplicate documents. Within-batch repeats are untouched (run
+    * [[dedupSpans]] for those); the reference side contributes only its
+    * gram set, so refreshes never read reference text. Same output
+    * schema and physical shape as [[dedupSpans]], with the keep-first
+    * window replaced by one join against the (distinct, persistable,
+    * often broadcast-able) reference gram set. */
+  def exciseAgainst(
+      docs: DataFrame,
+      refGrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8): DataFrame = {
+    require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
+    val k = gramTokens
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val grams = docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
+      .where(size(col("__tk")) >= k)
+      .select(col("__id"), posexplode(expr(
+        s"""transform(sequence(0, size(__tk) - $k),
+           | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
+        .as(Seq("__p", "__gram")))
+    val covered = grams
+      .join(refGrams.select(col("__gram")).distinct(), Seq("__gram"))
+      .select(col("__id"),
+        explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cpos"))
+      .distinct()
+    toks
+      .join(covered,
+        toks("__id") === covered("__id") && toks("__pos") === covered("__cpos"),
+        "left")
+      .select(toks("__id"), col("__pos"), col("__tok"),
+        col("__cpos").isNull.as("__keep"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(
+          expr("transform(array_sort(filter(collect_list(struct(__pos, __tok, __keep)), " +
+            "x -> x.__keep)), x -> x.__tok)"),
+          " ").as("dedup_text"))
+  }
+
   /** Span-level contamination report against a benchmark set: for every
     * candidate training document, how many of its token positions sit
     * inside a k-gram that also occurs in `bench` — the span-granular

@@ -58,6 +58,31 @@ class SpanDedupSpec extends SparkSpec {
     assert(exact == hashed)
   }
 
+  test("exciseAgainst removes only reference-matched spans; persisted grams round-trip") {
+    val ref = Seq((100L, "m n o p q")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "z z m n o p q z"),    // ref anchors cover "m n o p q" -> excised
+      (2L, "w x w x w x w x"))    // batch-internal repeat, NOT ref-matched
+      .toDF("doc_id", "text")
+    val grams = SpanDedup.referenceGrams(ref, "doc_id", "text", gramTokens = 4)
+    val out = SpanDedup.exciseAgainst(docs, grams, "doc_id", "text", gramTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 loses the 5 ref positions; doc 2 keeps its internal repeats —
+    // exciseAgainst is cross-corpus only (dedupSpans handles within-batch)
+    assert(out == Seq(
+      (1L, 8L, 5L, "z z z"),
+      (2L, 8L, 0L, "w x w x w x w x")))
+    // the gram set survives a parquet round-trip unchanged
+    val dir = java.nio.file.Files.createTempDirectory("grams").toString + "/g"
+    SpanDedup.saveGrams(grams, dir)
+    val reloaded = SpanDedup.loadGrams(spark, dir)
+    val out2 = SpanDedup.exciseAgainst(docs, reloaded, "doc_id", "text", gramTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out2 == out)
+  }
+
   test("contamination spans count covered positions against a benchmark") {
     val bench = Seq((100L, "m n o p q")).toDF("doc_id", "text")
     val docs = Seq(
