@@ -45,7 +45,7 @@ object BenchMed {
     "embedding_outliers", "quota_split", "ppl_buckets",
     "nfc_normalize", "domain_gate", "image_phash",
     "asof_forward", "asof_nearest", "interval_overlap", "corpus_curate_span",
-    "pack_manifest", "dedup_report")
+    "pack_manifest", "dedup_report", "span_excise_ref")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
