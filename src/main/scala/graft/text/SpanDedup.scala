@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,34 +40,29 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Per-document span-dedup summary: (idCol, n_tokens, n_removed,
-    * dedup_text). `dedup_text` is the space-joined surviving tokens
-    * (empty string when every token sat inside a repeated span seen
-    * earlier in the corpus). Documents shorter than `gramTokens` carry no
-    * anchors and pass through untouched. */
-  def dedupSpans(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      gramTokens: Int = 8,
-      hashGrams: Boolean = false): DataFrame = {
-    require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
-    val k = gramTokens
-    val toks = docs
-      .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
-    val grams = docs
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
+  /** (__id, __p, __gram): every k-token anchor of every document, with its
+    * start position. Documents shorter than k contribute nothing. */
+  private def gramsOf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
       .where(size(col("__tk")) >= k)
       .select(col("__id"), posexplode(expr(
         s"""transform(sequence(0, size(__tk) - $k),
            | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
         .as(Seq("__p", "__gram")))
-    val gramKey = if (hashGrams) xxhash64(col("__gram")) else col("__gram")
-    val w = Window.partitionBy(gramKey).orderBy(col("__id"), col("__p"))
-    val covered = grams
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") > 1)
+
+  /** Expand redundant gram starts to their k covered positions and remove
+    * them: per-document summary (idCol, n_tokens, n_removed, dedup_text)
+    * with the survivors re-joined in original order. */
+  private def excise(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      redundant: DataFrame, // (__id, __p) gram starts to remove
+      k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val covered = redundant
       .select(col("__id"),
         explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cpos"))
       .distinct()
@@ -87,6 +82,28 @@ object SpanDedup {
           " ").as("dedup_text"))
   }
 
+  /** Per-document span-dedup summary: (idCol, n_tokens, n_removed,
+    * dedup_text). `dedup_text` is the space-joined surviving tokens
+    * (empty string when every token sat inside a repeated span seen
+    * earlier in the corpus). Documents shorter than `gramTokens` carry no
+    * anchors and pass through untouched. */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8,
+      hashGrams: Boolean = false): DataFrame = {
+    require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
+    val grams = gramsOf(docs, idCol, textCol, gramTokens)
+    val gramKey = if (hashGrams) xxhash64(col("__gram")) else col("__gram")
+    val w = Window.partitionBy(gramKey).orderBy(col("__id"), col("__p"))
+    val redundant = grams
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col("__id"), col("__p"))
+    excise(docs, idCol, textCol, redundant, gramTokens)
+  }
+
   /** The distinct k-gram set of a reference corpus — the persistable
     * state [[exciseAgainst]] needs. A production crawl-refresh computes
     * this ONCE from the curated corpus (saveGrams/loadGrams round-trips
@@ -99,21 +116,13 @@ object SpanDedup {
       textCol: String,
       gramTokens: Int = 8): DataFrame = {
     require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
-    val k = gramTokens
-    ref
-      .select(split(col(textCol), " ").as("__tk"))
-      .where(size(col("__tk")) >= k)
-      .select(explode(expr(
-        s"""transform(sequence(0, size(__tk) - $k),
-           | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
-        .as("__gram"))
-      .distinct()
+    gramsOf(ref, idCol, textCol, gramTokens).select(col("__gram")).distinct()
   }
 
   def saveGrams(grams: DataFrame, path: String): Unit =
     grams.write.mode("overwrite").parquet(path)
 
-  def loadGrams(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  def loadGrams(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
   /** Cross-corpus span excision: remove from each batch document every
@@ -133,36 +142,10 @@ object SpanDedup {
       textCol: String,
       gramTokens: Int = 8): DataFrame = {
     require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
-    val k = gramTokens
-    val toks = docs
-      .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
-    val grams = docs
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
-      .where(size(col("__tk")) >= k)
-      .select(col("__id"), posexplode(expr(
-        s"""transform(sequence(0, size(__tk) - $k),
-           | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
-        .as(Seq("__p", "__gram")))
-    val covered = grams
+    val redundant = gramsOf(docs, idCol, textCol, gramTokens)
       .join(refGrams.select(col("__gram")).distinct(), Seq("__gram"))
-      .select(col("__id"),
-        explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cpos"))
-      .distinct()
-    toks
-      .join(covered,
-        toks("__id") === covered("__id") && toks("__pos") === covered("__cpos"),
-        "left")
-      .select(toks("__id"), col("__pos"), col("__tok"),
-        col("__cpos").isNull.as("__keep"))
-      .groupBy(col("__id").as(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
-        array_join(
-          expr("transform(array_sort(filter(collect_list(struct(__pos, __tok, __keep)), " +
-            "x -> x.__keep)), x -> x.__tok)"),
-          " ").as("dedup_text"))
+      .select(col("__id"), col("__p"))
+    excise(docs, idCol, textCol, redundant, gramTokens)
   }
 
   /** Span-level contamination report against a benchmark set: for every
@@ -185,15 +168,8 @@ object SpanDedup {
       gramTokens: Int = 8): DataFrame = {
     require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
     val k = gramTokens
-    def gramsOf(df: DataFrame) = df
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
-      .where(size(col("__tk")) >= k)
-      .select(col("__id"), posexplode(expr(
-        s"""transform(sequence(0, size(__tk) - $k),
-           | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
-        .as(Seq("__p", "__gram")))
-    val benchGrams = gramsOf(bench).select(col("__gram")).distinct()
-    val covered = gramsOf(docs)
+    val benchGrams = referenceGrams(bench, idCol, textCol, k)
+    val covered = gramsOf(docs, idCol, textCol, k)
       .join(benchGrams, Seq("__gram"))
       .select(col("__id"),
         explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cpos"))
