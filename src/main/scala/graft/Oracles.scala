@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import graft.text.{Hashing, Text}
 
 /** DuckDB oracle SQL twins for every query in [[Queries.all]].
@@ -2130,6 +2132,29 @@ object Oracles {
         |FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    // boilerplate-capped span dedup: keep-first semantics, except grams
+    // occurring more than SpanGramMaxOcc (= 2) times lose every occurrence
+    "span_dedup_capped" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
+        |  array_to_string(list_slice(tk, t.p + 1, t.p + 8), ' ') AS gram
+        | FROM tk, UNNEST(range(len(tk) - 7)) AS t(p) WHERE len(tk) >= 8),
+        |red AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos,
+        |   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |   COUNT(*) OVER (PARTITION BY gram) AS occ
+        |  FROM grams) WHERE occ > 2 OR rn > 1),
+        |covered AS (SELECT DISTINCT doc_id, pos + u.i AS cpos
+        | FROM red, UNNEST(range(8)) AS u(i)),
+        |toks AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, tk[t.i + 1] AS tok
+        | FROM tk, UNNEST(range(len(tk))) AS t(i))
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(CASE WHEN c.cpos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        | COALESCE(string_agg(tok, ' ' ORDER BY t.pos) FILTER (WHERE c.cpos IS NULL), '')
+        |  AS dedup_text
+        |FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     // cross-corpus span excision vs the src0 reference: batch positions
     // inside an 8-gram the reference contains are removed, docs re-assembled
     "span_excise_ref" ->
@@ -2514,4 +2539,8 @@ object Oracles {
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin)
+    // the hashed-gram production path is result-identical to the exact-text
+    // path (collision-free at testdata scale; equality also spec-pinned in
+    // SpanDedupSpec), so it shares span_dedup's oracle verbatim
+    .pipe(m => m + ("span_dedup_hashed" -> m("span_dedup")))
 }

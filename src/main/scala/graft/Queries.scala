@@ -1637,8 +1637,12 @@ object Queries {
     * surfaces mislabeled or garbage members of an otherwise-tight
     * cluster. */
   def embeddingOutliers(s: SparkSession, dir: String): DataFrame =
-    Outliers.byCentroid(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
-        topK = 3)
+    // label is int in the parquet; the long cast happens HERE (the oracle
+    // emits BIGINT), not inside byCentroid, which now preserves the group
+    // column's own type so string groups (source, language) work
+    Outliers.byCentroid(
+        t(s, dir, "embeddings").withColumn("label", col("label").cast("long")),
+        "vec_id", "embedding", "label", topK = 3)
       .orderBy(col("vec_id"))
 
   /** Quota-based stratified split: exactly 5 eval docs per source, chosen
@@ -2615,6 +2619,34 @@ object Queries {
     SpanDedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", gramTokens = 8)
       .orderBy(col("doc_id"))
 
+  /** A gram occurring more than this many times corpus-wide is boilerplate:
+    * [[spanDedupCapped]] excises ALL its occurrences, first included. The
+    * production knob mirrors [[NgramMaxDf]] for the shingle-join family;
+    * 2 is deliberately low so the testdata exercises the gate (71 grams at
+    * sf0.01 exceed it) while keep-first still governs the rest. */
+  val SpanGramMaxOcc = 2L
+
+  /** Boilerplate-capped span dedup: same keep-first semantics as
+    * [[spanDedup]] for ordinary grams, but a gram seen more than
+    * [[SpanGramMaxOcc]] times corpus-wide is template text and every
+    * occurrence is excised. At 100 TB this is also the skew release valve —
+    * the hot gram collapses in the map-side-combined occurrence count and
+    * never rides the join as a keep-first candidate. */
+  def spanDedupCapped(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", gramTokens = 8,
+        maxGramDf = SpanGramMaxOcc)
+      .orderBy(col("doc_id"))
+
+  /** The production span-dedup path: keep-first keyed by xxhash64 of the
+    * gram instead of the gram text, so the keep-first exchange ships 8
+    * bytes per anchor instead of the ~8-token gram string. Result-identical
+    * to [[spanDedup]] (same oracle; a 64-bit collision at corpus scale
+    * costs one extra excised span, not a wrong pipeline). */
+  def spanDedupHashed(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", gramTokens = 8,
+        hashGrams = true)
+      .orderBy(col("doc_id"))
+
   /** Span-level decontamination (see [[SpanDedup.contaminationSpans]]):
     * src0 documents stand in for the benchmark; per training document, the
     * count of token positions inside an 8-gram the benchmark also
@@ -2905,6 +2937,8 @@ object Queries {
     "semantic_dedup" -> semanticDedup _,
     "chunk_dedup" -> chunkDedup _,
     "span_dedup" -> spanDedup _,
+    "span_dedup_capped" -> spanDedupCapped _,
+    "span_dedup_hashed" -> spanDedupHashed _,
     "contamination_spans" -> contaminationSpans _,
     "kcore_docs" -> kcoreDocs _,
     "quality_logit" -> qualityLogit _,

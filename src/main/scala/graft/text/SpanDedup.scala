@@ -1,8 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Position-level exact substring deduplication ("ExactSubstr"): every
   * maximal repeated token span of length >= `gramTokens` keeps only its
@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * the reference formulation makes.
   *
   * Physical shape: one posexplode for grams (narrow, k tokens of payload
-  * per position), one hash exchange on the gram for the keep-first window,
+  * per position), a map-side-combinable min-aggregate + hash-join-back on
+  * the gram for keep-first (skew-proof — see [[dedupSpans]]),
   * one exchange on (doc, position) to subtract covered positions, one
   * exchange on doc id to re-assemble — shuffle linear in corpus token
   * count times k, nothing driver-side, no all-pairs stage anywhere. At
@@ -86,20 +87,74 @@ object SpanDedup {
     * dedup_text). `dedup_text` is the space-joined surviving tokens
     * (empty string when every token sat inside a repeated span seen
     * earlier in the corpus). Documents shorter than `gramTokens` carry no
-    * anchors and pass through untouched. */
+    * anchors and pass through untouched.
+    *
+    * Keep-first is computed as `min(struct(__id, __p))` per gram — an
+    * aggregate, not a `row_number` window — because struct min under
+    * Spark's lexicographic struct ordering IS the first occurrence in
+    * (doc id, position) order, and an aggregate partial-combines map-side:
+    * a boilerplate gram occurring 10^9 times across a crawl collapses to
+    * one (gram, first) row per map task BEFORE the exchange, where the
+    * window formulation would ship every occurrence to one reducer and
+    * sort it there. The join back to per-occurrence rows builds on the
+    * firsts side (one row per distinct gram — uniform by construction, so
+    * the build never skews) and streams the occurrence side through a hash
+    * probe, no sort; the `shuffle_hash` hint pins that physical shape.
+    *
+    * `maxGramDf` is the boilerplate gate, mirroring the shingle-join
+    * family's `Queries.NgramMaxDf`: a gram whose corpus-wide occurrence
+    * count exceeds the cap ("all rights reserved ...") is template
+    * text, not a meaningful repeat, so ALL its occurrences — including the
+    * first — are excised. The default (`Long.MaxValue`) keeps the gate a
+    * no-op and the semantics exactly keep-first. */
   def dedupSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       gramTokens: Int = 8,
-      hashGrams: Boolean = false): DataFrame = {
+      hashGrams: Boolean = false,
+      maxGramDf: Long = Long.MaxValue): DataFrame = {
     require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
-    val grams = gramsOf(docs, idCol, textCol, gramTokens)
+    require(maxGramDf > 0, s"maxGramDf must be positive, got $maxGramDf")
     val gramKey = if (hashGrams) xxhash64(col("__gram")) else col("__gram")
-    val w = Window.partitionBy(gramKey).orderBy(col("__id"), col("__p"))
+    val grams = gramsOf(docs, idCol, textCol, gramTokens)
+      .withColumn("__k", gramKey)
+    // The keep-first aggregate must stay a HASH aggregate to partial-
+    // combine map-side — min over a struct falls back to SortAggregate
+    // (struct buffers aren't mutable), which re-sorts the full gram
+    // stream twice. For integral doc ids the (id, pos) pair is instead
+    // encoded into one exact decimal(38,0): id * 2^32 + pos is strictly
+    // monotone in lexicographic (id, pos) because posexplode positions
+    // satisfy 0 <= pos < 2^31, and a 64-bit id times 2^32 plus 2^31 is
+    // < 1e29 — exact at 38 digits for EVERY long id. min(decimal) keeps
+    // whole-stage codegen and the hot gram collapses before the
+    // exchange. Non-integral ids take the generic struct-min path
+    // (SortAggregate — still partial-combining, just sort-based).
+    val encodable = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def firstKey: Column =
+      if (encodable)
+        col("__id").cast(DecimalType(38, 0)) * lit(4294967296L) + col("__p")
+      else struct(col("__id"), col("__p"))
+    // Only grams seen more than once can mark anything redundant (the
+    // single occurrence of a unique gram IS its min, and maxGramDf >= 1
+    // never excises it), so the join build side is pre-filtered to the
+    // repeated grams — typically a small fraction of the distinct-gram
+    // set. When that fraction fits the broadcast threshold AQE upgrades
+    // the hinted shuffle-hash join to a broadcast join at runtime and the
+    // probe side never shuffles at all; when it doesn't (heavy-repeat
+    // crawl corpora) the shuffle-hash shape keeps the probe a streamed
+    // O(1)-per-row lookup that AQE's skew-split can further divide —
+    // never a sort, never a single pinned reducer.
+    val firsts = grams
+      .groupBy(col("__k"))
+      .agg(min(firstKey).as("__first"), count(lit(1)).as("__occ"))
+      .where(col("__occ") > lit(1L))
     val redundant = grams
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") > 1)
+      .join(firsts.hint("shuffle_hash"), Seq("__k"))
+      .where(col("__occ") > maxGramDf || firstKey =!= col("__first"))
       .select(col("__id"), col("__p"))
     excise(docs, idCol, textCol, redundant, gramTokens)
   }

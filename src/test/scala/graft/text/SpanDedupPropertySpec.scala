@@ -24,14 +24,18 @@ class SpanDedupPropertySpec extends SparkSpec {
   /** Sequential reference: canonical gram occurrence = first by (doc id,
     * pos); every other occurrence covers its k positions; covered
     * positions are removed. */
-  private def reference(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, String)] = {
+  private def reference(
+      docs: Seq[(Long, String)],
+      k: Int,
+      maxOcc: Long = Long.MaxValue): Map[Long, (Long, Long, String)] = {
     val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
     val occ = for {
       (id, tk) <- toks
       p <- 0 to tk.length - k
     } yield (tk.slice(p, p + k).mkString(" "), id, p)
-    val canon = occ.groupBy(_._1).view.mapValues(_.minBy(o => (o._2, o._3))).toMap
-    val covered = occ.filter(o => canon(o._1) != o)
+    val byGram = occ.groupBy(_._1)
+    val canon = byGram.view.mapValues(_.minBy(o => (o._2, o._3))).toMap
+    val covered = occ.filter(o => byGram(o._1).size > maxOcc || canon(o._1) != o)
       .flatMap(o => (o._3 until o._3 + k).map(i => (o._2, i))).toSet
     toks.map { case (id, tk) =>
       val kept = tk.zipWithIndex.filterNot { case (_, i) => covered((id, i)) }
@@ -40,9 +44,13 @@ class SpanDedupPropertySpec extends SparkSpec {
     }.toMap
   }
 
-  private def run(docs: Seq[(Long, String)], k: Int, hashed: Boolean) =
+  private def run(
+      docs: Seq[(Long, String)],
+      k: Int,
+      hashed: Boolean,
+      maxOcc: Long = Long.MaxValue) =
     SpanDedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
-        gramTokens = k, hashGrams = hashed)
+        gramTokens = k, hashGrams = hashed, maxGramDf = maxOcc)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
       .toMap
@@ -58,6 +66,15 @@ class SpanDedupPropertySpec extends SparkSpec {
   test("hashed-gram path agrees with the exact-text path") {
     val prop = Prop.forAll(genCorpus, Gen.choose(2, 3)) { (docs, k) =>
       run(docs, k, hashed = true) == run(docs, k, hashed = false)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("boilerplate cap matches the sequential reference (all occurrences excised above the cap)") {
+    val prop = Prop.forAll(genCorpus, Gen.choose(2, 3), Gen.choose(1L, 3L)) {
+      (docs, k, cap) =>
+        run(docs, k, hashed = false, maxOcc = cap) == reference(docs, k, cap)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)

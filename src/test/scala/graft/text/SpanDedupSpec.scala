@@ -43,6 +43,31 @@ class SpanDedupSpec extends SparkSpec {
     assert(out == Seq((7L, 8L, 4L, "a b c d")))
   }
 
+  test("a gram over the occurrence cap is excised everywhere, first copy included") {
+    val docs = Seq(
+      (1L, "h o t g r a m x"),   // first occurrence of the hot 4-gram
+      (2L, "y h o t g z"),       // second
+      (3L, "h o t g"),           // third -> occ 3 > cap 2: boilerplate
+      (4L, "u n i q u e"))       // untouched control
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, "doc_id", "text", gramTokens = 4,
+        maxGramDf = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // "h o t g" occurs 3 times; the cap removes ALL of them (doc 1's first
+    // copy included), while keep-first alone would have spared doc 1
+    assert(out == Seq(
+      (1L, 8L, 4L, "r a m x"),
+      (2L, 6L, 4L, "y z"),
+      (3L, 4L, 4L, ""),
+      (4L, 6L, 0L, "u n i q u e")))
+    // with the cap off, semantics stay exactly keep-first
+    val uncapped = SpanDedup.dedupSpans(docs, "doc_id", "text", gramTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(uncapped.head == ((1L, 8L, 0L, "h o t g r a m x")))
+  }
+
   test("hashed-gram path matches the exact-text path") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
