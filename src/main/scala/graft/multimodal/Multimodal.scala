@@ -150,8 +150,12 @@ object Multimodal {
     * group-by-key shape as text fingerprint dedup — no pairwise image
     * comparison ever runs. A real deployment hashes a downscaled
     * luminance plane (resize feeds this directly); the mean-threshold
-    * arithmetic is the part pinned cross-engine. Adds a `phash` column
-    * (null when the payload fails decode). */
+    * arithmetic is the part pinned cross-engine. Adds a `phash` column:
+    * null when the payload fails decode OR decodes to fewer than `bits`
+    * pixels — a partial payload must NOT hash (two images identical in
+    * their first `bits` bytes but different elsewhere would otherwise
+    * collide as "duplicate candidates"); feed resize(bits-sized) output
+    * or pre-filter to full payloads. */
   def phash(df: DataFrame, binCol: String, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
     val idx = df.schema.fieldIndex(binCol)
@@ -160,20 +164,19 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val h: java.lang.Long = FakeCodec.decode(r.getAs[Array[Byte]](idx)) match {
-          case Some((_, _, _, px)) if px.nonEmpty =>
-            val n = math.min(bits, px.length)
+          case Some((_, _, _, px)) if px.length >= bits =>
             var sum = 0L
             var i = 0
-            while (i < n) { sum += (px(i) & 0xff); i += 1 }
-            val mean = sum / n
+            while (i < bits) { sum += (px(i) & 0xff); i += 1 }
+            val mean = sum / bits
             var out = 0L
             i = 0
-            while (i < n) {
+            while (i < bits) {
               if ((px(i) & 0xff) > mean) out |= 1L << i
               i += 1
             }
             out
-          case _ => null
+          case _ => null // failed decode or partial payload: no hash
         }
         Row.fromSeq(r.toSeq :+ h)
       }

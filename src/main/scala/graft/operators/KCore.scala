@@ -29,10 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** Edges of the k-core after `rounds` peel rounds. `edges(srcCol,
+  /** Edges of the k-core after at most `rounds` peel rounds. `edges(srcCol,
     * dstCol)` must list both directions of each undirected edge (the
     * [[LabelProp]] convention). Output: (node, core_degree) for every
-    * node still in the core, with its degree inside the core. */
+    * node still in the core, with its degree inside the core.
+    *
+    * The peel loop stops EARLY once a round removes nothing (the alive
+    * edge count is unchanged — the fixpoint, i.e. the exact k-core), so
+    * `rounds` is a cap, not a count. If the cap is hit while the graph is
+    * still shrinking (a deep cascade, e.g. a long path), the result is a
+    * SUPERSET of the true k-core — survivors may have effective core
+    * degree < k; a warning on stderr makes the under-peel visible instead
+    * of silent. Raise `rounds` (cascade depth is at most the graph's
+    * degeneracy ordering depth) for an exact core on such graphs. */
   def run(
       edges: DataFrame,
       srcCol: String,
@@ -43,7 +52,10 @@ object KCore {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var alive = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
       .localCheckpoint()
-    for (_ <- 0 until rounds) {
+    var prev = alive.count()
+    var converged = prev == 0L
+    var round = 0
+    while (round < rounds && !converged) {
       val keep = alive.groupBy(col("__u")).agg(count(lit(1)).as("__c"))
         .filter(col("__c") >= k)
         .select(col("__u").as("__node"))
@@ -52,7 +64,15 @@ object KCore {
         .join(keep.withColumnRenamed("__node", "__node2"),
           col("__v") === col("__node2")).drop("__node2")
         .localCheckpoint()
+      val n = alive.count()
+      converged = n == prev || n == 0L
+      prev = n
+      round += 1
     }
+    if (!converged)
+      System.err.println(s"[graft.KCore] round cap $rounds hit while still " +
+        s"peeling ($prev edges alive): result is a SUPERSET of the $k-core; " +
+        "raise `rounds` for the exact core")
     alive.groupBy(col("__u").as("node"))
       .agg(count(lit(1)).as("core_degree"))
   }

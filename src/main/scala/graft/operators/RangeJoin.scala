@@ -100,6 +100,12 @@ object RangeJoin {
     def exploded(df: DataFrame, lo: String, hi: String, startTag: String): DataFrame = {
       val loB = expr(bucketExpr(lo, bucketWidth))
       val hiB = expr(bucketExpr(hi, bucketWidth))
+      // the `hiB - loB < 0` arm below is NOT dead code: after the
+      // hi >= lo filter the true bucket span is non-negative, so a
+      // negative difference means the long subtraction wrapped past
+      // Long.MaxValue (extreme lo/hi at small bucketWidth) — treat it as
+      // too-wide rather than falling through to a confusing sequence()
+      // length error (same guard as pointInInterval)
       df.filter(col(hi) >= col(lo))
         .withColumn(startTag, loB)
         .withColumn("__bucket", explode(sequence(

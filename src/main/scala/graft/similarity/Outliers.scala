@@ -3,7 +3,6 @@ package graft.similarity
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Embedding-space outlier detection — the curation pass that catches
   * mislabeled, off-topic, or garbage documents whose embedding sits far
@@ -26,7 +25,10 @@ object Outliers {
 
   /** Per-vector distance report: (idCol, groupCol, dist, is_outlier) with
     * is_outlier = the vector ranks in its group's `topK` farthest from
-    * the group centroid (ties broken by id for determinism). */
+    * the group centroid (ties broken by id for determinism). The group
+    * column passes through with its own type — string sources/languages
+    * group as themselves (an earlier revision cast to long, which would
+    * have collapsed every non-numeric group into one null group). */
   def byCentroid(
       emb: DataFrame,
       idCol: String,
@@ -35,7 +37,7 @@ object Outliers {
       topK: Int = 3): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val dims = emb
-      .select(col(idCol).as("__id"), col(groupCol).cast(LongType).as("__g"),
+      .select(col(idCol).as("__id"), col(groupCol).as("__g"),
         call_function("graft_quantize", col(vecCol)).as("__q"))
       .select(col("__id"), col("__g"),
         posexplode(col("__q")).as(Seq("__dim", "__qv")))

@@ -70,7 +70,8 @@ class MultimodalSpec extends SparkSpec {
       (1L, ramp),
       (2L, ramp),                                   // identical -> same hash
       (3L, FakeCodec.encode(4, 4, 1, Array.fill(16)(5.toByte))), // flat -> 0
-      (4L, Array[Byte](1, 2)))                      // undecodable -> null
+      (4L, Array[Byte](1, 2)),                      // undecodable -> null
+      (5L, FakeCodec.encode(2, 2, 1, Array.tabulate(4)(_.toByte)))) // 4 px < 16 bits
       .toDF("id", "payload")
     val out = Multimodal.phash(d, "payload", bits = 16).orderBy("id").collect()
     // pixels 0..15, mean 7 -> bits 8..15 set = 0xFF00
@@ -78,6 +79,9 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Long]("phash") == 0xFF00L)
     assert(out(2).getAs[Long]("phash") == 0L)
     assert(out(3).isNullAt(out(3).fieldIndex("phash")))
+    // a payload with fewer pixels than `bits` must NOT hash: a truncated
+    // hash would collide with any image sharing its first 4 bytes
+    assert(out(4).isNullAt(out(4).fieldIndex("phash")))
   }
 
   test("repartitionBySize targets byte budget per partition") {

@@ -70,6 +70,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(rows == Seq((1L, 10L), (1L, 20L), (2L, 10L)))
   }
 
+  test("a bucket-span long overflow trips the too-wide guard, not a sequence error") {
+    // hi near Long.MaxValue and lo near Long.MinValue: hiB - loB =
+    // 2^64 - 33 wraps to -33 at bucketWidth 1, skipping the >= arm — the
+    // guard's `< 0` arm (it is overflow protection, not dead code) must
+    // raise the same loud message
+    val a = Seq((1L, Long.MinValue + 16, Long.MaxValue - 16)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 0L, 1L)).toDF("bid", "blo", "bhi")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi",
+        bucketWidth = 1L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("intervalOverlap handles negative axes and rejects shared columns") {
     val a = Seq((1L, -50L, -10L)).toDF("aid", "alo", "ahi")
     val b = Seq((10L, -20L, 5L), (20L, -200L, -60L)).toDF("bid", "blo", "bhi")

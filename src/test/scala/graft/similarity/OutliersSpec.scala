@@ -32,6 +32,25 @@ class OutliersSpec extends SparkSpec {
     assert(flagged == Map(0L -> 2, 1L -> 2))
   }
 
+  test("a string group column groups as itself and keeps its type") {
+    val byLang = Seq(
+      (1L, Array(0.0f, 0.0f), "en"),
+      (2L, Array(0.01f, 0.0f), "en"),
+      (3L, Array(1.0f, 1.0f), "en"),
+      (4L, Array(5.0f, 5.0f), "de"),
+      (5L, Array(5.0f, 5.02f), "de"))
+      .toDF("vec_id", "embedding", "lang")
+    val out = Outliers.byCentroid(byLang, "vec_id", "embedding", "lang", topK = 1)
+      .orderBy("vec_id")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    // same geometry as the numeric fixture: were the group column cast to
+    // long (the pre-fix behavior), both languages would collapse into one
+    // null group and 'de' would flag nothing
+    assert(out.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, "en", false), (2L, "en", false), (3L, "en", true),
+      (4L, "de", true), (5L, "de", false)))
+  }
+
   test("the centroid re-join is broadcast, not a shuffle join") {
     val plan = Outliers.byCentroid(emb, "vec_id", "embedding", "label")
       .queryExecution.executedPlan.toString
