@@ -133,4 +133,46 @@ object Containment {
       .select(col("id_2").as("doc_id"), col("id_1").as("contained_in"),
         col("inter"), col("cont_bp"))
   }
+
+  /** Direct co-occurrence formulation of [[pairs]] — result-identical,
+    * no prefix machinery; the full-x-full join is fine on small corpora
+    * and quadratic on hot shingles at scale ([[pairsAuto]] dispatches). */
+  def pairsDirect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBp: Long,
+      native: Boolean = false,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
+    val sets = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    val exploded = sets
+      .select(col("__id"), explode(col("__set")).as("__x"))
+      .repartition(col("__x"))
+    val sizes = sets.select(col("__id"), size(col("__set")).cast(LongType).as("__n"))
+    exploded.as("a")
+      .join(exploded.as("b"), col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_1"), col("b.__id").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("id_1") === col("na.__id"))
+      .join(sizes.as("nb"), col("id_2") === col("nb.__id"))
+      .withColumn("min_n", least(col("na.__n"), col("nb.__n")))
+      .withColumn("containment_bp", expr("inter * 10000 div min_n"))
+      .filter(col("containment_bp") >= minBp)
+      .select("id_1", "id_2", "inter", "min_n", "containment_bp")
+  }
+
+  /** Size-dispatched containment pairs: [[pairsDirect]] up to
+    * `directMaxDocs` input documents, prefix-filtered [[pairs]] above —
+    * the same crossover logic (and default) as [[Jaccard.pairsAuto]]. */
+  def pairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBp: Long,
+      native: Boolean = false,
+      maxDf: Long = Long.MaxValue,
+      directMaxDocs: Long = Jaccard.DirectMaxDocs): DataFrame =
+    if (df.count() <= directMaxDocs) pairsDirect(df, idCol, textCol, minBp, native, maxDf)
+    else pairs(df, idCol, textCol, minBp, native, maxDf)
 }

@@ -103,4 +103,61 @@ object Jaccard {
       .filter(col("jaccard_bp") >= minBp)
       .select("id_1", "id_2", "jaccard_bp")
   }
+
+  /** The direct exploded self-join formulation — the result-identical twin
+    * of [[pairs]] without the prefix machinery (no frequency aggregate, no
+    * ranking window). Intersections come straight from counting shared
+    * shingles in the self-join, so on a SMALL corpus it is cheaper than
+    * paying PPJoin's fixed costs; its join input is the full exploded rows,
+    * so hot shingles expose it to the quadratic term the prefix filter
+    * exists to prune — [[pairsAuto]] draws the line. */
+  def pairsDirect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBp: Long,
+      native: Boolean = false,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
+    val sets = cappedSets(df, idCol, textCol, native, maxDf)
+    val exploded = sets
+      .select(col("__id"), explode(col("__set")).as("__x"))
+      .repartition(col("__x"))
+    val sizes = sets.select(col("__id"), size(col("__set")).cast(LongType).as("__n"))
+    exploded.as("a")
+      .join(exploded.as("b"), col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_1"), col("b.__id").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("id_1") === col("na.__id"))
+      .join(sizes.as("nb"), col("id_2") === col("nb.__id"))
+      .withColumn("jaccard_bp",
+        floor(col("inter").cast(DoubleType) * 10000d /
+          (col("na.__n") + col("nb.__n") - col("inter")).cast(DoubleType)).cast(LongType))
+      .filter(col("jaccard_bp") >= minBp)
+      .select("id_1", "id_2", "jaccard_bp")
+  }
+
+  /** Default corpus-size crossover for [[pairsAuto]]: below this many
+    * documents the direct self-join's smaller constant beats PPJoin's
+    * pruning (measured at sf0.1/10x: the direct form wins by ~2x at 5k
+    * docs and loses 20x at 50k — see BENCHSCALE.md). */
+  val DirectMaxDocs = 20000L
+
+  /** Size-dispatched exact pair search: [[pairsDirect]] for corpora up to
+    * `directMaxDocs` input documents, [[pairs]] (prefix-filtered PPJoin)
+    * above. Both formulations pass the identical oracle; the dispatch
+    * trades PPJoin's fixed cost (frequency aggregate + rarity ranking
+    * window) against the direct join's quadratic hot-shingle exposure.
+    * Runs one `count()` on the input to decide — cache `df` upstream when
+    * its lineage is expensive. */
+  def pairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBp: Long,
+      native: Boolean = false,
+      maxDf: Long = Long.MaxValue,
+      directMaxDocs: Long = DirectMaxDocs): DataFrame =
+    if (df.count() <= directMaxDocs) pairsDirect(df, idCol, textCol, minBp, native, maxDf)
+    else pairs(df, idCol, textCol, minBp, native, maxDf)
 }

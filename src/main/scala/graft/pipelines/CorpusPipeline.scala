@@ -30,6 +30,8 @@ object CorpusPipeline {
       blockTerms: Set[String] = Set.empty, // drop docs containing any (token match)
       blockPhrases: Set[String] = Set.empty, // drop docs containing any (substring match)
       nearDupMinBp: Long = 9000L, // near-dup Jaccard threshold
+      exactNearDup: Boolean = false, // exact Jaccard pair graph instead of MinHash LSH
+      directJoinMaxDocs: Long = graft.dedup.Jaccard.DirectMaxDocs, // exact path: direct self-join up to here, PPJoin above
       keepBestInCluster: Boolean = false, // near-dup keeps max-quality, not min-id
       spanDedupGrams: Option[Int] = None, // position-level span dedup anchor width
       trainPct: Int = 80,
@@ -95,14 +97,33 @@ object CorpusPipeline {
     df.join(keep, idCol)
   }
 
-  /** Near dedup with exact clustering: MinHash near-pairs become an edge
+  /** The near-duplicate pair graph the dedup stages cluster over. Default
+    * backend: MinHash LSH with exact verification (sub-quadratic candidate
+    * generation; the standard choice at corpus scale). `cfg.exactNearDup`
+    * swaps in the EXACT Jaccard pair search — no LSH false negatives —
+    * which itself auto-selects the direct self-join under
+    * `cfg.directJoinMaxDocs` input documents and the prefix-filtered
+    * PPJoin above it (both pass identical oracles; the dispatch trades
+    * PPJoin's fixed cost against the direct join's hot-shingle quadratic
+    * term — see [[graft.dedup.Jaccard.pairsAuto]]). */
+  private def nearPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
+    if (cfg.exactNearDup)
+      graft.dedup.Jaccard.pairsAuto(df, idCol, textCol, cfg.nearDupMinBp,
+          native = true, maxDf = graft.Queries.NgramMaxDf,
+          directMaxDocs = cfg.directJoinMaxDocs)
+        .select(col("id_1"), col("id_2"))
+    else
+      MinHash.nearDuplicates(df, idCol, textCol, cfg.nearDupMinBp, native = true)
+        .select(col("id_1"), col("id_2"))
+
+  /** Near dedup with exact clustering: near-dup pairs become an edge
     * list, a connected-components pass collapses transitive chains (a~b~c
     * keeps only min(a,b,c) even when a and c never matched directly), and
     * every non-canonical member is dropped. The per-pair shortcut (drop
     * id_2 of each pair) under-merges exactly when a component's second-
     * smallest id appears only on the left of its pairs. */
-  def nearDedup(df: DataFrame, idCol: String, textCol: String, minBp: Long): DataFrame = {
-    val pairs = MinHash.nearDuplicates(df, idCol, textCol, minBp, native = true)
+  def nearDedup(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val pairs = nearPairs(df, idCol, textCol, cfg)
     val drop = ConnectedComponents.run(pairs, "id_1", "id_2")
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
@@ -140,8 +161,8 @@ object CorpusPipeline {
     * rank window run on the pair-graph slice, not the corpus), docs in no
     * near-pair survive untouched. Ties break to the smaller id, so the
     * output stays deterministic on any partitioning. */
-  def nearDedupBest(df: DataFrame, idCol: String, textCol: String, minBp: Long): DataFrame = {
-    val pairs = MinHash.nearDuplicates(df, idCol, textCol, minBp, native = true)
+  def nearDedupBest(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val pairs = nearPairs(df, idCol, textCol, cfg)
     val comp = ConnectedComponents.run(pairs, "id_1", "id_2")
       .select(col("node").as(idCol), col("component"))
     val members = df.join(comp, Seq(idCol)).select(col(idCol), col("component"), col(textCol))
@@ -183,8 +204,8 @@ object CorpusPipeline {
     // (the span-stage "trim, don't drop" recipe runs this way)
     val near =
       if (cfg.nearDupMinBp > 10000L) exact
-      else if (cfg.keepBestInCluster) nearDedupBest(exact, idCol, "clean_text", cfg.nearDupMinBp)
-      else nearDedup(exact, idCol, "clean_text", cfg.nearDupMinBp)
+      else if (cfg.keepBestInCluster) nearDedupBest(exact, idCol, "clean_text", cfg)
+      else nearDedup(exact, idCol, "clean_text", cfg)
     // optional position-level span dedup (the ExactSubstr pass) over the
     // doc-dedup survivors: repeated spans >= k tokens keep one corpus-wide
     // occurrence, documents are re-assembled, n_tokens becomes the KEPT

@@ -1,0 +1,79 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.pipelines.CorpusPipeline
+
+/** The size-dispatched exact pair search: the direct self-join and the
+  * prefix-filtered PPJoin formulation must produce identical pairs (they
+  * share one oracle in the catalog), `pairsAuto` must pick the direct
+  * plan under the threshold and the PPJoin plan above it, and the
+  * pipeline's `exactNearDup` knob must curate identically through either
+  * selected plan. */
+class AutoJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+
+  /** 20 seeded random docs + 8 near-copies (one token appended) so the
+    * fixture has genuine above-threshold pairs. */
+  private lazy val docs = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 20).map { i =>
+      val n = 8 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val copies = base.take(8).map { case (id, text) => (100L + id, text + " tail") }
+    (base ++ copies).toDF("doc_id", "text")
+  }
+
+  test("jaccard: direct, ppjoin, and auto produce identical pairs") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val direct = key(Jaccard.pairsDirect(docs, "doc_id", "text", 6000L, native = true))
+    val pp = key(Jaccard.pairs(docs, "doc_id", "text", 6000L, native = true))
+    val auto = key(Jaccard.pairsAuto(docs, "doc_id", "text", 6000L, native = true))
+    assert(direct.nonEmpty) // the planted near-copies must actually pair
+    assert(direct == pp && direct == auto)
+  }
+
+  test("containment: direct, ppjoin, and auto produce identical pairs") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val direct = key(Containment.pairsDirect(docs, "doc_id", "text", 8000L, native = true))
+    val pp = key(Containment.pairs(docs, "doc_id", "text", 8000L, native = true))
+    val auto = key(Containment.pairsAuto(docs, "doc_id", "text", 8000L, native = true))
+    assert(direct.nonEmpty)
+    assert(direct == pp && direct == auto)
+  }
+
+  test("auto selects the direct plan under the threshold and PPJoin above it") {
+    // the PPJoin formulation's signature is its rarity-ranking window; the
+    // direct self-join has no window at all (df cap inert here)
+    val below = Jaccard.pairsAuto(docs, "doc_id", "text", 6000L, native = true,
+      directMaxDocs = Long.MaxValue)
+    assert(!below.queryExecution.optimizedPlan.toString.contains("row_number"))
+    val above = Jaccard.pairsAuto(docs, "doc_id", "text", 6000L, native = true,
+      directMaxDocs = 0L)
+    assert(above.queryExecution.optimizedPlan.toString.contains("row_number"))
+    val cBelow = Containment.pairsAuto(docs, "doc_id", "text", 8000L, native = true,
+      directMaxDocs = Long.MaxValue)
+    assert(!cBelow.queryExecution.optimizedPlan.toString.contains("row_number"))
+    val cAbove = Containment.pairsAuto(docs, "doc_id", "text", 8000L, native = true,
+      directMaxDocs = 0L)
+    assert(cAbove.queryExecution.optimizedPlan.toString.contains("row_number"))
+  }
+
+  test("the pipeline's exactNearDup knob curates identically through either plan") {
+    val cfg = CorpusPipeline.Config(minTokens = 1L, maxTopTokenBp = 10000L,
+      nearDupMinBp = 6000L, exactNearDup = true)
+    def out(c: CorpusPipeline.Config) =
+      CorpusPipeline.curate(docs, "doc_id", "text", c)
+        .select("doc_id").as[Long].collect().toSet
+    val viaDirect = out(cfg.copy(directJoinMaxDocs = Long.MaxValue))
+    val viaPpjoin = out(cfg.copy(directJoinMaxDocs = 0L))
+    assert(viaDirect == viaPpjoin)
+    // the exact pair graph must actually have deduped the planted copies
+    assert(viaDirect.size < 28)
+  }
+}
