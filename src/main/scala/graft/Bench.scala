@@ -23,7 +23,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's captured BENCH_r{N}.json tail truncates mid-line once the
+    // catalog outgrew it; the full sorted per-query map lands in-repo as
+    // BENCH.json so round-over-round comparisons always cover every query.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     spark.stop()
   }
 }
