@@ -1304,6 +1304,23 @@ object Oracles {
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY id_1, id_2""".stripMargin,
 
+    // winnowing with the fingerprint df cap ACTIVE (8 < the sf0.01 max df
+    // of 14) — the boilerplate hot-key gate verified while it FIRES
+    "winnow_capped" ->
+      s"""WITH c AS (SELECT doc_id, $codesE AS codes FROM documents),
+         |s AS (SELECT doc_id, $shinglesE AS sh FROM c),
+         |wins AS (SELECT doc_id, list_slice(sh, t.j + 1, t.j + 4) AS wd
+         | FROM s, UNNEST(range(greatest(len(sh) - 4, 0) + 1)) AS t(j)
+         | WHERE len(sh) > 0),
+         |fps AS (SELECT DISTINCT doc_id, list_aggregate(wd, 'min') AS fp FROM wins),
+         |capped AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1)
+         | WHERE df <= ${Queries.WinnowCapDf}),
+         |k AS (SELECT doc_id, fp FROM fps JOIN capped USING (fp))
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY id_1, id_2""".stripMargin,
+
     // robust winnowing: the stateful rightmost-min fold replayed as a
     // recursive CTE stepping one window per level (all docs advance in
     // lockstep; depth = max window count). NOT list_reduce: DuckDB 1.0's

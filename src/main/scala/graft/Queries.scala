@@ -1517,6 +1517,21 @@ object Queries {
       w = 4, minShared = 2L, maxDf = NgramMaxDf)
       .orderBy(col("id_1"), col("id_2"))
 
+  /** [[winnowPairs]] with the fingerprint df cap ACTIVE (maxDf =
+    * [[WinnowCapDf]], under the sf0.01 corpus max of 14): the hot-key
+    * release valve the 100 TB deployment runs with. Window minima skew
+    * toward globally small hash values, so without the cap a boilerplate
+    * fingerprint shared by millions of documents would concentrate the
+    * pair join on one key; with it, over-df fingerprints are dropped
+    * BEFORE the self-join, so the worst key fans out at most maxDf^2
+    * pairs. WinnowSpec proves the cap removes only pairs whose support
+    * came from the dropped boilerplate fingerprints — genuine local
+    * overlap (carried by rarer fingerprints) is untouched. */
+  def winnowCapped(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Winnow.pairs(t(s, dir, "documents"), "doc_id", "text",
+      w = 4, minShared = 2L, maxDf = WinnowCapDf)
+      .orderBy(col("id_1"), col("id_2"))
+
   /** Robust-winnowing sketch summary (see [[graft.dedup.Winnow
     * .robustFingerprints]]): per doc, how many fingerprints the stateful
     * rightmost-min rule charts over its shingle stream. The density
@@ -1612,7 +1627,7 @@ object Queries {
         docs.filter(col("source") =!= "src0"),
         SpanDedup.referenceGrams(
           docs.filter(col("source") === "src0"), "doc_id", "text", gramTokens = 8),
-        "doc_id", "text", gramTokens = 8)
+        "doc_id", "text", gramTokens = 8, broadcastRef = true)
       .orderBy(col("doc_id"))
   }
 
@@ -1873,6 +1888,12 @@ object Queries {
     * testdata's max df (29 at sf0.01, 236 at sf0.1), so the gate results
     * equal the unfiltered answer while the capped path stays oracle-pinned. */
   val NgramMaxDf = 2000L
+
+  /** Active fingerprint df cap for [[winnowCapped]]: below the sf0.01
+    * winnow-fingerprint max df (14), so the boilerplate gate demonstrably
+    * fires on the testdata and the capped plan is oracle-verified with
+    * the filter ENGAGED, not as a no-op. */
+  val WinnowCapDf = 8L
 
   /** Exact all-pairs Jaccard >= 0.8 by exploded co-occurrence counting.
     * (graft.dedup.Jaccard.pairs is the prefix-filtered formulation of the
@@ -2916,6 +2937,7 @@ object Queries {
     "bm25_topk" -> bm25TopK _,
     "winnow_pairs" -> winnowPairs _,
     "winnow_robust" -> winnowRobust _,
+    "winnow_capped" -> winnowCapped _,
     "simhash_neardup" -> simhashNearDup _,
     "simhash64_neardup" -> simhash64NearDup _,
     "dedup_keeplast_salted" -> dedupKeeplastSalted _,

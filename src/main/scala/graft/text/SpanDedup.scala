@@ -189,16 +189,27 @@ object SpanDedup {
     * gram set, so refreshes never read reference text. Same output
     * schema and physical shape as [[dedupSpans]], with the keep-first
     * window replaced by one join against the (distinct, persistable,
-    * often broadcast-able) reference gram set. */
+    * often broadcast-able) reference gram set.
+    *
+    * `broadcastRef = true` pins the reference gram set as a broadcast
+    * build side — right whenever the curated-reference gram set fits an
+    * executor (eval suites, deny-lists, modest reference corpora). The
+    * default keeps a shuffle-hash join (build = reference grams, probe =
+    * the streamed batch grams, no sort on either side) for the
+    * crawl-sized-reference case where shipping the gram set to every
+    * executor would not fit; SpanDedupSpec pins both physical shapes. */
   def exciseAgainst(
       docs: DataFrame,
       refGrams: DataFrame,
       idCol: String,
       textCol: String,
-      gramTokens: Int = 8): DataFrame = {
+      gramTokens: Int = 8,
+      broadcastRef: Boolean = false): DataFrame = {
     require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
+    val ref = refGrams.select(col("__gram")).distinct()
+    val build = if (broadcastRef) broadcast(ref) else ref.hint("shuffle_hash")
     val redundant = gramsOf(docs, idCol, textCol, gramTokens)
-      .join(refGrams.select(col("__gram")).distinct(), Seq("__gram"))
+      .join(build, Seq("__gram"))
       .select(col("__id"), col("__p"))
     excise(docs, idCol, textCol, redundant, gramTokens)
   }
@@ -214,18 +225,26 @@ object SpanDedup {
     * Physical shape: grams on both sides, one exchange keyed by the gram
     * with the (tiny) benchmark side aggregated to distinct grams first —
     * at 100 TB this is a broadcast-able build side whenever the benchmark
-    * is a real eval suite (MBs), so the probe stays a map-side join. */
+    * is a real eval suite (MBs), so the probe stays a map-side join.
+    * `broadcastBench = true` (the default) PINS that broadcast rather
+    * than trusting size estimation over the distinct-aggregate, so the
+    * 100 TB probe side never shuffles; pass false only for a
+    * pathologically large benchmark set, which falls back to the same
+    * sort-free shuffle-hash shape as [[exciseAgainst]]. */
   def contaminationSpans(
       docs: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
-      gramTokens: Int = 8): DataFrame = {
+      gramTokens: Int = 8,
+      broadcastBench: Boolean = true): DataFrame = {
     require(gramTokens > 0, s"gramTokens must be positive, got $gramTokens")
     val k = gramTokens
     val benchGrams = referenceGrams(bench, idCol, textCol, k)
+    val build =
+      if (broadcastBench) broadcast(benchGrams) else benchGrams.hint("shuffle_hash")
     val covered = gramsOf(docs, idCol, textCol, k)
-      .join(benchGrams, Seq("__gram"))
+      .join(build, Seq("__gram"))
       .select(col("__id"),
         explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cpos"))
       .distinct()

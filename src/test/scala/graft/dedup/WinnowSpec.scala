@@ -84,6 +84,49 @@ class WinnowSpec extends SparkSpec {
     assert(robust == plain)
   }
 
+  test("the df cap drops exactly the over-df fingerprints' pairs, nothing else") {
+    // 12 docs end with the same boilerplate run -> its fingerprints have
+    // df ~12; docs 1 and 2 also share a GENUINE run carried by df-2
+    // fingerprints. cap = 8: boilerplate support vanishes, genuine stays.
+    val boiler = "all rights reserved contact the site administrator for details"
+    val run = "omega sigma kappa lambda theta gamma delta epsilon zeta eta"
+    val docs = ((1 to 12).map { i =>
+      val extra = if (i <= 2) s" $run" else ""
+      (i.toLong, s"${uniqueTokens(s"d$i", 40)}$extra $boiler")
+    }).toDF("doc_id", "text")
+
+    val cap = 8L
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", w = 4)
+      .select($"doc_id", $"fp").distinct()
+      .as[(Long, Long)].collect()
+    val df = fps.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // expected capped pairs rebuilt in Scala from under-cap fps only
+    val kept = fps.filter { case (_, fp) => df(fp) <= cap }
+    val expected = kept.groupBy(_._2).values.toSeq.flatMap { occ =>
+      val ids = occ.map(_._1).sorted.toSeq
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+
+    val capped = Winnow.pairs(docs, "doc_id", "text", w = 4,
+        minShared = 2L, maxDf = cap)
+      .select("id_1", "id_2", "n_shared").as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(capped == expected,
+      s"capped pairs must equal pairs over under-cap fingerprints")
+    // the gate actually fired: boilerplate fps exist above the cap...
+    assert(df.values.exists(_ > cap), "test corpus must have over-cap fps")
+    // ...and the genuine pair survived it
+    assert(capped.contains((1L, 2L)),
+      "the df-2 genuine-overlap pair must survive the boilerplate cap")
+    // while uncapped boilerplate-only pairs (e.g. 3-4) are gone
+    val uncapped = Winnow.pairs(docs, "doc_id", "text", w = 4,
+        minShared = 2L, maxDf = 1000000L)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((3L, 4L)) && !capped.contains((3L, 4L)),
+      "boilerplate-carried pairs must be present uncapped and dropped capped")
+  }
+
   test("docs under 3 tokens are excluded, short docs keep their global min") {
     val docs = Seq((1L, "a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val fps = Winnow.fingerprints(docs, "doc_id", "text", w = 4)

@@ -59,6 +59,38 @@ class IVFSpec extends SparkSpec {
     assert(norms(plain).min < qs * 0.9)
   }
 
+  test("successive Lloyd rounds improve the quantizer objective and hold recall") {
+    val corpus = emb.limit(200)
+    val queries = corpus.filter(col("vec_id") < 5)
+    // spherical k-means objective: total assigned dot (higher = tighter
+    // lists). Deterministic build -> these relations are pinned, not flaky.
+    def objective(iters: Int): Long = {
+      val idx = IVF.build(corpus, "vec_id", "embedding", nlist = 8, iters = iters)
+      val cents = idx.centroids
+      idx.assigned.select(col("__v"), col("__list")).collect().map { r =>
+        val v = r.getSeq[Long](0)
+        val c = cents(r.getLong(1).toInt)
+        v.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum
+      }.sum
+    }
+    val (o0, o1, o2) = (objective(0), objective(1), objective(2))
+    assert(o1 > o0, s"round 1 must improve the objective: $o1 vs $o0")
+    assert(o2 >= o1, s"round 2 must not regress the objective: $o2 vs $o1")
+    // partial-probe recall vs brute force must not degrade with the extra
+    // round (the claim ann_recall makes for the 1-round production build)
+    def recall(iters: Int): Long = {
+      val idx = IVF.build(corpus, "vec_id", "embedding", nlist = 8, iters = iters)
+      val approx = IVF.search(idx, queries, "vec_id", "embedding", k = 10, nprobe = 2)
+        .select("query_id", "neighbor_id")
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r2 >= r1, s"the second Lloyd round must not lose recall: $r2 vs $r1")
+  }
+
   test("nprobe = 1 returns k results from the probed list, ranked") {
     val corpus = emb.limit(200)
     val queries = corpus.filter(col("vec_id") === 0)

@@ -82,6 +82,36 @@ class PQSpec extends SparkSpec {
     assert(r1 >= r0 - 0.01, s"refinement dropped recall: $r0 -> $r1")
   }
 
+  test("successive Lloyd rounds monotonically shrink reconstruction error") {
+    // Lloyd's objective IS the summed squared reconstruction error; the
+    // deterministic build makes these relations pinned, not flaky. This is
+    // the convergence evidence for the looped trainer (iters > 1), not
+    // just the single unroll the catalog queries run.
+    val corpus = emb.limit(200)
+    val q = corpus.select(col("vec_id"),
+        call_function("graft_quantize", col("embedding")).as("__v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    def sqErr(iters: Int): BigInt = {
+      val cb = PQ.train(corpus, "vec_id", "embedding", m = 8, ksub = 16,
+        iters = iters)
+      val codes = PQ.encode(cb, corpus, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+      codes.iterator.map { case (id, cs) =>
+        val v = q(id)
+        cs.iterator.zipWithIndex.map { case (code, mi) =>
+          val cw = cb.books(mi)(code.toInt)
+          cw.indices.iterator.map { d =>
+            val diff = BigInt(v(mi * cb.subDim + d) - cw(d))
+            diff * diff
+          }.sum
+        }.sum
+      }.sum
+    }
+    val (e0, e1, e2) = (sqErr(0), sqErr(1), sqErr(2))
+    assert(e1 < e0, s"round 1 must shrink distortion: $e1 vs $e0")
+    assert(e2 <= e1, s"round 2 must not grow distortion: $e2 vs $e1")
+  }
+
   test("exact rerank of the ADC shortlist recovers high recall@10") {
     // raw ADC@10 sits near 0.4 on these near-random embeddings; the
     // production shortlist(100)+rerank shape must clear 0.85 (measured

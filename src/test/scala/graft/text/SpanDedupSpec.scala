@@ -108,6 +108,56 @@ class SpanDedupSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("the reference-gram join is broadcast when asked, shuffle-hash otherwise") {
+    val ref = Seq((100L, "m n o p q")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "z z m n o p q z"),
+      (2L, "w x w x w x w x")).toDF("doc_id", "text")
+    val grams = SpanDedup.referenceGrams(ref, "doc_id", "text", gramTokens = 4)
+
+    def planOf(broadcastRef: Boolean): String =
+      SpanDedup.exciseAgainst(docs, grams, "doc_id", "text",
+        gramTokens = 4, broadcastRef = broadcastRef)
+        .queryExecution.executedPlan.toString
+
+    val bPlan = planOf(broadcastRef = true)
+    assert(bPlan.contains("BroadcastHashJoin"),
+      "broadcastRef = true must pin the gram set as a broadcast build side")
+    val sPlan = planOf(broadcastRef = false)
+    assert(sPlan.contains("ShuffledHashJoin"),
+      "broadcastRef = false must keep a sort-free shuffle-hash join")
+    assert(!sPlan.contains("SortMergeJoin"),
+      "the crawl-sized-reference fallback must never sort the probe side")
+    // both shapes produce the identical answer
+    def rows(broadcastRef: Boolean) =
+      SpanDedup.exciseAgainst(docs, grams, "doc_id", "text",
+        gramTokens = 4, broadcastRef = broadcastRef)
+        .orderBy("doc_id").collect().toSeq
+    assert(rows(broadcastRef = true) == rows(broadcastRef = false))
+  }
+
+  test("the benchmark-gram join in contaminationSpans is broadcast by default") {
+    val bench = Seq((100L, "m n o p q")).toDF("doc_id", "text")
+    val docs = Seq((1L, "z z m n o p q z")).toDF("doc_id", "text")
+    val bPlan = SpanDedup.contaminationSpans(docs, bench, "doc_id", "text",
+        gramTokens = 4)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"),
+      "the eval-suite gram set must broadcast so the corpus side never shuffles")
+    val sPlan = SpanDedup.contaminationSpans(docs, bench, "doc_id", "text",
+        gramTokens = 4, broadcastBench = false)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("ShuffledHashJoin") && !sPlan.contains("SortMergeJoin"),
+      "the huge-benchmark fallback must be the sort-free shuffle-hash shape")
+    // the fallback shape computes the same report
+    val a = SpanDedup.contaminationSpans(docs, bench, "doc_id", "text", gramTokens = 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = SpanDedup.contaminationSpans(docs, bench, "doc_id", "text",
+        gramTokens = 4, broadcastBench = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("contamination spans count covered positions against a benchmark") {
     val bench = Seq((100L, "m n o p q")).toDF("doc_id", "text")
     val docs = Seq(
