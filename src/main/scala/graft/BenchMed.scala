@@ -33,7 +33,7 @@ object BenchMed {
     "q10_returned_top", "q17_small_qty", "q21_waiting_suppliers",
     "lsh_recall", "temperature_mix", "bigram_surprisal",
     "pq_topk", "pq_recall", "cluster_best", "bm25_topk", "cdc_chunks",
-    "winnow_pairs", "dsir_weights", "winnow_robust",
+    "winnow_pairs", "winnow_capped", "dsir_weights", "winnow_robust",
     "corpus_curate_best", "ivfpq_topk", "ivfpq_recall", "blocklist_filter",
     "heavy_hitters", "hard_negatives", "dsir_resample", "pq_distortion",
     "doc_pagerank", "hll_distinct", "triangle_count", "bpe_merge_pairs",

@@ -61,7 +61,7 @@ object ConfigLoader {
     }.toMap
 
     val format = opt("format").getOrElse("csv")
-    if (format != "csv" && format != "json")
+    if (format != "csv" && format != "json" && format != "parquet")
       throw new IllegalArgumentException(s"unknown format: $format")
 
     RestructureConfig(

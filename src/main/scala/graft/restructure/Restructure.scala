@@ -28,7 +28,7 @@ final case class RestructureConfig(
     extraInputDirs: Seq[String] = Seq.empty,
     outputDir: String,
     stateFile: String,
-    format: String = "csv", // csv | json
+    format: String = "csv", // csv | json | parquet
     compression: Option[String] = Some("gzip"),
     timeBinFormat: String = Times.DefaultBinFormat,
     excludeTopics: Set[String] = Set.empty,
@@ -313,6 +313,17 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     config.format match {
       case "csv"  => withCompression.option("header", "true").csv(dir)
       case "json" => withCompression.json(dir)
+      // Beyond the reference's csv/json (format/FormatFactory.kt): a
+      // columnar sink for lakehouse consumers, with the same flattened
+      // record shape and (project, user, bin) layout. `compression: none`
+      // maps to parquet's snappy default (parquet pages are the unit of
+      // IO; an uncompressed page just wastes the scan), any other codec
+      // name passes through (gzip, zstd).
+      case "parquet" =>
+        (config.compression match {
+          case Some(c) => writer.option("compression", c)
+          case None    => writer
+        }).parquet(dir)
       case other  => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }
@@ -337,8 +348,9 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
       .option("header", "true")
       .option("pathGlobFilter", "part-*")
     val df = config.format match {
-      case "csv"  => reader.csv(dir)
-      case "json" => reader.json(dir)
+      case "csv"     => reader.csv(dir)
+      case "json"    => reader.json(dir)
+      case "parquet" => reader.parquet(dir)
       case other  => throw new IllegalArgumentException(s"unknown format: $other")
     }
     if (dedup) df.distinct() else df

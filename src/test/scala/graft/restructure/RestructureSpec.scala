@@ -271,4 +271,34 @@ class RestructureSpec extends SparkSpec {
     assert(bin13.count() == 2) // original + late append
     assert(job.loadState().entries.map(_._2.to) == Seq(22L))
   }
+
+  test("restructure: parquet sink keeps the flattened layout and round-trips") {
+    val (_, base) = setup()
+    val cfg = base.copy(format = "parquet")
+    val job = new Restructure(spark, cfg)
+    val r1 = job.run()
+    assert(r1.files == 2 && r1.records == 3)
+
+    val out = new File(cfg.outputDir, "application_server_status")
+    val bin13 = new File(out,
+      "_project=STAGING_PROJECT/_user=user1/_bin=20200128_1300")
+    assert(bin13.exists(), "hourly bin layout must match the csv sink's")
+    assert(bin13.listFiles().exists(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+
+    // same flattened dotted columns as csv/json, read straight back
+    val back = job.readOutput("application_server_status")
+    assert(back.columns.sorted.toSeq == Seq(
+      "_bin", "_project", "_user",
+      "key.projectId", "key.sourceId", "key.userId",
+      "value.ipAddress", "value.serverStatus", "value.time").sorted)
+    assert(back.count() == 3)
+    assert(back.filter(
+      org.apache.spark.sql.functions.col("`value.serverStatus`") === "CONNECTED")
+      .count() == 2)
+
+    // incremental: committed state makes a re-run a no-op for parquet too
+    val r2 = new Restructure(spark, cfg).run()
+    assert(r2.files == 0 && r2.records == 0)
+  }
 }
