@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,7 +111,8 @@ object IVF {
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      shards: Int = 32): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       call_function("graft_quantize", col(vecCol)).as("__qv"))
     // rank all centroids per query and keep nprobe, as one kernel call over
@@ -128,9 +128,8 @@ object IVF {
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__v")).as("dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    // sharded two-phase ranking: a query's candidate set is nprobe/nlist
+    // of the corpus — at scale that must never sort in one task
+    Similarity.topKPerQuery(cand, "dot", k, shards = shards)
   }
 }

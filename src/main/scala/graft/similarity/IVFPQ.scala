@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -145,7 +144,8 @@ object IVFPQ {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int,
+      shards: Int = 32): DataFrame = {
     val cb = index.cb
     val cents = centMatrixLit(index.centroids)
     val q = queries.select(col(idCol).as("query_id"),
@@ -172,10 +172,8 @@ object IVFPQ {
         (col("__centdot") +
           call_function("graft_pq_adc", col("__codes"), col("__lut"), lit(cb.ksub)))
           .as("adot"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("adot").desc, col("neighbor_id").asc)
-    val short = cand.withColumn("__rk", row_number().over(ws))
-      .filter(col("__rk") <= shortlist)
+    val short = Similarity
+      .topKPerQuery(cand, "adot", shortlist, rankCol = "__rk", shards = shards)
       .select(col("query_id"), col("neighbor_id"))
     // exact rerank: |Q| x shortlist full-vector dots, broadcast-joined
     val qv = q.select(col("query_id"), col("__qv"))
@@ -184,9 +182,6 @@ object IVFPQ {
     val rer = cv.join(broadcast(short.join(broadcast(qv), "query_id")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__cv")).as("dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
-    rer.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    Similarity.topKPerQuery(rer, "dot", k, shards = shards)
   }
 }

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -161,7 +160,8 @@ object PQ {
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      shards: Int = 32): DataFrame = {
     val luts = quantize(queries, idCol, vecCol)
       .select(col("__id").as("query_id"),
         call_function("graft_pq_lut", col("__v"), cb.flatLit, lit(cb.m), lit(cb.ksub))
@@ -171,10 +171,9 @@ object PQ {
       .select(col("query_id"), col("__id").as("neighbor_id"),
         call_function("graft_pq_adc", col("__codes"), col("__lut"), lit(cb.ksub))
           .as("adot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adot").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    // the ADC scan scores the WHOLE codes table per query — rank it with
+    // the sharded two-phase top-k so no task sorts a corpus-scale set
+    Similarity.topKPerQuery(cand, "adot", k, shards = shards)
   }
 
   /** ADC shortlist + exact rerank — the production recall shape (FAISS's
@@ -195,8 +194,9 @@ object PQ {
       idCol: String,
       vecCol: String,
       k: Int,
-      shortlist: Int): DataFrame = {
-    val short = search(cb, codes, queries, idCol, vecCol, shortlist)
+      shortlist: Int,
+      shards: Int = 32): DataFrame = {
+    val short = search(cb, codes, queries, idCol, vecCol, shortlist, shards)
       .select(col("query_id"), col("neighbor_id"))
     val qv = quantize(queries, idCol, vecCol)
       .select(col("__id").as("query_id"), col("__v").as("__qv"))
@@ -205,9 +205,6 @@ object PQ {
     val rer = cv.join(broadcast(short.join(broadcast(qv), "query_id")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__cv")).as("dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
-    rer.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    Similarity.topKPerQuery(rer, "dot", k, shards = shards)
   }
 }

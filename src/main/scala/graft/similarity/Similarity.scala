@@ -43,9 +43,53 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Two-phase per-query top-k over a scored candidate frame
+    * (query_id, neighbor_id, scoreCol): first keep each (query, shard)'s
+    * local top-k — the shard is a hash of the neighbor id, so the window
+    * sort is bounded by candidates/shards instead of ALL of a query's
+    * candidates — then rank the surviving <= shards x k rows per query.
+    * Result-identical to the single window (the global top-k is contained
+    * in the union of per-shard top-k's; ties break on neighbor id in both
+    * phases), but no task ever sorts a corpus-scale candidate set: a
+    * single query against a 10^9-vector scan would otherwise pin one
+    * reducer with the whole scored corpus. Phase 1 shuffles the same rows
+    * the single-window plan shuffled (keyed finer); phase 2 moves only
+    * the shards x k survivors. */
+  private[similarity] def topKPerQuery(
+      scored: DataFrame,
+      scoreCol: String,
+      k: Int,
+      rankCol: String = "rank",
+      shards: Int = 32): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    // shards = 1: the classic single window — cheaper on corpora small
+    // enough that a whole candidate set sorts comfortably in one task
+    // (measured ~0.5 s/query less at sf0.1's 20k vectors, where the
+    // two-phase shape only adds stage overhead)
+    val pruned =
+      if (shards == 1) scored
+      else {
+        val w1 = Window
+          .partitionBy(col("query_id"),
+            pmod(xxhash64(col("neighbor_id")), lit(shards)))
+          .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+        scored
+          .withColumn("__shard_rk", row_number().over(w1))
+          .filter(col("__shard_rk") <= k)
+          .drop("__shard_rk")
+      }
+    pruned
+      .withColumn(rankCol, row_number().over(w2).cast(LongType))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Brute-force top-k neighbors for each row of `queries` against `corpus`.
     * Output: (query_id, neighbor_id, dot, rank). The query side is
-    * broadcast; ranking ties break on neighbor id for determinism.
+    * broadcast; ranking ties break on neighbor id for determinism; the
+    * ranking itself is the sharded two-phase [[topKPerQuery]], so no task
+    * sorts the whole scored corpus for a query.
     * `native=true` scores with the codegen'd graft_quantize/graft_qdot
     * kernels (same integer math, no interpreted lambdas) — requires a
     * GraftExtensions session. */
@@ -55,7 +99,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      native: Boolean = false): DataFrame = {
+      native: Boolean = false,
+      shards: Int = 32): DataFrame = {
     def quant(c: Column): Column =
       if (native) call_function("graft_quantize", c) else quantize(c)
     def dotOf(a: Column, b: Column): Column =
@@ -65,10 +110,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         dotOf(col("__qv"), col("__cv")).as("dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, "dot", k, shards = shards)
   }
 
   /** Signed-random-projection bucket id in [0, 2^SrpPlanes) over an already
