@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Synchronous majority label propagation — the semi-supervised finisher
   * for the near-duplicate graph: spread a per-document label (language,
@@ -18,10 +17,14 @@ import org.apache.spark.sql.expressions.Window
   * is materialized once (`localCheckpoint` lineage cut) and re-joined per
   * round; a round is one hash join of the slim (node, label) table
   * against the edges plus one count aggregation and one per-node
-  * arg-max window partitioned by node (bounded by each node's distinct
-  * neighbor labels — single digits — so the window never sees skew).
-  * Everything is count arithmetic + string comparison, so a SQL twin
-  * replays the unrolled rounds exactly.
+  * `min_by` arg-max AGGREGATE over struct(-count, label) — count desc,
+  * label asc, exactly the majority-with-lexicographic-tie-break rule.
+  * An aggregate rather than a window because it partial-combines
+  * map-side: a celebrity node whose neighbors carry high-cardinality
+  * labels (component ids, source domains) collapses per map task instead
+  * of shipping every distinct label row to one reducer and sorting
+  * there. Everything is count arithmetic + string comparison, so a SQL
+  * twin replays the unrolled rounds exactly.
   */
 object LabelProp {
 
@@ -45,13 +48,15 @@ object LabelProp {
       val votes = e.join(labels, col("__src") === col("node"))
         .select(col("__dst").as("node"), col("label"))
         .unionByName(labels) // self-vote
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("__c").desc, col("label").asc)
+      // arg-max by (count desc, label asc): min_by over struct(-count,
+      // label) — the (node, label) key makes the ordering struct unique,
+      // so the pick is deterministic, and the aggregate partial-combines
+      // where a per-node window would sort all label rows in one task
       labels = votes.groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("nc"), col("label").as("lb"))).as("label"))
     }
     labels
   }

@@ -48,11 +48,27 @@ object Outliers {
       .groupBy(col("__id"), col("__g"))
       .agg(sum((col("__qv") - col("__cv")) * (col("__qv") - col("__cv")))
         .as("dist"))
-    val w = Window.partitionBy(col("__g"))
+    // the outlier set is a per-group top-K selection: pick it with the
+    // sharded two-phase ranking (a plain per-group window would hold an
+    // ENTIRE group — a whole source or language, a large corpus fraction
+    // — in one task's sort), then flag the full report by joining the
+    // groups x topK winner sliver back. Both windows only ever sort
+    // group-members/shards or <= shards x topK rows.
+    val w1 = Window
+      .partitionBy(col("__g"), pmod(xxhash64(col("__id")), lit(32)))
       .orderBy(col("dist").desc, col("__id").asc)
+    val w2 = Window.partitionBy(col("__g"))
+      .orderBy(col("dist").desc, col("__id").asc)
+    val winners = dist
+      .withColumn("__srk", row_number().over(w1))
+      .filter(col("__srk") <= topK)
+      .drop("__srk")
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= topK)
+      .select(col("__g"), col("__id"), lit(true).as("__out"))
     dist
-      .withColumn("__rn", row_number().over(w))
+      .join(winners, Seq("__g", "__id"), "left")
       .select(col("__id").as(idCol), col("__g").as(groupCol), col("dist"),
-        (col("__rn") <= topK).as("is_outlier"))
+        coalesce(col("__out"), lit(false)).as("is_outlier"))
   }
 }

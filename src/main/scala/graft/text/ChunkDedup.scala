@@ -1,9 +1,9 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Corpus-global exact span deduplication (the C4-style "remove repeated
   * spans" pass): documents are cut into fixed-width non-overlapping token
@@ -14,15 +14,49 @@ import org.apache.spark.sql.types.LongType
   *
   * First occurrence is defined by (doc id, chunk index) order, so the
   * result is deterministic on any partitioning. Physical shape: one
-  * explode (narrow), one hash exchange on the chunk text for the
-  * keep-first window, one exchange back on doc id for re-assembly —
-  * shuffle linear in corpus token count, nothing driver-side. At 100 TB
-  * the chunk window's sort key is the chunk text already being shuffled,
-  * so there is no extra wide state; a hot identical chunk (classic
-  * boilerplate) concentrates its occurrences on one partition, which is
-  * exactly the row set the window must see together.
+  * explode (narrow), a map-side-combinable min-aggregate + hash-join-back
+  * on the chunk for keep-first (the [[SpanDedup.dedupSpans]] shape — a
+  * window would ship every occurrence of a boilerplate mega-chunk to ONE
+  * reducer and sort it there; the aggregate collapses it per map task
+  * before the exchange, and the join build side holds only repeated
+  * chunks), one exchange back on doc id for re-assembly — shuffle linear
+  * in corpus token count, nothing driver-side.
   */
 object ChunkDedup {
+
+  /** keep = this occurrence is the corpus-wide first of its chunk, by
+    * (doc id, index) order, computed as a hash-aggregate min + join-back
+    * instead of a per-chunk window (see [[SpanDedup.dedupSpans]] for why
+    * the encoding keeps the aggregate a codegen'd HASH aggregate: for
+    * integral ids, id * 2^32 + idx is strictly monotone in lexicographic
+    * (id, idx) and exact as decimal(38,0); non-integral ids fall back to
+    * the generic struct min). Unique chunks never enter the join build
+    * side — only repeated chunks do, typically a small fraction. */
+  private def withKeepFirst(
+      chunks: DataFrame,
+      idIsIntegral: Boolean,
+      idxCol: String): DataFrame = {
+    def firstKey: Column =
+      if (idIsIntegral)
+        col("__id").cast(DecimalType(38, 0)) * lit(4294967296L) + col(idxCol)
+      else struct(col("__id"), col(idxCol))
+    val firsts = chunks
+      .groupBy(col("chunk"))
+      .agg(min(firstKey).as("__first"), count(lit(1)).as("__occ"))
+      .where(col("__occ") > lit(1L))
+      .select(col("chunk"), col("__first"))
+    chunks
+      .join(firsts.hint("shuffle_hash"), Seq("chunk"), "left")
+      .withColumn("keep",
+        col("__first").isNull || firstKey === col("__first"))
+      .drop("__first")
+  }
+
+  private def integralId(docs: DataFrame, idCol: String): Boolean =
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
 
   /** Per-document dedup summary: (idCol, n_chunks, n_kept, dedup_text).
     * `dedup_text` is the space-joined surviving chunks (empty string when
@@ -39,9 +73,7 @@ object ChunkDedup {
         s"""transform(sequence(0, (size(__tk) - 1) div $chunkTokens),
            | i -> array_join(slice(__tk, i * $chunkTokens + 1, $chunkTokens), ' '))"""
           .stripMargin)).as(Seq("chunk_idx", "chunk")))
-    val w = Window.partitionBy(col("chunk")).orderBy(col("__id"), col("chunk_idx"))
-    chunks
-      .withColumn("keep", row_number().over(w) === 1)
+    withKeepFirst(chunks, integralId(docs, idCol), "chunk_idx")
       .groupBy(col("__id").as(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -66,8 +98,8 @@ object ChunkDedup {
     *
     * Same output and dedup semantics as dedupChunks. Physical shape: one
     * posexplode (narrow), a per-doc prefix-sum window for chunk ids (one
-    * exchange on doc id, the tokenPack shape), one exchange on chunk text
-    * for keep-first, one back on doc id to re-assemble — still linear in
+    * exchange on doc id, the tokenPack shape), then the same skew-proof
+    * min-aggregate keep-first and doc-id re-assembly — still linear in
     * corpus token count. */
   def cdcChunks(
       docs: DataFrame,
@@ -88,9 +120,7 @@ object ChunkDedup {
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(__pos, __tok))), x -> x.__tok)"),
         " ").as("chunk"))
-    val w = Window.partitionBy(col("chunk")).orderBy(col("__id"), col("chunk_id"))
-    chunks
-      .withColumn("keep", row_number().over(w) === 1)
+    withKeepFirst(chunks, integralId(docs, idCol), "chunk_id")
       .groupBy(col("__id").as(idCol))
       .agg(
         count(lit(1)).cast(LongType).as("n_chunks"),
