@@ -988,22 +988,29 @@ object Queries {
     * (the mixing weights a training run assigns per domain), the quota is the
     * exact integer share of that domain's row count, and membership is the
     * hash-ranked prefix — deterministic across runs, engines, and
-    * partitionings, unlike rand()-based sampling. One window pass per domain
-    * computes both the count and the rank, so the whole operator is a single
-    * exchange on `source`; at 100 TB a skewed mega-domain would switch to the
-    * rate-threshold form (hash % 10000 < rate_bp, no sort) — same
-    * determinism, no per-domain ordering. */
+    * partitionings, unlike rand()-based sampling. The rank comes from
+    * [[graft.operators.ShardedPrefix]] — range-sharded on the uniform hash
+    * key, so a mega-domain sorts in stratum/shards slices instead of one
+    * task — and the count from a partial-combining aggregate; the exact
+    * quota survives at 100 TB without falling back to the approximate
+    * rate-threshold form (hash % 10000 < rate_bp). */
   def domainMix(s: SparkSession, dir: String): DataFrame = {
     val rateBp = when(col("source").isin("src0", "src1"), 10000L)
       .when(col("source").isin("src2", "src3"), 5000L)
       .otherwise(2500L)
     val h = (col("doc_id") % Hashing.P * Hashing.TokenHashA) % Hashing.P
-    val bySource = Window.partitionBy(col("source"))
-    t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), rateBp.as("rate_bp"), h.as("h"))
-      .withColumn("sample_rank",
-        row_number().over(bySource.orderBy(col("h"), col("doc_id"))).cast(LongType))
-      .withColumn("n_docs", count(lit(1)).over(bySource))
+    // exact per-source rank WITHOUT a whole-stratum sort: the hash-rank
+    // order key is uniform on [0, P), so the range-sharded prefix rank
+    // bounds every task at stratum/shards; n_docs likewise comes from a
+    // partial-combining aggregate, not an unordered count window that
+    // would buffer each stratum in one task
+    val nDocs = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    graft.operators.ShardedPrefix
+      .withRankAndSum(base, Seq("source"), "h", "doc_id",
+        rankName = "sample_rank")
+      .join(broadcast(nDocs), "source")
       .filter(col("sample_rank") <=
         greatest(lit(1L), expr("n_docs * rate_bp div 10000")))
       .select(col("doc_id"), col("source"), col("sample_rank"))
@@ -1238,15 +1245,24 @@ object Queries {
     * or day, unlike rand()-based sampling) and the k-minimum-values
     * distinct estimate est = (k-1) * P div h_k, the classical
     * cross-check for [[hllDistinct]] from an entirely different
-    * estimator family. The per-source top-k window sees only each
-    * source's rows and web-scale swaps it for a bounded priority
-    * aggregate; nothing corpus-wide shuffles. */
+    * estimator family. The bottom-k selection is the sharded two-phase
+    * ranking (per (source, doc-hash shard) local bottom-k, then a final
+    * rank over the <= shards x k survivors), so no task ever sorts a
+    * whole source; result-identical because the global bottom-k is
+    * contained in the union of per-shard bottom-k's and both phases
+    * break ties on doc_id. */
   def kmvBottomK(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Hashing.P
     val k = 10
+    val w1 = Window
+      .partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(32L)))
+      .orderBy(col("h"), col("doc_id"))
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     t(s, dir, "documents")
       .select(col("source"), col("doc_id"), HLL.mix(col("doc_id")).as("h"))
+      .withColumn("__srk", row_number().over(w1))
+      .filter(col("__srk") <= k)
+      .drop("__srk")
       .withColumn("pos", row_number().over(w).cast(LongType))
       .filter(col("pos") <= k)
       .withColumn("kmv_est",
@@ -1593,10 +1609,10 @@ object Queries {
                | div (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)""".stripMargin))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("part_millis")).as("score_millis"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_millis").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 10)
+    // per-query ranking via the sharded two-phase top-k: a probe term
+    // shared by a large corpus fraction would otherwise send that
+    // query's whole candidate set to one window partition
+    Similarity.topKPerQuery(scored, "score_millis", 10, idCol = "doc_id")
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1663,15 +1679,30 @@ object Queries {
   /** Quota-based stratified split: exactly 5 eval docs per source, chosen
     * by ranking the stable per-doc hash within each stratum — the
     * balanced-eval-set sibling of `stable_split`'s proportional buckets.
-    * Deterministic on any partitioning; one rank window per stratum. */
+    * Deterministic on any partitioning. The quota pick is the sharded
+    * two-phase bottom-k (per (source, shard) local bottom-5, final rank
+    * over <= shards x 5 survivors) and the winner sliver joins back to
+    * flag the full corpus — no task ever sorts a whole stratum, and the
+    * join build side is sources x 5 rows. */
   def quotaSplit(s: SparkSession, dir: String): DataFrame = {
     val h = col("doc_id") % Hashing.P * Hashing.TokenHashA % Hashing.P
-    val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
-    t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), h.as("__h"))
-      .withColumn("__rn", row_number().over(w))
+    val w1 = Window
+      .partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(32L)))
+      .orderBy(col("__h"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+    val winners = base
+      .withColumn("__srk", row_number().over(w1))
+      .filter(col("__srk") <= 5)
+      .drop("__srk")
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= 5)
+      .select(col("doc_id"), lit(true).as("__eval"))
+    base
+      .join(broadcast(winners), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
-        when(col("__rn") <= 5, "eval").otherwise("train").as("split"))
+        when(col("__eval").isNotNull, "eval").otherwise("train").as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -1902,23 +1933,31 @@ object Queries {
     * query keeps the direct plan; both are pinned by the same oracle.) */
   /** Shared backbone of ngram_jaccard_pairs and containment_pairs: the
     * df-capped exploded (doc_id, shingle) co-occurrence rows plus per-doc
-    * capped set sizes. One explicit exchange on x feeds the df window,
-    * BOTH self-join sides, and the sizes aggregate: identical child plans
-    * -> Spark reuses the shuffle stage, so the (expensive, interpreted)
-    * shingle pipeline runs exactly once instead of once per plan branch.
-    * Sizes come from the exploded rows (sh is already distinct), NOT
-    * size(sh): an aggregate attribute can't be inlined by constraint
-    * inference into a quadratic interpreted filter over the shingle tree;
-    * counting after the df filter makes the semantics "over the df-capped
-    * sets" — exact, and identical to unfiltered when the cap exceeds the
-    * corpus max df. Returns (exploded, sizes, pair intersections). */
+    * capped set sizes. One explicit exchange on x feeds the df aggregate,
+    * the anti-join probe, BOTH self-join sides, and the sizes aggregate:
+    * identical child plans -> Spark reuses the shuffle stage, so the
+    * (expensive, interpreted) shingle pipeline runs exactly once instead
+    * of once per plan branch. The cap itself is a heavy-shingle ANTI-JOIN
+    * rather than a count window: the df aggregate partial-combines
+    * map-side, so the boilerplate shingle the cap exists for collapses
+    * per map task instead of shipping every occurrence into one buffered
+    * window partition, and the build side holds only the <= occ/cap
+    * shingles above the cap. Sizes come from the exploded rows (sh is
+    * already distinct), NOT size(sh): an aggregate attribute can't be
+    * inlined by constraint inference into a quadratic interpreted filter
+    * over the shingle tree; counting after the df filter makes the
+    * semantics "over the df-capped sets" — exact, and identical to
+    * unfiltered when the cap exceeds the corpus max df. */
   private def dfCappedPairBackbone(d: DataFrame): (DataFrame, DataFrame) = {
     val sets = MinHash.withShingles(d, "doc_id", "text", native = true)
       .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
-    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
+    val occ = sets.select(col("doc_id"), explode(col("sh")).as("x"))
       .repartition(col("x"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
-      .filter(col("df") <= NgramMaxDf)
+    val heavy = occ.groupBy(col("x"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramMaxDf)
+      .select(col("x"))
+    val exploded = occ.join(heavy, Seq("x"), "left_anti")
       .select(col("doc_id"), col("x"))
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     (exploded, sizes)
@@ -2158,10 +2197,9 @@ object Queries {
       .filter(col("label") =!= col("__qlab"))
       .select(col("query_id"), col("__id").as("neighbor_id"), col("label"),
         call_function("graft_qdot", col("__qv"), col("__v")).as("dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 10)
+    // sharded two-phase top-k: an IVF list holding a corpus-scale hot
+    // cluster would otherwise sort one query's whole probe set in a task
+    Similarity.topKPerQuery(cand, "dot", 10)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2365,8 +2403,9 @@ object Queries {
     * weight values, KBs) is cumulated once on the driver side of a
     * broadcast, docs in buckets wholly under budget are admitted with a
     * hash-join against that tiny table, and only the single budget-
-    * crossing bucket pays a (per-bucket) admission window — the same
-    * `cum <= budget` convention as token_budget_mix. */
+    * crossing bucket pays an admission prefix-sum — range-sharded via
+    * [[graft.operators.ShardedPrefix]] so even a mega-bucket never sorts
+    * in one task; same `cum <= budget` convention as token_budget_mix. */
   def dsirResample(s: SparkSession, dir: String): DataFrame = {
     val B = 8000L
     val w = dsirWeights(s, dir)
@@ -2378,12 +2417,16 @@ object Queries {
       .withColumn("cum_before", col("cum") - col("bt"))
     val joined = w.join(broadcast(cum), "wgt")
     val full = joined.filter(col("cum") <= B)
-    val crossing = joined
-      .filter(col("cum") > B && col("cum_before") < B)
-      .withColumn("c2", sum(col("n_tokens")).over(
-        Window.partitionBy(col("wgt")).orderBy(col("doc_id"))))
+    // the crossing bucket's admission prefix-sum is range-sharded on
+    // doc_id (ShardedPrefix), so even a bucket holding a large corpus
+    // fraction — many docs share one weight value — never sorts in a
+    // single task
+    val crossing = graft.operators.ShardedPrefix
+      .withRankAndSum(joined.filter(col("cum") > B && col("cum_before") < B),
+        Seq("wgt"), "doc_id", "doc_id",
+        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "c2")
       .filter(col("c2") <= lit(B) - col("cum_before"))
-      .drop("c2")
+      .drop("c2", "__rank")
     full.unionByName(crossing)
       .select(col("doc_id"), col("wgt").as("millis_per_token"), col("n_tokens"))
       .orderBy(col("doc_id"))
@@ -2523,18 +2566,20 @@ object Queries {
   /** Token-budget domain mixing — real mixes are specified in TOKENS, not
     * document counts: per source, documents are admitted in hash-rank
     * order until the cumulative token count exceeds the source's budget.
-    * One running-sum window per source (the per-source sort is the quota
-    * price, same as domain_mix); membership is deterministic on any
-    * engine or partitioning because the rank order and the token counts
-    * are both exact integers. */
+    * The running sum is [[graft.operators.ShardedPrefix]]'s distributed
+    * prefix sum over the uniform hash order, so a mega-source never sorts
+    * in one task; membership is deterministic on any engine or
+    * partitioning because the rank order and the token counts are both
+    * exact integers. */
   def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
     val budget = when(col("source").isin("src0", "src1"), 1000L).otherwise(400L)
-    t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
         expr(s"(doc_id % ${Hashing.P}L * ${Hashing.TokenHashA}L) % ${Hashing.P}L").as("h"))
-      .withColumn("cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+    graft.operators.ShardedPrefix
+      .withRankAndSum(base, Seq("source"), "h", "doc_id",
+        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "cum")
       .filter(col("cum") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
       .orderBy(col("source"), col("cum"))
@@ -2555,7 +2600,8 @@ object Queries {
     * `aggregate(array_sort(...))`, DuckDB `list_reduce(list(... ORDER BY
     * source))`) — bit-identical IEEE result, hash-pinned like everything
     * else. Scale: the fold is over #sources (tiny); docs shuffle once for
-    * the per-source window, same as token_budget_mix. */
+    * the sharded prefix sum, same as token_budget_mix — no whole-source
+    * sort in any task. */
   def temperatureMix(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -2571,9 +2617,10 @@ object Queries {
       .select(col("source"),
         floor(lit(5000.0) * sqrt(col("n_src").cast(DoubleType)) / col("z"))
           .cast(LongType).as("budget"))
-    docs.join(broadcast(budgets), "source")
-      .withColumn("cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+    graft.operators.ShardedPrefix
+      .withRankAndSum(docs.join(broadcast(budgets), "source"),
+        Seq("source"), "h", "doc_id",
+        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "cum")
       .filter(col("cum") <= col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"), col("budget"))
       .orderBy(col("source"), col("cum"))
@@ -2808,9 +2855,14 @@ object Queries {
       .select(col("doc_id"),
         concat(unhex(lit("0004000401")),
           substring(col("text"), 1, 16).cast(BinaryType)).as("payload"))
-    val w = Window.partitionBy(col("phash"))
-    graft.multimodal.Multimodal.phash(src, "payload", bits = 16)
-      .withColumn("n_same", count(lit(1)).over(w))
+    // group-size via aggregate + join-back, not a count window: the
+    // aggregate partial-combines, so a corpus-wide boilerplate image
+    // (tracking pixel, default avatar) collapses map-side instead of
+    // buffering every copy in one window partition
+    val hashed = graft.multimodal.Multimodal.phash(src, "payload", bits = 16)
+    val counts = hashed.groupBy(col("phash")).agg(count(lit(1)).as("n_same"))
+    hashed
+      .join(counts, Seq("phash"))
       .select(col("doc_id"), col("phash"), col("n_same"),
         (col("n_same") > 1).as("is_dup"))
       .orderBy(col("doc_id"))

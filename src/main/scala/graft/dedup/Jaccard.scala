@@ -50,12 +50,21 @@ object Jaccard {
       .filter(size(col("__set")) > 0)
     if (maxDf == Long.MaxValue) raw
     else {
-      // redefine each set as {x : df(x) <= maxDf}: one exchange on the
-      // shingle feeds the df window, one on the id rebuilds the arrays
-      raw
-        .select(col("__id"), explode(col("__set")).as("__x"))
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__x"))))
-        .filter(col("__df") <= maxDf)
+      // redefine each set as {x : df(x) <= maxDf} with a heavy-shingle
+      // anti-join, NOT a count window: the df aggregate partial-combines
+      // map-side (the stop-shingle the cap exists for would otherwise
+      // ship every one of its occurrences to a single window partition
+      // and buffer them there), and the join build side holds only the
+      // shingles ABOVE the cap — at most occurrences/maxDf distinct
+      // values, so for any production-sized cap it broadcasts (AQE picks
+      // that up from the runtime size; no hint, because a tiny maxDf can
+      // legitimately make the heavy set corpus-scale)
+      val occ = raw.select(col("__id"), explode(col("__set")).as("__x"))
+      val heavy = occ.groupBy(col("__x"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select(col("__x"))
+      occ.join(heavy, Seq("__x"), "left_anti")
         .groupBy(col("__id"))
         .agg(sort_array(collect_list(col("__x"))).as("__set"))
         .filter(size(col("__set")) > 0)

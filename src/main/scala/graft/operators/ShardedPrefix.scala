@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact per-group rank and running sum over (orderCol asc, tieCol asc)
+  * without any task ever sorting a whole group — the distributed
+  * prefix-sum shape behind quota, budget, and proportional-sample
+  * selections (`domain_mix`, `token_budget_mix`, `temperature_mix`,
+  * `dsir_resample`), whose single per-group window otherwise ships an
+  * entire stratum to one reducer at corpus scale.
+  *
+  * Shape: rows are RANGE-sharded on the order key — `shard =
+  * (orderCol - min) div width` with `width = span div shards + 1`, a
+  * monotone bucketing, so shard order IS rank order and no cross-shard
+  * interleaving exists. Each (group, shard) computes its local rank and
+  * running sum in a window bounded by its own slice; the (group, shard)
+  * totals table — at most groups x shards rows — is cumulated in a tiny
+  * window and broadcast-joined back, adding every earlier shard's count
+  * and sum. Row-for-row identical to the single per-group window on ANY
+  * input (correctness never depends on the key distribution); the
+  * per-task sort is group/shards when the order key is ~uniform (the
+  * stable-hash rank orders all callers use) and degrades only as far as
+  * the key clusters. Cost: one extra tiny aggregate + broadcast join over
+  * the same single data exchange the plain window pays.
+  */
+object ShardedPrefix {
+
+  /** Adds `rankName` (long, 1-based) and — when `sumCol` is set —
+    * `cumName` (running sum INCLUDING the current row) per `groupCols`
+    * group in (orderCol, tieCol) order. `orderCol` must be an integral
+    * column; `tieCol` must make the order total within a group. */
+  def withRankAndSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      shards: Int = 32,
+      rankName: String = "rank",
+      sumCol: Option[String] = None,
+      cumName: String = "cum"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val g = groupCols.map(col)
+    val mm = df.groupBy(g: _*)
+      .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"))
+    // width = span div shards + 1: overflow-free for any long range and
+    // never zero; a group narrower than `shards` just leaves buckets empty
+    val sharded = df.join(broadcast(mm), groupCols)
+      .withColumn("__shard",
+        expr(s"(`$orderCol` - __mn) div ((__mx - __mn) div $shards + 1)"))
+      .drop("__mn", "__mx")
+    val byShard = (g :+ col("__shard"))
+    val wL = Window.partitionBy(byShard: _*)
+      .orderBy(col(orderCol), col(tieCol))
+    val local0 = sharded.withColumn("__lrank", row_number().over(wL).cast(LongType))
+    val local = sumCol.fold(local0)(c =>
+      local0.withColumn("__lsum", sum(col(c)).over(wL)))
+    val aggs = Seq(count(lit(1)).as("__n")) ++ sumCol.map(c => sum(col(c)).as("__t"))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off0 = sharded.groupBy(byShard: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__rankoff", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+    val off = sumCol.fold(off0)(_ =>
+      off0.withColumn("__sumoff", coalesce(sum(col("__t")).over(wOff), lit(0L))))
+    val joined = local.join(broadcast(off.drop("__n", "__t")),
+      groupCols :+ "__shard")
+    val ranked = joined.withColumn(rankName, col("__rankoff") + col("__lrank"))
+    sumCol.fold(ranked)(_ =>
+        ranked.withColumn(cumName, col("__sumoff") + col("__lsum")))
+      .drop("__shard", "__lrank", "__lsum", "__rankoff", "__sumoff")
+  }
+}

@@ -55,15 +55,17 @@ object Similarity {
     * reducer with the whole scored corpus. Phase 1 shuffles the same rows
     * the single-window plan shuffled (keyed finer); phase 2 moves only
     * the shards x k survivors. */
-  private[similarity] def topKPerQuery(
+  private[graft] def topKPerQuery(
       scored: DataFrame,
       scoreCol: String,
       k: Int,
       rankCol: String = "rank",
-      shards: Int = 32): DataFrame = {
+      shards: Int = 32,
+      queryCol: String = "query_id",
+      idCol: String = "neighbor_id"): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
     // shards = 1: the classic single window — cheaper on corpora small
     // enough that a whole candidate set sorts comfortably in one task
     // (measured ~0.5 s/query less at sf0.1's 20k vectors, where the
@@ -72,9 +74,9 @@ object Similarity {
       if (shards == 1) scored
       else {
         val w1 = Window
-          .partitionBy(col("query_id"),
-            pmod(xxhash64(col("neighbor_id")), lit(shards)))
-          .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+          .partitionBy(col(queryCol),
+            pmod(xxhash64(col(idCol)), lit(shards)))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)
         scored
           .withColumn("__shard_rk", row_number().over(w1))
           .filter(col("__shard_rk") <= k)
