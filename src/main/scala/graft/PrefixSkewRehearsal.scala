@@ -53,7 +53,8 @@ object PrefixSkewRehearsal {
       .withColumn("cum", sum(col("n_tokens")).over(w))
     val newSharded = ShardedPrefix.withRankAndSum(
       docs, Seq("source"), "h", "doc_id",
-      rankName = "rank", sumCol = Some("n_tokens"), cumName = "cum")
+      rankName = "rank", sumCol = Some("n_tokens"), cumName = "cum",
+      orderRange = Some((0L, P - 1))) // the static-range production path
 
     def measure(label: String)(df: => DataFrame): Unit = (1 to 2).foreach { rep =>
       durs.synchronized(durs.clear())

@@ -1009,7 +1009,7 @@ object Queries {
     val nDocs = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     graft.operators.ShardedPrefix
       .withRankAndSum(base, Seq("source"), "h", "doc_id",
-        rankName = "sample_rank")
+        rankName = "sample_rank", orderRange = Some((0L, Hashing.P - 1)))
       .join(broadcast(nDocs), "source")
       .filter(col("sample_rank") <=
         greatest(lit(1L), expr("n_docs * rate_bp div 10000")))
@@ -2420,11 +2420,17 @@ object Queries {
     // the crossing bucket's admission prefix-sum is range-sharded on
     // doc_id (ShardedPrefix), so even a bucket holding a large corpus
     // fraction — many docs share one weight value — never sorts in a
-    // single task
+    // single task. The shard bounds come from a column-stats scan of the
+    // base table (loose bounds only cost shard balance, never
+    // correctness), NOT a min/max over the scored frame — that would
+    // re-run the whole DSIR scoring pipeline a second time
+    val idBounds = t(s, dir, "documents")
+      .agg(min(col("doc_id")), max(col("doc_id"))).head
     val crossing = graft.operators.ShardedPrefix
       .withRankAndSum(joined.filter(col("cum") > B && col("cum_before") < B),
         Seq("wgt"), "doc_id", "doc_id",
-        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "c2")
+        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "c2",
+        orderRange = Some((idBounds.getLong(0), idBounds.getLong(1))))
       .filter(col("c2") <= lit(B) - col("cum_before"))
       .drop("c2", "__rank")
     full.unionByName(crossing)
@@ -2579,7 +2585,8 @@ object Queries {
         expr(s"(doc_id % ${Hashing.P}L * ${Hashing.TokenHashA}L) % ${Hashing.P}L").as("h"))
     graft.operators.ShardedPrefix
       .withRankAndSum(base, Seq("source"), "h", "doc_id",
-        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "cum")
+        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "cum",
+        orderRange = Some((0L, Hashing.P - 1)))
       .filter(col("cum") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
       .orderBy(col("source"), col("cum"))
@@ -2620,7 +2627,8 @@ object Queries {
     graft.operators.ShardedPrefix
       .withRankAndSum(docs.join(broadcast(budgets), "source"),
         Seq("source"), "h", "doc_id",
-        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "cum")
+        rankName = "__rank", sumCol = Some("n_tokens"), cumName = "cum",
+        orderRange = Some((0L, Hashing.P - 1)))
       .filter(col("cum") <= col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"), col("budget"))
       .orderBy(col("source"), col("cum"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.state.{OffsetRangeSet, TopicPartition}
@@ -30,13 +29,27 @@ object Intervals {
       groupCols: Seq[String],
       offsetCol: String,
       mtimeCol: Option[String] = None): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(offsetCol))
-    // island id = offset - dense rank of offset within group: constant per
-    // maximal run of consecutive offsets. row_number works because offsets
-    // are distinct within a group (Kafka offsets are).
-    val withIsland = df
-      .select((groupCols :+ offsetCol) .map(col) ++ mtimeCol.map(col).toSeq: _*)
-      .withColumn("__island", col(offsetCol) - row_number().over(w))
+    // island id = offset - rank of offset within group: constant per
+    // maximal run of consecutive offsets. row_number semantics hold
+    // because offsets are distinct within a group (Kafka offsets are).
+    // The rank comes from ShardedPrefix's range-sharded prefix (not a
+    // per-group window): a topic-partition holds billions of offsets at
+    // crawl scale, and offsets are dense, so range-sharding the offset
+    // axis keeps every task's sort at group/shards while the island
+    // arithmetic stays exact. Empty groupCols (one global island set)
+    // ride a constant group key.
+    val (keys, projected0) =
+      if (groupCols.nonEmpty)
+        (groupCols,
+          df.select((groupCols :+ offsetCol).map(col) ++ mtimeCol.map(col).toSeq: _*))
+      else
+        (Seq("__g"),
+          df.select(Seq(col(offsetCol)) ++ mtimeCol.map(col).toSeq: _*)
+            .withColumn("__g", lit(0)))
+    val withIsland = ShardedPrefix
+      .withRankAndSum(projected0, keys, offsetCol, offsetCol, rankName = "__rn")
+      .withColumn("__island", col(offsetCol) - col("__rn"))
+      .drop("__rn", "__g")
     val aggs =
       Seq(
         min(col(offsetCol)).as("range_from"),

@@ -42,13 +42,23 @@ class ShardedPrefixSpec extends SparkSpec {
   test("rank and running sum match the single-window reference") {
     val prop = Prop.forAll(genRows) { case (rows, shards) =>
       val df = rows.toDF("g", "o", "t", "v")
+      val expect = reference(rows)
       val got = ShardedPrefix
         .withRankAndSum(df, Seq("g"), "o", "t", shards = shards,
           rankName = "rk", sumCol = Some("v"), cumName = "cm")
         .select("g", "t", "rk", "cm")
         .as[(String, Long, Long, Long)].collect()
         .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
-      got == reference(rows)
+      // static-range path with deliberately LOOSE bounds: looseness may
+      // empty some shards but must never change the result
+      val gotStatic = ShardedPrefix
+        .withRankAndSum(df, Seq("g"), "o", "t", shards = shards,
+          rankName = "rk", sumCol = Some("v"), cumName = "cm",
+          orderRange = Some((-2000000L, 3000000L)))
+        .select("g", "t", "rk", "cm")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      got == expect && gotStatic == expect
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
