@@ -1808,6 +1808,90 @@ object Oracles {
          | 9::BIGINT * $P // MAX(h) OVER (PARTITION BY source) AS kmv_est
          |FROM kept ORDER BY source, pos""".stripMargin,
 
+    // mergeable bottom-64 hash-sample quantiles: same three-round mix as
+    // the KMV sketch selects the sample; quantiles are floor-rank order
+    // statistics (pos = 1 + (n-1)*q//100) of the sample by (value, id)
+    "sample_quantiles" ->
+      s"""WITH x0 AS (SELECT source, doc_id, n_chars,
+         |  (doc_id % $P) * $TokenHashA % $P AS a1 FROM documents),
+         |x1 AS (SELECT source, doc_id, n_chars,
+         |  xor(a1, a1 >> 15) % $P * $TokenHashB % $P AS a3 FROM x0),
+         |x AS (SELECT source, doc_id, n_chars,
+         |  xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1),
+         |r AS (SELECT source, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pos FROM x),
+         |kept AS (SELECT * FROM r WHERE pos <= 64),
+         |v AS (SELECT source, doc_id, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+         |    AS BIGINT) AS vrk,
+         |  COUNT(*) OVER (PARTITION BY source) AS ns FROM kept),
+         |q AS (SELECT source, MAX(ns) AS n_sample,
+         |  MAX(CASE WHEN vrk = 1 + (ns - 1) * 10 // 100 THEN n_chars END) AS p10,
+         |  MAX(CASE WHEN vrk = 1 + (ns - 1) * 25 // 100 THEN n_chars END) AS p25,
+         |  MAX(CASE WHEN vrk = 1 + (ns - 1) * 50 // 100 THEN n_chars END) AS p50,
+         |  MAX(CASE WHEN vrk = 1 + (ns - 1) * 75 // 100 THEN n_chars END) AS p75,
+         |  MAX(CASE WHEN vrk = 1 + (ns - 1) * 90 // 100 THEN n_chars END) AS p90
+         | FROM v GROUP BY source),
+         |c AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source)
+         |SELECT source, n_rows, n_sample, p10, p25, p50, p75, p90
+         |FROM q JOIN c USING (source) ORDER BY source""".stripMargin,
+
+    // url canonicalization: the oracle DERIVES the expected canonical form
+    // analytically from (doc_id, source) — an independent reconstruction,
+    // not a second run of the same parser
+    "url_canonicalize" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END AS scheme_raw,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN source || '.example.com'
+        |    WHEN 1 THEN 'WWW.' || source || '.Example.COM'
+        |    WHEN 2 THEN source || '.news.co.uk'
+        |    ELSE 'cdn.' || source || '.example.org' END AS host_raw,
+        |  CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END AS port_raw,
+        |  '/Docs/' || doc_id || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END AS path_raw,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN '?b=' || (doc_id % 7) || '&utm_source=feed&a=1'
+        |    WHEN 1 THEN '?a=1&b=' || (doc_id % 7)
+        |    ELSE '?utm_campaign=x&ref=home' END AS query_raw,
+        |  CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END AS frag_raw
+        | FROM documents)
+        |SELECT doc_id,
+        |  scheme_raw || '://' || host_raw || port_raw || path_raw || query_raw
+        |    || frag_raw AS url_raw,
+        |  'https://' || lower(host_raw)
+        |    || CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END
+        |    || '/Docs/' || doc_id
+        |    || CASE WHEN doc_id % 3 = 2 THEN ''
+        |         ELSE '?a=1&b=' || (doc_id % 7) END AS url_canon
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // url dedup: all four raw spellings of a page collapse to one key
+    "url_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |  'https://h' || (doc_id // 4 % 50) || '.example.com/page/'
+        |    || (doc_id // 4) AS url_key
+        | FROM documents)
+        |SELECT url_key, MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups
+        |FROM k GROUP BY url_key ORDER BY url_key""".stripMargin,
+
+    // registered-domain stats: generic label logic (last 2 labels, or 3
+    // when the last 2 are a multi-label public suffix)
+    "url_domain_stats" ->
+      """WITH h AS (SELECT CASE doc_id % 4
+        |   WHEN 0 THEN source || '.example.com'
+        |   WHEN 1 THEN 'www.' || source || '.example.com'
+        |   WHEN 2 THEN source || '.news.co.uk'
+        |   ELSE 'cdn.' || source || '.example.org' END AS host FROM documents),
+        |g AS (SELECT host, string_split(host, '.') AS l FROM h),
+        |rd AS (SELECT host, CASE
+        |   WHEN len(l) <= 2 THEN host
+        |   WHEN l[-2] || '.' || l[-1] IN
+        |     ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br')
+        |     THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+        |   ELSE l[-2] || '.' || l[-1] END AS reg_domain FROM g)
+        |SELECT reg_domain, COUNT(*) AS n_urls, COUNT(DISTINCT host) AS n_hosts
+        |FROM rd GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+
     // majority label propagation, 2 synchronous rounds unrolled; self-vote
     // included, ties to the smallest label — all deterministic
     "label_spread" -> {

@@ -1,14 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Strings, Times}
+import graft.functions.{Strings, Times, Urls}
 import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, KCore, LabelProp, PageRank, RangeJoin, Sessionize, Triangles}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
-import graft.sketch.HLL
+import graft.sketch.{HLL, SampleQuantiles}
 import graft.similarity.{IVF, IVFPQ, Outliers, PQ, SemanticDedup, Similarity}
 import graft.text.{BPE, ChunkDedup, Hashing, LinearModel, SpanDedup, Text}
 
@@ -1270,6 +1270,92 @@ object Queries {
       .select(col("source"), col("pos"), col("doc_id"), col("h"), col("kmv_est"))
       .orderBy(col("source"), col("pos"))
   }
+
+  /** Mergeable per-source quantiles of document length from a
+    * deterministic bottom-64 hash sample ([[SampleQuantiles]]) beside the
+    * exact group count — the quantile member of the sketch family. */
+  def sampleQuantiles(s: SparkSession, dir: String): DataFrame =
+    SampleQuantiles.perGroup(
+      t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+      Seq("source"), "n_chars", "doc_id")
+      .orderBy(col("source"))
+
+  // ------------------------------------------------------------------ urls
+
+  /** Deterministic messy-URL synthesis (the documents table has no URL
+    * column): raw spellings with mixed case, default ports, tracking
+    * params, unsorted queries, trailing slashes, and fragments, derived
+    * from (doc_id, source) so the DuckDB twin rebuilds both the raw
+    * string AND the expected canonical form analytically — an
+    * independent derivation, not a re-run of the same parser. */
+  private def rawUrl: Column = {
+    val d = col("doc_id")
+    val ds = col("doc_id").cast(StringType)
+    val s = col("source")
+    val scheme = when(d % 2 === 0, "https").otherwise("HTTPS")
+    val host = when(d % 4 === 0, concat(s, lit(".example.com")))
+      .when(d % 4 === 1, concat(lit("WWW."), s, lit(".Example.COM")))
+      .when(d % 4 === 2, concat(s, lit(".news.co.uk")))
+      .otherwise(concat(lit("cdn."), s, lit(".example.org")))
+    val port = when(d % 5 === 0, ":443").when(d % 5 === 1, ":8080").otherwise("")
+    val path = concat(lit("/Docs/"), ds, when(d % 3 === 0, "/").otherwise(""))
+    val query = when(d % 3 === 0,
+        concat(lit("?b="), (d % 7).cast(StringType), lit("&utm_source=feed&a=1")))
+      .when(d % 3 === 1, concat(lit("?a=1&b="), (d % 7).cast(StringType)))
+      .otherwise(lit("?utm_campaign=x&ref=home"))
+    val frag = when(d % 5 === 0, "#Frag").otherwise("")
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** URL canonicalization ([[Urls.canonicalize]]): lowercased scheme and
+    * host, default port and fragment dropped, trailing slash stripped,
+    * tracking params removed, remaining params sorted. A narrow
+    * codegen'd projection — the step a crawl pipeline runs before any
+    * content dedup. */
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), rawUrl.as("url_raw"))
+      .select(col("doc_id"), col("url_raw"),
+        Urls.canonicalize(col("url_raw")).as("url_canon"))
+      .orderBy(col("doc_id"))
+
+  /** URL-level dedup: four raw spellings per page (www + default port +
+    * trailing slash, tracking param, fragment) collapse onto one
+    * [[Urls.dedupKey]]; keep-min doc per key with the duplicate count.
+    * One map-side-combined group-by on the canonical key — no content
+    * ever compared. */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val page = expr("doc_id div 4").cast(StringType)
+    // host derives from the page id (not the row) so all four spellings of
+    // a page land on the same site regardless of how doc_ids map to sources
+    val h = concat(lit("h"), expr("doc_id div 4 % 50").cast(StringType))
+    val hUp = upper(h)
+    val raw = when(d % 4 === 0,
+        concat(lit("https://"), h, lit(".example.com/page/"), page))
+      .when(d % 4 === 1,
+        concat(lit("HTTPS://WWW."), hUp, lit(".Example.COM:443/page/"), page, lit("/")))
+      .when(d % 4 === 2,
+        concat(lit("https://"), h, lit(".example.com/page/"), page, lit("?utm_source=feed")))
+      .otherwise(
+        concat(lit("https://www."), h, lit(".example.com/page/"), page, lit("#top")))
+    t(s, dir, "documents")
+      .select(d, Urls.dedupKey(raw).as("url_key"))
+      .groupBy(col("url_key"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_dups"))
+      .orderBy(col("url_key"))
+  }
+
+  /** Registered-domain (eTLD+1) crawl report over canonical hosts
+    * ([[Urls.registeredDomain]]): the unit crawl pipelines budget and
+    * rate-limit by, including the multi-label public-suffix rule
+    * (news.co.uk stays a registered domain; example.com absorbs www). */
+  def urlDomainStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(lower(try_parse_url(rawUrl, lit("HOST"))).as("host"))
+      .groupBy(Urls.registeredDomain(col("host")).as("reg_domain"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("host")).as("n_hosts"))
+      .orderBy(col("reg_domain"))
 
   // -------------------------------------------------------- near-dup / ANN
 
@@ -2960,6 +3046,10 @@ object Queries {
     "heavy_hitters" -> heavyHitters _,
     "hll_distinct" -> hllDistinct _,
     "kmv_bottomk" -> kmvBottomK _,
+    "sample_quantiles" -> sampleQuantiles _,
+    "url_canonicalize" -> urlCanonicalize _,
+    "url_dedup" -> urlDedup _,
+    "url_domain_stats" -> urlDomainStats _,
     "vocab_growth" -> vocabGrowth _,
     "neardup_cluster_sizes" -> neardupClusterSizes _,
     "ivf_balance" -> ivfBalance _,

@@ -1,0 +1,104 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Mergeable per-group quantile estimation by deterministic bottom-k
+  * sampling — the quantile member of the sketch family (HLL =
+  * cardinality, CMS = frequency, KMV = bottom-k distinct): what are a
+  * group's value quantiles, answered from a fixed-size uniform sample
+  * instead of a per-group sort of the whole corpus.
+  *
+  * The sample is the k rows with the smallest [[HLL.mix]] hash of the
+  * row id — the same deterministic uniform-without-replacement device as
+  * the KMV sketch, so it is reproducible on any engine, partitioning, or
+  * day (unlike rand()-based sampling), and MERGEABLE: bottom-k of a
+  * union is the bottom-k of the per-part bottom-k's, which is exactly
+  * what a 1000-executor tree aggregation or a day-over-day incremental
+  * refresh needs. Quantiles are then floor-rank order statistics of the
+  * sample in EXACT integer arithmetic: position 1 + (n-1)*q/100 (integer
+  * division) of the sample sorted by (value, id) — the "lower"
+  * interpolation rule, engine-portable, and EXACT whenever the group has
+  * at most k rows (the sample is then the whole group).
+  *
+  * Scale shape: phase 1 ranks per (group, id-hash shard) so no task ever
+  * sorts a whole group — a crawl domain with 10^9 docs costs each task
+  * ~1/shards of the group, and only shards*k survivors per group reach
+  * the final rank (the same sharded-top-k discipline as kmv_bottomk).
+  * Everything after that is windows over <= k rows per group plus one
+  * broadcast-joined exact count. Standard error of a sample quantile q
+  * is sqrt(q(1-q)/k) in rank space — k=64 gives ~6 rank points at the
+  * median; callers needing tighter bounds raise k, never re-sort.
+  */
+object SampleQuantiles {
+
+  /** Default sample size per group. */
+  val K = 64
+  /** Phase-1 shard count for the bottom-k selection. */
+  val Shards = 32
+
+  /** Deterministic uniform bottom-k sample per group: input columns of
+    * `cols` plus `h` (the sample hash). `idCol` must be unique per row. */
+  def bottomK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      k: Int = K): DataFrame = {
+    val gc = groupCols.map(col)
+    val shard = pmod(xxhash64(col(idCol)), lit(Shards.toLong))
+    val w1 = Window.partitionBy(gc :+ shard: _*).orderBy(col("h"), col(idCol))
+    val w = Window.partitionBy(gc: _*).orderBy(col("h"), col(idCol))
+    df.withColumn("h", HLL.mix(col(idCol)))
+      .withColumn("__srk", row_number().over(w1))
+      .filter(col("__srk") <= k)
+      .drop("__srk")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Floor-rank order statistics of an already-selected sample (what the
+    * batch query and the streaming read-time merge share): one row per
+    * group with `n_sample` and one `p{q}` column per requested percent. */
+  def quantilesOfSample(
+      sample: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      percents: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    val gc = groupCols.map(col)
+    val wv = Window.partitionBy(gc: _*).orderBy(col(valueCol), col(idCol))
+    val ranked = sample
+      .withColumn("__vrk", row_number().over(wv).cast(LongType))
+      .withColumn("__ns", count(lit(1)).over(Window.partitionBy(gc: _*)))
+    val qCols: Seq[Column] = percents.map { q =>
+      // floor-rank position in exact integer arithmetic (div, not fp /)
+      val pos = expr(s"1L + (__ns - 1L) * ${q}L div 100L")
+      max(when(col("__vrk") === pos, col(valueCol))).as(s"p$q")
+    }
+    ranked
+      .groupBy(gc: _*)
+      .agg(max(col("__ns")).as("n_sample"), qCols: _*)
+  }
+
+  /** Per-group quantile estimates from the bottom-k sample: one row per
+    * group with `n_rows` (exact), `n_sample`, and one `p{q}` column per
+    * requested percent, each the floor-rank order statistic of the
+    * sample's `valueCol`. */
+  def perGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int = K,
+      percents: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    val gc = groupCols.map(col)
+    val sample = bottomK(df, groupCols, idCol, k)
+    val exact = df.groupBy(gc: _*).agg(count(lit(1)).as("n_rows"))
+    quantilesOfSample(sample, groupCols, valueCol, idCol, percents)
+      .join(broadcast(exact), groupCols)
+      .select(gc ++ (Seq("n_rows", "n_sample") ++ percents.map(q => s"p$q")).map(col): _*)
+  }
+}

@@ -329,6 +329,52 @@ object Streaming {
       .groupBy(col(groupCol), col("b"))
       .agg(max(col("m")).as("m"))
 
+  /** Streaming maintenance of the bottom-k quantile sample
+    * (sample_quantiles' incremental twin,
+    * [[graft.sketch.SampleQuantiles]]): each micro-batch collapses to its
+    * own per-group bottom-k DELTA — at most k rows per group per batch
+    * regardless of batch size — and deltas merge at read time by
+    * re-ranking, exact because the hash-selected bottom-k is mergeable:
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) (spec-pinned in
+    * SampleQuantilesSpec). A replayed batch overwrites its own
+    * `batch=<id>` delta, so recovery cannot double-select. */
+  def quantileSampleStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      groupCol: String = "source",
+      valueCol: String = "n_chars",
+      idCol: String = "doc_id",
+      k: Int = graft.sketch.SampleQuantiles.K): StreamingQuery =
+    spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sketch.SampleQuantiles
+            .bottomK(batch.select(groupCol, idCol, valueCol), Seq(groupCol), idCol, k)
+            .write.mode("overwrite").parquet(s"$outputDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Read-time merge of [[quantileSampleStream]] deltas into the live
+    * sample (<= k rows per group) and its quantile table — the streaming
+    * answer to feed dashboards without ever re-reading the corpus. */
+  def quantileSample(spark: SparkSession, outputDir: String,
+      groupCol: String = "source",
+      valueCol: String = "n_chars",
+      idCol: String = "doc_id",
+      k: Int = graft.sketch.SampleQuantiles.K): DataFrame =
+    graft.sketch.SampleQuantiles.quantilesOfSample(
+      graft.sketch.SampleQuantiles.bottomK(
+        spark.read.parquet(outputDir).drop("h"), Seq(groupCol), idCol, k),
+      Seq(groupCol), valueCol, idCol)
+
   /** Streaming maintenance of the per-user integer EWMA (user_ewma's
     * incremental twin). EWMA is an ORDER-DEPENDENT fold, not a mergeable
     * sketch, so the stream carries explicit state: each micro-batch folds

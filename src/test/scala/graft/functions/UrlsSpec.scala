@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** URL canonicalization rules, one test per documented rule, plus the
+  * idempotence property (canonicalize of a canonical URL is itself) over
+  * generated messy URLs.
+  */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Urls.canonicalize(col("u"))).as[String].collect().toSeq
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(canon("HTTPS://WWW.Example.COM/A/B") == Seq("https://www.example.com/A/B"))
+  }
+
+  test("default ports dropped, non-default kept") {
+    assert(canon(
+      "https://a.com:443/x", "http://a.com:80/x", "https://a.com:8080/x") ==
+      Seq("https://a.com/x", "http://a.com/x", "https://a.com:8080/x"))
+  }
+
+  test("fragment dropped, trailing slashes stripped (root becomes bare origin)") {
+    assert(canon("https://a.com/x/#top", "https://a.com/", "https://a.com") ==
+      Seq("https://a.com/x", "https://a.com", "https://a.com"))
+  }
+
+  test("tracking params removed, remaining params sorted; all-tracking query vanishes") {
+    assert(canon(
+      "https://a.com/x?b=2&utm_source=f&a=1",
+      "https://a.com/x?utm_campaign=x&ref=home",
+      "https://a.com/x?gclid=1&fbclid=2") ==
+      Seq("https://a.com/x?a=1&b=2", "https://a.com/x", "https://a.com/x"))
+  }
+
+  test("malformed URL yields null, not a half-canonical string") {
+    val out = Seq("not a url", "http://").toDF("u")
+      .select(Urls.canonicalize(col("u"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("dedupKey strips leading www. after canonicalizing; non-leading www kept") {
+    val out = Seq(
+      "HTTPS://WWW.A.com:443/p/", "https://a.com/p", "https://www2.a.com/p",
+      "https://sub.www.a.com/p")
+      .toDF("u").select(Urls.dedupKey(col("u"))).as[String].collect().toSeq
+    assert(out == Seq(
+      "https://a.com/p", "https://a.com/p", "https://www2.a.com/p",
+      "https://sub.www.a.com/p"))
+  }
+
+  test("registeredDomain: two labels, multi-label public suffix, bare domain") {
+    val out = Seq("www.a.example.com", "a.news.co.uk", "example.com", "localhost")
+      .toDF("h").select(Urls.registeredDomain(col("h"))).as[String].collect().toSeq
+    assert(out == Seq("example.com", "news.co.uk", "example.com", "localhost"))
+  }
+
+  test("canonicalize is idempotent over generated messy URLs") {
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    val host = Gen.oneOf("A.Example.COM", "www.b.co.uk", "x.org", "CDN.y.net")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val path = Gen.oneOf("", "/", "/A", "/a/b/", "/a//")
+    val query = Gen.oneOf("", "?b=2&a=1", "?utm_source=f", "?a=1&utm_medium=m&c=3")
+    val frag = Gen.oneOf("", "#f", "#Frag")
+    val url = for {
+      s <- scheme; h <- host; po <- port; pa <- path; q <- query; f <- frag
+    } yield s"$s://$h$po$pa$q$f"
+    val prop = Prop.forAll(Gen.listOfN(30, url)) { urls =>
+      val once = urls.toDF("u").select(Urls.canonicalize(col("u")).as("c"))
+      val twice = once.select(col("c"), Urls.canonicalize(col("c")).as("c2"))
+        .collect()
+      twice.forall(r => !r.isNullAt(0) && r.getString(0) == r.getString(1))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

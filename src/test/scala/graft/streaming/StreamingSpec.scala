@@ -235,6 +235,31 @@ class StreamingSpec extends SparkSpec {
     assert(again == merged)
   }
 
+  test("quantileSampleStream deltas re-rank to the batch sample's quantiles exactly") {
+    val dir = Files.createTempDirectory("graft-stream-quant").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // two arrival waves
+    docs.filter(col("doc_id") < 25).write.parquet(in)
+    Streaming.quantileSampleStream(spark, in, out, cp).awaitTermination()
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(in)
+    Streaming.quantileSampleStream(spark, in, out, cp).awaitTermination()
+    val merged = Streaming.quantileSample(spark, out)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // the batch formulation over the SAME corpus in one pass
+    val expect = graft.sketch.SampleQuantiles.quantilesOfSample(
+        graft.sketch.SampleQuantiles.bottomK(
+          docs.select("source", "doc_id", "n_chars"), Seq("source"), "doc_id"),
+        Seq("source"), "n_chars", "doc_id")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(merged == expect)
+    // replay admits nothing new (idempotent delta overwrite + re-rank)
+    Streaming.quantileSampleStream(spark, in, out, cp).awaitTermination()
+    val again = Streaming.quantileSample(spark, out)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(again == merged)
+  }
+
   test("ewmaStream folds batches on top of prior state, equal to one batch fold") {
     val dir = Files.createTempDirectory("graft-stream-ewma").toFile
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
