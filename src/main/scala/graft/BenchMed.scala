@@ -45,7 +45,8 @@ object BenchMed {
     "embedding_outliers", "quota_split", "ppl_buckets",
     "nfc_normalize", "domain_gate", "image_phash",
     "asof_forward", "asof_nearest", "interval_overlap", "corpus_curate_span",
-    "pack_manifest", "dedup_report", "span_excise_ref")
+    "pack_manifest", "dedup_report", "span_excise_ref",
+    "sample_quantiles", "url_canonicalize", "url_dedup", "url_domain_stats")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
