@@ -19,6 +19,7 @@ import graft.restructure.{Cleaner, ConfigLoader, Restructure, Service, YamlConfi
   * runMain graft.Main --curate --input docs.parquet --output out/ \
   *   [--keep-langs en,de] [--keep-best] [--block-terms w1,w2]
   *   [--block-phrases "bad phrase,other phrase"] [--span-grams 8]
+  *   [--url-col url]
   *   # corpus curation: cleanup -> quality gate -> exact + near dedup ->
   *   # deterministic split, written partitioned by split (no --config)
   * }}}
@@ -43,6 +44,7 @@ object Main {
     var blockPhrases: Set[String] = Set.empty
     var keepBest = false
     var spanGrams: Option[Int] = None
+    var urlCol: Option[String] = None
     var interval: Option[Long] = None
     var cleanerInterval: Option[Long] = None
     var cleanerAgeMs: Option[Long] = None
@@ -76,6 +78,7 @@ object Main {
           blockPhrases = value(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
           i += 2
         case "--span-grams"       => spanGrams = Some(value(i + 1).toInt); i += 2
+        case "--url-col"          => urlCol = Some(value(i + 1)); i += 2
         case "--interval"         => interval = Some(value(i + 1).toLong); i += 2
         case "--cleaner-interval" => cleanerInterval = Some(value(i + 1).toLong); i += 2
         case "--cleaner-age-ms"   => cleanerAgeMs = Some(value(i + 1).toLong); i += 2
@@ -101,6 +104,10 @@ object Main {
       System.err.println("--span-grams only applies to --curate mode")
       sys.exit(2)
     }
+    if (urlCol.nonEmpty && !curate) {
+      System.err.println("--url-col only applies to --curate mode")
+      sys.exit(2)
+    }
     if (curate) {
       val (in, out) = (input, output) match {
         case (Some(a), Some(b)) => (a, b)
@@ -110,7 +117,7 @@ object Main {
       }
       val spark = Sessions.build("graft-curate")
       val n = runCurate(spark, in, out, keepLangs, keepBest, blockTerms, blockPhrases,
-        spanGrams)
+        spanGrams, urlCol)
       println(s"[graft] curated $n docs -> $out")
       spark.stop()
       return
@@ -205,13 +212,14 @@ object Main {
       keepBest: Boolean = false,
       blockTerms: Set[String] = Set.empty,
       blockPhrases: Set[String] = Set.empty,
-      spanGrams: Option[Int] = None): Long = {
+      spanGrams: Option[Int] = None,
+      urlCol: Option[String] = None): Long = {
     val curated = pipelines.CorpusPipeline
       .curate(spark.read.parquet(in), "doc_id", "text",
         pipelines.CorpusPipeline.Config(
           keepLangs = keepLangs, keepBestInCluster = keepBest,
           blockTerms = blockTerms, blockPhrases = blockPhrases,
-          spanDedupGrams = spanGrams))
+          spanDedupGrams = spanGrams, urlCol = urlCol))
     // rebalance on the partition column before the dynamic-partition write —
     // same tiny-file fix as Restructure.write (without it every task writes
     // to every split directory)

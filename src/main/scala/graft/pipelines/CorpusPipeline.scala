@@ -34,8 +34,26 @@ object CorpusPipeline {
       directJoinMaxDocs: Long = graft.dedup.Jaccard.DirectMaxDocs, // exact path: direct self-join up to here, PPJoin above
       keepBestInCluster: Boolean = false, // near-dup keeps max-quality, not min-id
       spanDedupGrams: Option[Int] = None, // position-level span dedup anchor width
+      urlCol: Option[String] = None, // canonical-URL keep-min pre-dedup column
       trainPct: Int = 80,
       valPct: Int = 10)
+
+  /** Optional stage 0 — URL-level dedup BEFORE any content work (the
+    * order a crawl pipeline runs: the same page fetched under different
+    * raw spellings never reaches cleanup, quality, or content dedup).
+    * Keep-min doc per [[graft.functions.Urls.dedupKey]]; one map-side-
+    * combined group-by whose build side is id-only. Docs whose URL fails
+    * to parse (null key) all SURVIVE — no URL evidence is not duplicate
+    * evidence; content dedup downstream still catches them. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val keyed = df.select(col(idCol),
+      graft.functions.Urls.dedupKey(col(urlCol)).as("__uk"))
+    val keep = keyed.filter(col("__uk").isNotNull)
+      .groupBy(col("__uk")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep.unionByName(keyed.filter(col("__uk").isNull).select(idCol)),
+      Seq(idCol))
+  }
 
   /** Clean + annotate: cleaned text, token count, language guess, quality
     * signals — one codegen'd projection, no shuffle. */
@@ -191,11 +209,15 @@ object CorpusPipeline {
       idCol: String,
       textCol: String,
       cfg: Config = Config()): DataFrame = {
+    val urlGated = cfg.urlCol match {
+      case Some(u) => urlDedup(df, idCol, u)
+      case None => df
+    }
     // explicit exchange after annotate: the repetition gate and the main
     // chain both consume it, and identical child plans share one shuffle
     // stage — the cleanup regexes and language scores run ONCE instead of
     // once per branch (same exchange-reuse trick as the ngram query)
-    val annotated = annotate(df, textCol).repartition(col(idCol))
+    val annotated = annotate(urlGated, textCol).repartition(col(idCol))
     val filtered = qualityFilter(annotated, idCol, cfg)
     val exact = exactDedup(filtered, idCol)
     // Jaccard is capped at 10000bp, so a threshold above it disables

@@ -117,4 +117,27 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(plain == Seq(1L, 2L, 3L))
   }
+  test("urlCol pre-stage collapses URL spellings before content work; bad URLs survive") {
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa entirely unique"
+    val long2 = "one two three four five six seven eight nine ten eleven twelve distinct"
+    val d = Seq(
+      // same page, two raw spellings -> url dedup keeps doc 1 (min id)
+      (1L, long1, "https://a.com/p/1?utm_source=f"),
+      (2L, long2, "HTTPS://WWW.A.com:443/p/1/"),
+      // un-parseable URLs: BOTH must survive url dedup (no URL evidence)
+      (3L, long1 + " with a different tail entirely for this one", "not a url"),
+      (4L, long2 + " and a different tail here too for this one", "also bad"),
+      (5L, "completely other content lives here and it is long enough to pass", ""))
+      .toDF("doc_id", "text", "url")
+    val out = CorpusPipeline.curate(d, "doc_id", "text",
+      CorpusPipeline.Config(urlCol = Some("url")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 dropped by the URL stage alone (its CONTENT is unique — content
+    // dedup could never have removed it); 3, 4, 5 all survive
+    assert(out == Seq(1L, 3L, 4L, 5L))
+    // without the url stage, doc 2 survives: the drop really was URL-keyed
+    val plain = CorpusPipeline.curate(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(plain == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
