@@ -1836,6 +1836,50 @@ object Oracles {
          |SELECT source, n_rows, n_sample, p10, p25, p50, p75, p90
          |FROM q JOIN c USING (source) ORDER BY source""".stripMargin,
 
+    // quantile sketch accuracy gate: exact quantiles from the value
+    // histogram, sampled estimate's rank-span error in bp of group size
+    "quantile_error" ->
+      s"""WITH x0 AS (SELECT source, doc_id, n_chars,
+         |  (doc_id % $P) * $TokenHashA % $P AS a1 FROM documents),
+         |x1 AS (SELECT source, doc_id, n_chars,
+         |  xor(a1, a1 >> 15) % $P * $TokenHashB % $P AS a3 FROM x0),
+         |x AS (SELECT source, doc_id, n_chars,
+         |  xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1),
+         |r AS (SELECT source, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pos FROM x),
+         |kept AS (SELECT * FROM r WHERE pos <= 64),
+         |v AS (SELECT source, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+         |    AS BIGINT) AS vrk,
+         |  COUNT(*) OVER (PARTITION BY source) AS ns FROM kept),
+         |est AS (SELECT source,
+         |  MAX(CASE WHEN vrk = 1 + (ns - 1) * 25 // 100 THEN n_chars END) AS p25,
+         |  MAX(CASE WHEN vrk = 1 + (ns - 1) * 50 // 100 THEN n_chars END) AS p50,
+         |  MAX(CASE WHEN vrk = 1 + (ns - 1) * 75 // 100 THEN n_chars END) AS p75
+         | FROM v GROUP BY source),
+         |el AS (SELECT source, 25 AS q, p25 AS est_v FROM est
+         | UNION ALL SELECT source, 50, p50 FROM est
+         | UNION ALL SELECT source, 75, p75 FROM est),
+         |hist AS (SELECT source, n_chars, COUNT(*) AS cnt
+         | FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT source, n_chars, cnt,
+         |  CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
+         |  CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM hist),
+         |pq AS (SELECT g.source, t.q, g.n, 1 + (g.n - 1) * t.q // 100 AS pos
+         | FROM (SELECT DISTINCT source, n FROM cum) g
+         | CROSS JOIN (VALUES (25), (50), (75)) t(q)),
+         |ex AS (SELECT p.source, p.q, p.n, p.pos,
+         |  MIN(CASE WHEN c.cum >= p.pos THEN c.n_chars END) AS exact_v
+         | FROM pq p JOIN cum c ON c.source = p.source GROUP BY 1, 2, 3, 4),
+         |sp AS (SELECT e.source, e.q, e.est_v,
+         |  c.cum - c.cnt + 1 AS span_lo, c.cum AS span_hi
+         | FROM el e JOIN cum c ON c.source = e.source AND c.n_chars = e.est_v)
+         |SELECT x.source, x.q, x.n AS n_rows, x.exact_v, s.est_v,
+         |  CAST(GREATEST(GREATEST(s.span_lo - x.pos, x.pos - s.span_hi), 0)
+         |    * 10000 // x.n AS BIGINT) AS err_bp
+         |FROM ex x JOIN sp s ON s.source = x.source AND s.q = x.q
+         |ORDER BY x.source, x.q""".stripMargin,
+
     // url canonicalization: the oracle DERIVES the expected canonical form
     // analytically from (doc_id, source) — an independent reconstruction,
     // not a second run of the same parser

@@ -1280,6 +1280,52 @@ object Queries {
       Seq("source"), "n_chars", "doc_id")
       .orderBy(col("source"))
 
+  /** Measured accuracy gate for [[sampleQuantiles]] — the quantile
+    * sketch's ann_recall: exact per-source quantiles computed from the
+    * VALUE HISTOGRAM (count per (source, n_chars), cumulated over the
+    * O(distinct values) histogram rows — the ppl_buckets pattern, never a
+    * corpus-wide per-group sort), then the sampled estimate's rank error
+    * in basis points of the group size. err_bp = 0 when the estimate's
+    * rank span covers the target position; the theoretical standard error
+    * at the median is sqrt(.5*.5/64) ~ 625 bp, and the output makes the
+    * actual error measured, not asserted. */
+  def quantileError(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("source", "doc_id", "n_chars")
+    val hist = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    // cumulative counts over histogram rows: O(distinct lengths) per source
+    val wv = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+    val qs = Seq(25, 50, 75)
+    val est = SampleQuantiles.perGroup(docs, Seq("source"), "n_chars", "doc_id",
+        percents = qs)
+      .select(col("source") +: qs.map(q => col(s"p$q")): _*)
+    val perQ = cum.select(col("source"), col("n_chars"), col("cnt"), col("cum"),
+        col("n"), explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("pos", expr("1L + (n - 1L) * q div 100L"))
+    val exact = perQ
+      .groupBy(col("source"), col("q"), col("n"), col("pos"))
+      .agg(min(when(col("cum") >= col("pos"), col("n_chars"))).as("exact_v"))
+    // the estimate's rank span within the full group, off the same histogram
+    val estLong = est.select(col("source"),
+      explode(map(qs.flatMap(q => Seq(lit(q), col(s"p$q"))): _*)).as(Seq("q", "est_v")))
+    val span = estLong.join(cum.withColumnRenamed("source", "__src"),
+        col("__src") === col("source") && col("n_chars") === col("est_v"))
+      .select(col("source"), col("q"), col("est_v"),
+        (col("cum") - col("cnt") + 1L).as("span_lo"), col("cum").as("span_hi"))
+    exact.join(span, Seq("source", "q"))
+      .withColumn("__err", greatest(
+        greatest(col("span_lo") - col("pos"), col("pos") - col("span_hi")),
+        lit(0L)))
+      .select(col("source"), col("q"), col("n").as("n_rows"),
+        col("exact_v"), col("est_v"),
+        expr("__err * 10000L div n").as("err_bp"))
+      .orderBy(col("source"), col("q"))
+  }
+
   // ------------------------------------------------------------------ urls
 
   /** Deterministic messy-URL synthesis (the documents table has no URL
@@ -3047,6 +3093,7 @@ object Queries {
     "hll_distinct" -> hllDistinct _,
     "kmv_bottomk" -> kmvBottomK _,
     "sample_quantiles" -> sampleQuantiles _,
+    "quantile_error" -> quantileError _,
     "url_canonicalize" -> urlCanonicalize _,
     "url_dedup" -> urlDedup _,
     "url_domain_stats" -> urlDomainStats _,
