@@ -1880,6 +1880,28 @@ object Oracles {
          |FROM ex x JOIN sp s ON s.source = x.source AND s.q = x.q
          |ORDER BY x.source, x.q""".stripMargin,
 
+    // audio frame energies + rolling-hash fingerprint replayed from the
+    // same ascii byte positions the fake payload was built from; the fold
+    // (acc*131 + e) % M equals sum(e_j * 131^(6-j)) mod M, unrolled here
+    "audio_features" -> {
+      val pows = (0 to 6).map(k => BigInt(131).pow(6 - k).toLong)
+      val powCase = pows.zipWithIndex
+        .map { case (p, j) => s"WHEN $j THEN ${p}" }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id, substr(text, 1, 32) AS t32 FROM documents
+         | WHERE length(text) >= 32 AND octet_length(encode(substr(text, 1, 32))) = 32),
+         |w AS (SELECT s.doc_id, t.j AS w_idx,
+         |  CAST(SUM(ascii(substr(s.t32, CAST(t.j * 4 + g.i AS INT), 1)))
+         |    AS BIGINT) AS energy
+         | FROM s, range(0, 7) t(j), range(1, 9) g(i)
+         | GROUP BY s.doc_id, t.j),
+         |f AS (SELECT doc_id,
+         |  CAST(SUM(energy * CASE w_idx $powCase END) % 1000000007 AS BIGINT) AS fp
+         | FROM w GROUP BY doc_id)
+         |SELECT w.doc_id, w.w_idx, w.energy, f.fp
+         |FROM w JOIN f USING (doc_id)
+         |ORDER BY doc_id, w_idx""".stripMargin
+    },
+
     // url canonicalization: the oracle DERIVES the expected canonical form
     // analytically from (doc_id, source) — an independent reconstruction,
     // not a second run of the same parser

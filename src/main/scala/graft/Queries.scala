@@ -1326,6 +1326,34 @@ object Queries {
       .orderBy(col("source"), col("q"))
   }
 
+  /** Audio feature extraction pinned cross-engine — the audio leg of the
+    * multimodal family (image: resize/phash, video: frame sampling): a
+    * 32-sample 1-D fake payload is synthesized from the first 32 text
+    * bytes (same ASCII byte-length gate as the image entries), framed
+    * into 7 windows of 8 samples at stride 4 by the mapPartitions
+    * operator ([[graft.multimodal.Multimodal.audioFeatures]]), each
+    * frame's integer energy surfaced, and a rolling-hash fingerprint
+    * folded over the frame sequence — the acoustic-fingerprint shape
+    * (frame -> feature -> hash; the `fp` column is the audio-dedup
+    * group-by key) with the codec honestly stubbed. The oracle replays
+    * the sample positions, energies, and modular fold in SQL. */
+  def audioFeaturesQ(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents")
+      .filter(length(col("text")) >= 32 &&
+        octet_length(substring(col("text"), 1, 32)) === 32)
+      .select(col("doc_id"),
+        concat(unhex(lit("0020000101")),
+          substring(col("text"), 1, 32).cast(BinaryType)).as("payload"))
+    graft.multimodal.Multimodal.audioFeatures(src, "payload", win = 8, stride = 4)
+      .withColumn("fp", expr(
+        "aggregate(energies, 0L, (acc, e) -> (acc * 131L + e) % 1000000007L)"))
+      .select(col("doc_id"), col("fp"),
+        posexplode(col("energies")).as(Seq("w_idx", "energy")))
+      .select(col("doc_id"), col("w_idx").cast(LongType).as("w_idx"),
+        col("energy"), col("fp"))
+      .orderBy(col("doc_id"), col("w_idx"))
+  }
+
   // ------------------------------------------------------------------ urls
 
   /** Deterministic messy-URL synthesis (the documents table has no URL
@@ -3094,6 +3122,7 @@ object Queries {
     "kmv_bottomk" -> kmvBottomK _,
     "sample_quantiles" -> sampleQuantiles _,
     "quantile_error" -> quantileError _,
+    "audio_features" -> audioFeaturesQ _,
     "url_canonicalize" -> urlCanonicalize _,
     "url_dedup" -> urlDedup _,
     "url_domain_stats" -> urlDomainStats _,

@@ -183,6 +183,43 @@ object Multimodal {
     }(enc)
   }
 
+  /** Windowed audio features over a decoded 1-D payload (the audio leg of
+    * the fake codec: w = n samples, h = 1, c = 1 — a real integration
+    * swaps FakeCodec for a PCM decoder only). Each window of `win`
+    * samples at stride `stride` yields its integer energy (sum of
+    * unsigned sample bytes) — the stand-in for a mel/chroma frame, which
+    * is exactly how acoustic fingerprinting (Chromaprint/Shazam-style)
+    * frames audio before hashing. Adds `energies: array<long>` (null for
+    * failed decodes or payloads shorter than one window); same narrow
+    * no-shuffle mapPartitions shape as the image operators. */
+  def audioFeatures(df: DataFrame, binCol: String, win: Int, stride: Int): DataFrame = {
+    require(win >= 1 && stride >= 1, s"win/stride must be >= 1, got $win/$stride")
+    val idx = df.schema.fieldIndex(binCol)
+    val schema = StructType(df.schema.fields :+
+      StructField("energies", ArrayType(LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val feats = FakeCodec.decode(r.getAs[Array[Byte]](idx)) match {
+          case Some((_, _, _, samples)) if samples.length >= win =>
+            val n = (samples.length - win) / stride + 1
+            val out = new Array[Long](n)
+            var j = 0
+            while (j < n) {
+              var e = 0L
+              var i = 0
+              while (i < win) { e += (samples(j * stride + i) & 0xff); i += 1 }
+              out(j) = e
+              j += 1
+            }
+            out
+          case _ => null
+        }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
   /** Rebalance by payload size before expensive per-byte work: targets
     * `bytesPerPartition` per task, so mixed thumbnail/4K corpora decode with
     * even task durations instead of long-tail stragglers. */

@@ -90,4 +90,19 @@ class MultimodalSpec extends SparkSpec {
     val one = Multimodal.repartitionBySize(df, "payload", bytesPerPartition = 1L << 30)
     assert(one.rdd.getNumPartitions == 1)
   }
+  test("audioFeatures frames 1-D payloads into windowed energies; short/invalid are null") {
+    val samples = Array.tabulate(12)(i => (i * 10).toByte) // 0,10,...,110
+    val d = Seq(
+      (1L, FakeCodec.encode(12, 1, 1, samples)),
+      (2L, FakeCodec.encode(4, 1, 1, Array[Byte](1, 2, 3, 4))), // shorter than one window
+      (3L, Array[Byte](1, 2)), // corrupt
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.audioFeatures(d, "payload", win = 8, stride = 2)
+      .select("id", "energies").collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    // windows at offsets 0 and 2: sums of 8 consecutive multiples of 10
+    assert(out(1L) == Some(Seq(280L, 440L, 600L)))
+    assert(out(2L).isEmpty && out(3L).isEmpty && out(4L).isEmpty)
+  }
 }
