@@ -17,6 +17,18 @@ object Oracles {
 
   // -- shared expression fragments -------------------------------------------
 
+  /** The [[graft.sketch.HLL.mix]] three-round integer hash of doc_id as
+    * chained CTEs (x0/x1 -> x with `h`), carrying `carry` columns through —
+    * shared by the KMV, sample-quantile, and quantile-error oracles so a
+    * single definition cannot desynchronize from the Scala mix. */
+  private def mixCtes(carry: String): String =
+    s"""x0 AS (SELECT $carry,
+       |  (doc_id % $P) * $TokenHashA % $P AS a1 FROM documents),
+       |x1 AS (SELECT $carry,
+       |  xor(a1, a1 >> 15) % $P * $TokenHashB % $P AS a3 FROM x0),
+       |x AS (SELECT $carry,
+       |  xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1)""".stripMargin
+
   /** Whitespace tokens of a text expression. */
   private def tokensOf(c: String) = s"string_split($c, ' ')"
   private val tokensE = tokensOf("text")
@@ -1794,12 +1806,7 @@ object Oracles {
     // bottom-k sample + KMV estimate: same three-round mix as the HLL,
     // est = (k-1) * P // h_k with h_k = max hash among the kept k
     "kmv_bottomk" ->
-      s"""WITH x0 AS (SELECT source, doc_id,
-         |  (doc_id % $P) * $TokenHashA % $P AS a1 FROM documents),
-         |x1 AS (SELECT source, doc_id,
-         |  xor(a1, a1 >> 15) % $P * $TokenHashB % $P AS a3 FROM x0),
-         |x AS (SELECT source, doc_id,
-         |  xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1),
+      s"""WITH ${mixCtes("source, doc_id")},
          |r AS (SELECT source, doc_id, h,
          |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
          |   AS BIGINT) AS pos FROM x),
@@ -1812,12 +1819,7 @@ object Oracles {
     // the KMV sketch selects the sample; quantiles are floor-rank order
     // statistics (pos = 1 + (n-1)*q//100) of the sample by (value, id)
     "sample_quantiles" ->
-      s"""WITH x0 AS (SELECT source, doc_id, n_chars,
-         |  (doc_id % $P) * $TokenHashA % $P AS a1 FROM documents),
-         |x1 AS (SELECT source, doc_id, n_chars,
-         |  xor(a1, a1 >> 15) % $P * $TokenHashB % $P AS a3 FROM x0),
-         |x AS (SELECT source, doc_id, n_chars,
-         |  xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1),
+      s"""WITH ${mixCtes("source, doc_id, n_chars")},
          |r AS (SELECT source, doc_id, n_chars,
          |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pos FROM x),
          |kept AS (SELECT * FROM r WHERE pos <= 64),
@@ -1839,12 +1841,7 @@ object Oracles {
     // quantile sketch accuracy gate: exact quantiles from the value
     // histogram, sampled estimate's rank-span error in bp of group size
     "quantile_error" ->
-      s"""WITH x0 AS (SELECT source, doc_id, n_chars,
-         |  (doc_id % $P) * $TokenHashA % $P AS a1 FROM documents),
-         |x1 AS (SELECT source, doc_id, n_chars,
-         |  xor(a1, a1 >> 15) % $P * $TokenHashB % $P AS a3 FROM x0),
-         |x AS (SELECT source, doc_id, n_chars,
-         |  xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1),
+      s"""WITH ${mixCtes("source, doc_id, n_chars")},
          |r AS (SELECT source, doc_id, n_chars,
          |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pos FROM x),
          |kept AS (SELECT * FROM r WHERE pos <= 64),
@@ -1943,11 +1940,11 @@ object Oracles {
     // registered-domain stats: generic label logic (last 2 labels, or 3
     // when the last 2 are a multi-label public suffix)
     "url_domain_stats" ->
-      """WITH h AS (SELECT CASE doc_id % 4
+      """WITH h AS (SELECT lower(CASE doc_id % 4
         |   WHEN 0 THEN source || '.example.com'
         |   WHEN 1 THEN 'www.' || source || '.example.com'
         |   WHEN 2 THEN source || '.news.co.uk'
-        |   ELSE 'cdn.' || source || '.example.org' END AS host FROM documents),
+        |   ELSE 'cdn.' || source || '.example.org' END) AS host FROM documents),
         |g AS (SELECT host, string_split(host, '.') AS l FROM h),
         |rd AS (SELECT host, CASE
         |   WHEN len(l) <= 2 THEN host

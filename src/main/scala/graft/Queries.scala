@@ -1300,8 +1300,12 @@ object Queries {
         wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
     val qs = Seq(25, 50, 75)
-    val est = SampleQuantiles.perGroup(docs, Seq("source"), "n_chars", "doc_id",
-        percents = qs)
+    // sample + order statistics only — the exact counts perGroup would
+    // bolt on are discarded here (this query derives n from its own
+    // histogram), so skip that extra corpus aggregation entirely
+    val est = SampleQuantiles.quantilesOfSample(
+        SampleQuantiles.bottomK(docs, Seq("source"), "doc_id"),
+        Seq("source"), "n_chars", "doc_id", qs)
       .select(col("source") +: qs.map(q => col(s"p$q")): _*)
     val perQ = cum.select(col("source"), col("n_chars"), col("cnt"), col("cum"),
         col("n"), explode(array(qs.map(lit): _*)).as("q"))

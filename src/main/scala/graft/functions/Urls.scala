@@ -59,7 +59,10 @@ object Urls {
       .otherwise(concat(lit(":"), port))
     val path = regexp_replace(coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", "")
     val rawQuery = try_parse_url(url, lit("QUERY"))
-    val keptParams = array_sort(filter(split(rawQuery, "&"), p => !isTracking(p)))
+    // empty segments (a trailing '&', a lone '?', 'a=1&&b=2') are dropped
+    // too: '?x' vs '?x&' must not produce different canonical spellings
+    val keptParams = array_sort(
+      filter(split(rawQuery, "&"), p => p =!= "" && !isTracking(p)))
     val query = when(rawQuery.isNull || size(keptParams) === 0, "")
       .otherwise(concat(lit("?"), array_join(keptParams, "&")))
     when(scheme.isNull || host.isNull, lit(null))
@@ -69,9 +72,12 @@ object Urls {
   /** Dedup key: [[canonicalize]] plus a leading-`www.` strip — "www.x.com"
     * and "x.com" almost always serve the same page, so the DEDUP key
     * unifies them while the canonical URL (which a refetch would use)
-    * keeps the spelling the site chose. */
+    * keeps the spelling the site chose. The lookahead requires at least
+    * two labels AFTER the strip: for the (real) host "www.com", www IS
+    * the registrable label and stripping it would alias the site onto a
+    * different origin. */
   def dedupKey(url: Column): Column =
-    regexp_replace(canonicalize(url), "^(https?://)www\\.", "$1")
+    regexp_replace(canonicalize(url), "^(https?://)www\\.(?=[^/]*\\.)", "$1")
 
   /** Registered domain (eTLD+1) of an already-lowercased host: the unit
     * crawl pipelines budget, rate-limit, and report by. Last two labels,

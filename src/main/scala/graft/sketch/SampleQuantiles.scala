@@ -96,9 +96,13 @@ object SampleQuantiles {
       percents: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
     val gc = groupCols.map(col)
     val sample = bottomK(df, groupCols, idCol, k)
+    // no broadcast hint: at the advertised scale (groups = crawl domains)
+    // the count table is one row per GROUP and can outgrow the driver; the
+    // optimizer broadcasts it when small and hash-joins when not — both
+    // sides are already group-sized, so the join is cheap either way
     val exact = df.groupBy(gc: _*).agg(count(lit(1)).as("n_rows"))
     quantilesOfSample(sample, groupCols, valueCol, idCol, percents)
-      .join(broadcast(exact), groupCols)
+      .join(exact, groupCols)
       .select(gc ++ (Seq("n_rows", "n_sample") ++ percents.map(q => s"p$q")).map(col): _*)
   }
 }

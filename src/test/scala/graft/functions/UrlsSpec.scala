@@ -37,6 +37,16 @@ class UrlsSpec extends SparkSpec {
       Seq("https://a.com/x?a=1&b=2", "https://a.com/x", "https://a.com/x"))
   }
 
+  test("empty query segments vanish: trailing '&', lone '?', doubled '&&'") {
+    assert(canon(
+      "https://a.com/x?b=2&utm_source=f&",
+      "https://a.com/x?b=2&utm_source=f",
+      "https://a.com/x?",
+      "https://a.com/x?a=1&&b=2") ==
+      Seq("https://a.com/x?b=2", "https://a.com/x?b=2",
+        "https://a.com/x", "https://a.com/x?a=1&b=2"))
+  }
+
   test("malformed URL yields null, not a half-canonical string") {
     val out = Seq("not a url", "http://").toDF("u")
       .select(Urls.canonicalize(col("u"))).collect()
@@ -46,11 +56,14 @@ class UrlsSpec extends SparkSpec {
   test("dedupKey strips leading www. after canonicalizing; non-leading www kept") {
     val out = Seq(
       "HTTPS://WWW.A.com:443/p/", "https://a.com/p", "https://www2.a.com/p",
-      "https://sub.www.a.com/p")
+      "https://sub.www.a.com/p",
+      // www IS the registrable label: stripping would alias another origin
+      "https://www.com/p", "https://www.com:8080/p")
       .toDF("u").select(Urls.dedupKey(col("u"))).as[String].collect().toSeq
     assert(out == Seq(
       "https://a.com/p", "https://a.com/p", "https://www2.a.com/p",
-      "https://sub.www.a.com/p"))
+      "https://sub.www.a.com/p",
+      "https://www.com/p", "https://www.com:8080/p"))
   }
 
   test("registeredDomain: two labels, multi-label public suffix, bare domain") {
