@@ -115,6 +115,44 @@ object Streaming {
       .start()
   }
 
+  /** Streaming URL-frontier dedup — the crawl-intake twin of the batch
+    * [[graft.pipelines.CorpusPipeline.urlDedup]] stage: arriving fetches
+    * key on the canonical [[graft.functions.Urls.dedupKey]], so the same
+    * page under different raw spellings is admitted once per watermark
+    * horizon. Un-parseable URLs fall back to a per-record key (they all
+    * survive — no URL evidence is not duplicate evidence), and state
+    * evicts with the watermark exactly as [[dedupStream]]: O(pages per
+    * horizon), never O(frontier). The horizon is the deliberate
+    * streaming trade — a re-fetch later than the watermark re-enters and
+    * is caught by the periodic batch compaction, the same division of
+    * labor as curateStream vs the batch pipeline. */
+  def urlDedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      urlCol: String = "url",
+      idCol: String = "doc_id",
+      watermark: String = "2 hours",
+      tsCol: String = "ts"): StreamingQuery = {
+    val in = spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+    in.withColumn("__uk", coalesce(
+        graft.functions.Urls.dedupKey(col(urlCol)),
+        concat(lit(" id:"), col(idCol).cast(org.apache.spark.sql.types.StringType))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__uk"))
+      .drop("__uk")
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+
   /** Streaming corpus intake — the incremental twin of CorpusPipeline's
     * stateless stages: cleanup + annotate fuse into the scan projection
     * (row-local, no state), the row-local quality gates (token-count

@@ -235,6 +235,34 @@ class StreamingSpec extends SparkSpec {
     assert(again == merged)
   }
 
+  test("urlDedupStream admits one spelling per canonical URL; bad URLs all pass") {
+    val dir = Files.createTempDirectory("graft-stream-url").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    // wave 1: two spellings of page 1 + one bad URL
+    Seq(
+      (1L, "https://a.com/p/1?utm_source=f", ts(0)),
+      (2L, "HTTPS://WWW.A.com:443/p/1/", ts(1)),
+      (3L, "not a url", ts(2)))
+      .toDF("doc_id", "url", "ts").write.parquet(in)
+    Streaming.urlDedupStream(spark, in, out, cp).awaitTermination()
+    // wave 2: page 1 again under a third spelling, a new page, another bad URL
+    Seq(
+      (4L, "https://a.com/p/1#frag", ts(3)),
+      (5L, "https://a.com/p/2", ts(4)),
+      (6L, "also bad", ts(5)))
+      .toDF("doc_id", "url", "ts").write.mode("append").parquet(in)
+    Streaming.urlDedupStream(spark, in, out, cp).awaitTermination()
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // page 1 admitted once (doc 1 or 2 — whichever the first batch emitted,
+    // but never doc 4: its key was seen in an earlier batch); both bad-URL
+    // docs survive; page 2 admitted
+    assert(ids.intersect(Set(1L, 2L)).size == 1)
+    assert(!ids.contains(4L))
+    assert(Set(3L, 5L, 6L).subsetOf(ids))
+  }
+
   test("quantileSampleStream deltas re-rank to the batch sample's quantiles exactly") {
     val dir = Files.createTempDirectory("graft-stream-quant").toFile
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
