@@ -2297,9 +2297,9 @@ object Oracles {
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // boilerplate-capped span dedup: keep-first semantics, except grams
-    // occurring more than SpanGramMaxOcc (= 2) times lose every occurrence
+    // occurring more than SpanGramMaxOcc times lose every occurrence
     "span_dedup_capped" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |grams AS (SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
         |  array_to_string(list_slice(tk, t.p + 1, t.p + 8), ' ') AS gram
         | FROM tk, UNNEST(range(len(tk) - 7)) AS t(p) WHERE len(tk) >= 8),
@@ -2307,7 +2307,7 @@ object Oracles {
         |  SELECT doc_id, pos,
         |   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
         |   COUNT(*) OVER (PARTITION BY gram) AS occ
-        |  FROM grams) WHERE occ > 2 OR rn > 1),
+        |  FROM grams) WHERE occ > ${Queries.SpanGramMaxOcc} OR rn > 1),
         |covered AS (SELECT DISTINCT doc_id, pos + u.i AS cpos
         | FROM red, UNNEST(range(8)) AS u(i)),
         |toks AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, tk[t.i + 1] AS tok

@@ -1807,7 +1807,12 @@ object Queries {
         docs.filter(col("source") =!= "src0"),
         SpanDedup.referenceGrams(
           docs.filter(col("source") === "src0"), "doc_id", "text", gramTokens = 8),
-        "doc_id", "text", gramTokens = 8, broadcastRef = true)
+        // the reference here is a CORPUS SLICE (src0 ~ 10% of documents),
+        // the crawl-sized-reference shape — take exciseAgainst's default
+        // shuffle-hash join; broadcastRef is for MB-sized eval suites
+        // (contamination_spans), and pinning it here would OOM at the
+        // 100 TB design point. Both shapes are spec-pinned row-identical.
+        "doc_id", "text", gramTokens = 8, broadcastRef = false)
       .orderBy(col("doc_id"))
   }
 
@@ -2590,11 +2595,16 @@ object Queries {
     // re-run the whole DSIR scoring pipeline a second time
     val idBounds = t(s, dir, "documents")
       .agg(min(col("doc_id")), max(col("doc_id"))).head
+    // empty (or fully filtered) table -> null bounds; any valid range
+    // works because the frame being ranked is empty too
+    val (bLo, bHi) =
+      if (idBounds.isNullAt(0)) (0L, 0L)
+      else (idBounds.getLong(0), idBounds.getLong(1))
     val crossing = graft.operators.ShardedPrefix
       .withRankAndSum(joined.filter(col("cum") > B && col("cum_before") < B),
         Seq("wgt"), "doc_id", "doc_id",
         rankName = "__rank", sumCol = Some("n_tokens"), cumName = "c2",
-        orderRange = Some((idBounds.getLong(0), idBounds.getLong(1))))
+        orderRange = Some((bLo, bHi)))
       .filter(col("c2") <= lit(B) - col("cum_before"))
       .drop("c2", "__rank")
     full.unionByName(crossing)
@@ -3033,10 +3043,15 @@ object Queries {
     // buffering every copy in one window partition
     val hashed = graft.multimodal.Multimodal.phash(src, "payload", bits = 16)
     val counts = hashed.groupBy(col("phash")).agg(count(lit(1)).as("n_same"))
-    hashed
-      .join(counts, Seq("phash"))
-      .select(col("doc_id"), col("phash"), col("n_same"),
-        (col("n_same") > 1).as("is_dup"))
+    // null-safe join key: a failed decode yields a null phash, and those
+    // rows must stay in the report (the count window this join-back
+    // replaced kept them) — a plain equi-join would silently drop them.
+    // The catalog's ASCII gate means no nulls HERE; the null-safety is
+    // for the operator's contract, not this input.
+    hashed.as("h")
+      .join(counts.as("c"), expr("h.phash <=> c.phash"))
+      .select(col("h.doc_id").as("doc_id"), col("h.phash").as("phash"),
+        col("c.n_same").as("n_same"), (col("c.n_same") > 1).as("is_dup"))
       .orderBy(col("doc_id"))
   }
 

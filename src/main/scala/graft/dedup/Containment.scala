@@ -172,7 +172,12 @@ object Containment {
       minBp: Long,
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
-      directMaxDocs: Long = Jaccard.DirectMaxDocs): DataFrame =
-    if (df.count() <= directMaxDocs) pairsDirect(df, idCol, textCol, minBp, native, maxDf)
-    else pairs(df, idCol, textCol, minBp, native, maxDf)
+      directMaxDocs: Long = Jaccard.DirectMaxDocs): DataFrame = {
+    // same persist-before-dispatch as Jaccard.pairsAuto: count + pairs
+    // must not traverse an expensive lineage twice
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cached.count() <= directMaxDocs)
+      pairsDirect(cached, idCol, textCol, minBp, native, maxDf)
+    else pairs(cached, idCol, textCol, minBp, native, maxDf)
+  }
 }

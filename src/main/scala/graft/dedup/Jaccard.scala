@@ -166,7 +166,14 @@ object Jaccard {
       minBp: Long,
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
-      directMaxDocs: Long = DirectMaxDocs): DataFrame =
-    if (df.count() <= directMaxDocs) pairsDirect(df, idCol, textCol, minBp, native, maxDf)
-    else pairs(df, idCol, textCol, minBp, native, maxDf)
+      directMaxDocs: Long = DirectMaxDocs): DataFrame = {
+    // the dispatch count and the chosen pair plan BOTH traverse df's
+    // lineage; persist so an expensive upstream (the curate pipeline's
+    // cleaned/gated frame) is computed once, not once per pass — Spark
+    // evicts the blocks LRU, so no unpersist bookkeeping is needed
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cached.count() <= directMaxDocs)
+      pairsDirect(cached, idCol, textCol, minBp, native, maxDf)
+    else pairs(cached, idCol, textCol, minBp, native, maxDf)
+  }
 }

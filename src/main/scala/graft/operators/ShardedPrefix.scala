@@ -59,18 +59,35 @@ object ShardedPrefix {
     val g = groupCols.map(col)
     // width = span div shards + 1: overflow-free for any long range and
     // never zero; a group narrower than `shards` just leaves buckets empty
+    // a NULL order key buckets to shard -1 — BEFORE every real shard — so
+    // null rows rank first within their group, exactly where the single
+    // window's nulls-first ascending sort would put them (dropping them,
+    // which a null shard key would silently do at the offsets join, is
+    // not an option for a documented drop-in replacement)
     val sharded = orderRange match {
       case Some((mn, mx)) =>
         require(mn <= mx, s"orderRange must satisfy min <= max, got ($mn, $mx)")
         require(mx - mn >= 0, "orderRange span must fit in a Long")
         val width = (mx - mn) / shards + 1
-        df.withColumn("__shard", expr(s"(`$orderCol` - ${mn}L) div ${width}L"))
+        df.withColumn("__shard", expr(
+          s"CASE WHEN `$orderCol` IS NULL THEN -1L " +
+            s"ELSE (`$orderCol` - ${mn}L) div ${width}L END"))
       case None =>
         val mm = df.groupBy(g: _*)
           .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"))
+        // a span wider than Long (min near Long.MinValue, max near
+        // Long.MaxValue) wraps the width arithmetic and would invert the
+        // shard order silently — fail loudly instead (the static path's
+        // require, enforced per group at runtime)
         df.join(broadcast(mm), groupCols)
-          .withColumn("__shard",
-            expr(s"(`$orderCol` - __mn) div ((__mx - __mn) div $shards + 1)"))
+          .withColumn("__shard", expr(
+            s"CASE WHEN `$orderCol` IS NULL THEN -1L " +
+              // try_subtract: under ANSI the raw subtraction would throw
+              // ARITHMETIC_OVERFLOW before this guard could name the fix
+              "WHEN coalesce(try_subtract(__mx, __mn), -1L) < 0 THEN " +
+              "raise_error('ShardedPrefix: order-key span overflows Long; " +
+              "pass orderRange or shard on a narrower key') " +
+              s"ELSE (`$orderCol` - __mn) div ((__mx - __mn) div $shards + 1) END"))
           .drop("__mn", "__mx")
     }
     val byShard = (g :+ col("__shard"))

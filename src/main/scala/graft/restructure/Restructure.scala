@@ -319,11 +319,7 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
       // maps to parquet's snappy default (parquet pages are the unit of
       // IO; an uncompressed page just wastes the scan), any other codec
       // name passes through (gzip, zstd).
-      case "parquet" =>
-        (config.compression match {
-          case Some(c) => writer.option("compression", c)
-          case None    => writer
-        }).parquet(dir)
+      case "parquet" => withCompression.parquet(dir)
       case other  => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }

@@ -54,17 +54,8 @@ object Outliers {
     // — in one task's sort), then flag the full report by joining the
     // groups x topK winner sliver back. Both windows only ever sort
     // group-members/shards or <= shards x topK rows.
-    val w1 = Window
-      .partitionBy(col("__g"), pmod(xxhash64(col("__id")), lit(32)))
-      .orderBy(col("dist").desc, col("__id").asc)
-    val w2 = Window.partitionBy(col("__g"))
-      .orderBy(col("dist").desc, col("__id").asc)
-    val winners = dist
-      .withColumn("__srk", row_number().over(w1))
-      .filter(col("__srk") <= topK)
-      .drop("__srk")
-      .withColumn("__rn", row_number().over(w2))
-      .filter(col("__rn") <= topK)
+    val winners = Similarity
+      .topKPerQuery(dist, "dist", topK, queryCol = "__g", idCol = "__id")
       .select(col("__g"), col("__id"), lit(true).as("__out"))
     dist
       .join(winners, Seq("__g", "__id"), "left")

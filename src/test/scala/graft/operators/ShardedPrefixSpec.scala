@@ -64,6 +64,40 @@ class ShardedPrefixSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("null order keys rank first (nulls-first window order), never dropped") {
+    val df = Seq(
+      ("a", Some(5L), 1L, 10L), ("a", None, 2L, 20L), ("a", Some(-2L), 3L, 30L),
+      ("a", None, 0L, 5L), ("b", None, 4L, 7L))
+      .toDF("g", "o", "t", "v")
+    val w = Window.partitionBy($"g").orderBy($"o", $"t")
+    val expect = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cm", sum($"v").over(w))
+      .select("g", "t", "rk", "cm").as[(String, Long, Long, Long)].collect().toSet
+    val got = ShardedPrefix.withRankAndSum(df, Seq("g"), "o", "t",
+        shards = 4, rankName = "rk", sumCol = Some("v"), cumName = "cm")
+      .select("g", "t", "rk", "cm").as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expect) // nulls first, present in the output, exact cumsums
+    val gotStatic = ShardedPrefix.withRankAndSum(df, Seq("g"), "o", "t",
+        shards = 4, rankName = "rk", sumCol = Some("v"), cumName = "cm",
+        orderRange = Some((-10L, 10L)))
+      .select("g", "t", "rk", "cm").as[(String, Long, Long, Long)].collect().toSet
+    assert(gotStatic == expect)
+  }
+
+  test("a group whose order-key span overflows Long fails loudly, not wrongly") {
+    val df = Seq(("a", Long.MinValue, 1L), ("a", Long.MaxValue, 2L))
+      .toDF("g", "o", "t")
+    val e = intercept[Exception] {
+      ShardedPrefix.withRankAndSum(df, Seq("g"), "o", "t", rankName = "rk")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("order-key span overflows Long")),
+      s"expected the named guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("rank-only call matches row_number over the plain window") {
     val df = Seq(("a", 5L, 1L), ("a", 5L, 0L), ("a", -2L, 2L), ("b", 7L, 3L))
       .toDF("g", "o", "t")
