@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *    [[Urls.TrackingKeys]] set
   *  - remaining query params sorted lexicographically (order-insensitive
   *    serving is the common case; opt out by skipping canonicalize)
+  *  - userinfo (`user@host`) dropped with the rest of the authority
+  *    decoration: it never identifies a different PAGE, and keeping
+  *    credentials in a dedup key would leak them into every downstream
+  *    artifact
   */
 object Urls {
 

@@ -47,6 +47,11 @@ class UrlsSpec extends SparkSpec {
         "https://a.com/x", "https://a.com/x?a=1&b=2"))
   }
 
+  test("userinfo is dropped: credentials never reach a dedup key") {
+    assert(canon("https://user:pw@a.com/x", "https://user@a.com:8080/x") ==
+      Seq("https://a.com/x", "https://a.com:8080/x"))
+  }
+
   test("malformed URL yields null, not a half-canonical string") {
     val out = Seq("not a url", "http://").toDF("u")
       .select(Urls.canonicalize(col("u"))).collect()
