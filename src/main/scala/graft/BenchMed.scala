@@ -46,7 +46,8 @@ object BenchMed {
     "nfc_normalize", "domain_gate", "image_phash",
     "asof_forward", "asof_nearest", "interval_overlap", "corpus_curate_span",
     "pack_manifest", "dedup_report", "span_excise_ref",
-    "sample_quantiles", "quantile_error", "audio_features", "url_canonicalize", "url_dedup", "url_domain_stats")
+    "sample_quantiles", "quantile_error", "audio_features", "url_canonicalize", "url_dedup", "url_domain_stats",
+    "url_psl_domains")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

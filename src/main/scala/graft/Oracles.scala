@@ -29,6 +29,42 @@ object Oracles {
        |x AS (SELECT $carry,
        |  xor(a3, a3 >> 13) % $P * $TokenHashA % $P AS h FROM x1)""".stripMargin
 
+  /** DuckDB replay of the Public Suffix List algorithm over a CTE
+    * `hosts(host)`: the rules table is GENERATED from the same committed
+    * resource [[graft.functions.Psl.rules]] parses (rule DATA is shared;
+    * the matching logic — longest match, `*.` wildcard one-extra-label,
+    * `!` exception prevails, default rule `*` — is re-expressed
+    * independently in SQL). Yields a CTE `pslrd(host, public_suffix,
+    * reg_domain)` with one row per distinct non-null host. */
+  private lazy val pslCtes: String = {
+    val r = graft.functions.Psl.rules
+    def row(s: String, kind: String) = s"('$s', ${s.count(_ == '.') + 1}, '$kind')"
+    val rows = (r.normal.toSeq.sorted.map(row(_, "n")) ++
+      r.wildcards.toSeq.sorted.map(row(_, "w")) ++
+      r.exceptions.toSeq.sorted.map(row(_, "x"))).mkString(",\n  ")
+    s"""psl_rules(sfx, nlab, kind) AS (VALUES
+       |  $rows),
+       |psl_n AS (SELECT host, string_split(host, '.') AS labs,
+       |   len(string_split(host, '.')) AS nlabs
+       |  FROM (SELECT DISTINCT host FROM hosts WHERE host IS NOT NULL)),
+       |psl_m AS (SELECT h.host,
+       |   CASE r.kind WHEN 'x' THEN r.nlab - 1
+       |     WHEN 'w' THEN r.nlab + 1 ELSE r.nlab END AS eff, r.kind
+       |  FROM psl_n h JOIN psl_rules r
+       |    ON (r.kind = 'w' AND right(h.host, len(r.sfx) + 1) = '.' || r.sfx)
+       |    OR (r.kind <> 'w' AND (h.host = r.sfx
+       |        OR right(h.host, len(r.sfx) + 1) = '.' || r.sfx))),
+       |psl_p AS (SELECT h.host,
+       |   COALESCE(MAX(CASE WHEN m.kind = 'x' THEN m.eff END),
+       |            MAX(CASE WHEN m.kind <> 'x' THEN m.eff END), 1) AS psn
+       |  FROM psl_n h LEFT JOIN psl_m m USING (host) GROUP BY h.host),
+       |pslrd AS (SELECT n.host,
+       |   array_to_string(n.labs[n.nlabs - p.psn + 1 : n.nlabs], '.') AS public_suffix,
+       |   CASE WHEN n.nlabs > p.psn
+       |     THEN array_to_string(n.labs[n.nlabs - p.psn : n.nlabs], '.') END AS reg_domain
+       |  FROM psl_n n JOIN psl_p p USING (host))""".stripMargin
+  }
+
   /** Whitespace tokens of a text expression. */
   private def tokensOf(c: String) = s"string_split($c, ' ')"
   private val tokensE = tokensOf("text")
@@ -1937,23 +1973,38 @@ object Oracles {
         |SELECT url_key, MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups
         |FROM k GROUP BY url_key ORDER BY url_key""".stripMargin,
 
-    // registered-domain stats: generic label logic (last 2 labels, or 3
-    // when the last 2 are a multi-label public suffix)
+    // registered-domain stats, pinned against the full PSL-algorithm
+    // replay (rules generated from the committed resource)
     "url_domain_stats" ->
-      """WITH h AS (SELECT lower(CASE doc_id % 4
-        |   WHEN 0 THEN source || '.example.com'
-        |   WHEN 1 THEN 'www.' || source || '.example.com'
-        |   WHEN 2 THEN source || '.news.co.uk'
-        |   ELSE 'cdn.' || source || '.example.org' END) AS host FROM documents),
-        |g AS (SELECT host, string_split(host, '.') AS l FROM h),
-        |rd AS (SELECT host, CASE
-        |   WHEN len(l) <= 2 THEN host
-        |   WHEN l[-2] || '.' || l[-1] IN
-        |     ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br')
-        |     THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-        |   ELSE l[-2] || '.' || l[-1] END AS reg_domain FROM g)
-        |SELECT reg_domain, COUNT(*) AS n_urls, COUNT(DISTINCT host) AS n_hosts
-        |FROM rd GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+      s"""WITH hosts AS (SELECT lower(CASE doc_id % 4
+         |   WHEN 0 THEN source || '.example.com'
+         |   WHEN 1 THEN 'www.' || source || '.example.com'
+         |   WHEN 2 THEN source || '.news.co.uk'
+         |   ELSE 'cdn.' || source || '.example.org' END) AS host FROM documents),
+         |$pslCtes
+         |SELECT p.reg_domain, COUNT(*) AS n_urls, COUNT(DISTINCT h.host) AS n_hosts
+         |FROM hosts h JOIN pslrd p USING (host)
+         |GROUP BY p.reg_domain ORDER BY reg_domain""".stripMargin,
+
+    // the full PSL rule machinery on one synthetic frontier: normal
+    // longest-match, wildcard (*.ck, *.kawasaki.jp), exception (!www.ck,
+    // !city.kawasaki.jp), private-section (blogspot.com), the default
+    // rule (unknown TLD), and a bare public suffix (null reg_domain)
+    "url_psl_domains" ->
+      s"""WITH hosts AS (SELECT CASE doc_id % 9
+         |   WHEN 0 THEN source || '.example.com'
+         |   WHEN 1 THEN source || '.shop.co.uk'
+         |   WHEN 2 THEN source || '.web.ck'
+         |   WHEN 3 THEN 'www.ck'
+         |   WHEN 4 THEN source || '.city.kawasaki.jp'
+         |   WHEN 5 THEN source || '.sub.kawasaki.jp'
+         |   WHEN 6 THEN source || '.blogspot.com'
+         |   WHEN 7 THEN 'cdn.' || source || '.unknowntld'
+         |   ELSE 'co.uk' END AS host FROM documents),
+         |$pslCtes
+         |SELECT h.host, p.public_suffix, p.reg_domain, COUNT(*) AS n_urls
+         |FROM hosts h JOIN pslrd p USING (host)
+         |GROUP BY 1, 2, 3 ORDER BY host""".stripMargin,
 
     // majority label propagation, 2 synchronous rounds unrolled; self-vote
     // included, ties to the smallest label — all deterministic

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Strings, Times, Urls}
+import graft.functions.{Psl, Strings, Times, Urls}
 import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, KCore, LabelProp, PageRank, RangeJoin, Sessionize, Triangles}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.{HLL, SampleQuantiles}
@@ -1425,15 +1425,43 @@ object Queries {
   }
 
   /** Registered-domain (eTLD+1) crawl report over canonical hosts
-    * ([[Urls.registeredDomain]]): the unit crawl pipelines budget and
-    * rate-limit by, including the multi-label public-suffix rule
-    * (news.co.uk stays a registered domain; example.com absorbs www). */
+    * ([[Urls.registeredDomain]], full PSL rules): the unit crawl
+    * pipelines budget and rate-limit by (news.co.uk stays a registered
+    * domain; example.com absorbs www). */
   def urlDomainStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(lower(try_parse_url(rawUrl, lit("HOST"))).as("host"))
       .groupBy(Urls.registeredDomain(col("host")).as("reg_domain"))
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("host")).as("n_hosts"))
       .orderBy(col("reg_domain"))
+
+  /** The full PSL rule machinery ([[graft.functions.Psl]]) on one
+    * synthetic frontier: normal longest-match, wildcard (`*.ck`,
+    * `*.kawasaki.jp`), exception (`!www.ck`, `!city.kawasaki.jp`),
+    * private-section (blogspot.com), the default rule (unknown TLD), and
+    * a bare public suffix with no registrable part. Rule membership is
+    * `InSet` literals inside the aggregate's projection — no broadcast,
+    * no UDF; the only exchange is the host group-by. */
+  def urlPslDomains(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val src = col("source")
+    val host = when(d % 9 === 0, concat(src, lit(".example.com")))
+      .when(d % 9 === 1, concat(src, lit(".shop.co.uk")))
+      .when(d % 9 === 2, concat(src, lit(".web.ck")))
+      .when(d % 9 === 3, lit("www.ck"))
+      .when(d % 9 === 4, concat(src, lit(".city.kawasaki.jp")))
+      .when(d % 9 === 5, concat(src, lit(".sub.kawasaki.jp")))
+      .when(d % 9 === 6, concat(src, lit(".blogspot.com")))
+      .when(d % 9 === 7, concat(lit("cdn."), src, lit(".unknowntld")))
+      .otherwise(lit("co.uk"))
+    t(s, dir, "documents")
+      .select(host.as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"))
+      .select(col("host"), Psl.publicSuffix(col("host")).as("public_suffix"),
+        Urls.registeredDomain(col("host")).as("reg_domain"), col("n_urls"))
+      .orderBy(col("host"))
+  }
 
   // -------------------------------------------------------- near-dup / ANN
 
@@ -3145,6 +3173,7 @@ object Queries {
     "url_canonicalize" -> urlCanonicalize _,
     "url_dedup" -> urlDedup _,
     "url_domain_stats" -> urlDomainStats _,
+    "url_psl_domains" -> urlPslDomains _,
     "vocab_growth" -> vocabGrowth _,
     "neardup_cluster_sizes" -> neardupClusterSizes _,
     "ivf_balance" -> ivfBalance _,

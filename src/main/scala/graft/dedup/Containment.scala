@@ -172,12 +172,25 @@ object Containment {
       minBp: Long,
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
-      directMaxDocs: Long = Jaccard.DirectMaxDocs): DataFrame = {
-    // same persist-before-dispatch as Jaccard.pairsAuto: count + pairs
-    // must not traverse an expensive lineage twice
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (cached.count() <= directMaxDocs)
-      pairsDirect(cached, idCol, textCol, minBp, native, maxDf)
-    else pairs(cached, idCol, textCol, minBp, native, maxDf)
+      directMaxDocs: Long = Jaccard.DirectMaxDocs,
+      materialize: Boolean = true): DataFrame = {
+    // same persist-before-dispatch as Jaccard.pairsAuto (count + pairs
+    // must not traverse an expensive lineage twice), with the same
+    // materialize-then-unpersist discipline so the corpus-sized cache
+    // never outlives the call; `materialize = false` keeps the lazy plan
+    if (!materialize) {
+      if (df.count() <= directMaxDocs)
+        pairsDirect(df, idCol, textCol, minBp, native, maxDf)
+      else pairs(df, idCol, textCol, minBp, native, maxDf)
+    } else {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val out =
+          if (cached.count() <= directMaxDocs)
+            pairsDirect(cached, idCol, textCol, minBp, native, maxDf)
+          else pairs(cached, idCol, textCol, minBp, native, maxDf)
+        out.localCheckpoint()
+      } finally cached.unpersist(blocking = false)
+    }
   }
 }

@@ -166,14 +166,31 @@ object Jaccard {
       minBp: Long,
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
-      directMaxDocs: Long = DirectMaxDocs): DataFrame = {
+      directMaxDocs: Long = DirectMaxDocs,
+      materialize: Boolean = true): DataFrame = {
     // the dispatch count and the chosen pair plan BOTH traverse df's
     // lineage; persist so an expensive upstream (the curate pipeline's
-    // cleaned/gated frame) is computed once, not once per pass — Spark
-    // evicts the blocks LRU, so no unpersist bookkeeping is needed
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (cached.count() <= directMaxDocs)
-      pairsDirect(cached, idCol, textCol, minBp, native, maxDf)
-    else pairs(cached, idCol, textCol, minBp, native, maxDf)
+    // cleaned/gated frame) is computed once, not once per pass. The cache
+    // is RELEASED before returning: the pair table (bounded by the
+    // similarity threshold, tiny next to the corpus) is materialized via
+    // localCheckpoint while the input is still cached, so in a long-lived
+    // session (streaming service, repeated curate runs) the corpus-sized
+    // blocks never accumulate and never LRU-evict hotter caches.
+    // `materialize = false` skips both the persist and the checkpoint —
+    // for callers that manage their own caching or want the lazy plan.
+    if (!materialize) {
+      if (df.count() <= directMaxDocs)
+        pairsDirect(df, idCol, textCol, minBp, native, maxDf)
+      else pairs(df, idCol, textCol, minBp, native, maxDf)
+    } else {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val out =
+          if (cached.count() <= directMaxDocs)
+            pairsDirect(cached, idCol, textCol, minBp, native, maxDf)
+          else pairs(cached, idCol, textCol, minBp, native, maxDf)
+        out.localCheckpoint()
+      } finally cached.unpersist(blocking = false)
+    }
   }
 }

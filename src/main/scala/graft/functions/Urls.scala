@@ -38,10 +38,10 @@ object Urls {
     * mechanism is the point. */
   val TrackingKeys: Seq[String] = Seq("ref", "fbclid", "gclid", "mc_cid", "mc_eid")
 
-  /** Demo subset of the Mozilla Public Suffix List's multi-label
-    * suffixes. Production would load the full PSL as a broadcast lookup;
-    * the two-vs-three-label decision logic below is unchanged by the
-    * list's size. */
+  /** Demo subset of multi-label public suffixes, kept ONLY as the
+    * fallback when the committed PSL resource is absent from the jar —
+    * [[registeredDomain]] and the [[dedupKey]] guard normally run on the
+    * full [[Psl]] rule sets (wildcard and exception rules included). */
   val MultiLabelSuffixes: Seq[String] =
     Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
 
@@ -73,28 +73,63 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), host, keptPort, path, query))
   }
 
+  /** Fallback group key for records whose URL fails to parse (null
+    * [[dedupKey]]): a per-record sentinel so they survive URL dedup as
+    * singletons. ONE definition shared by the batch
+    * ([[graft.pipelines.CorpusPipeline.urlDedup]]) and streaming
+    * ([[graft.streaming.Streaming.urlDedupStream]]) paths so their group
+    * keys can never diverge. Collision-free by construction: every
+    * canonical key starts with "http", never with a space. */
+  def fallbackKey(id: Column): Column =
+    concat(lit(" id:"), id.cast(org.apache.spark.sql.types.StringType))
+
+  /** True when `host` has no registrable part — it IS a public suffix
+    * under the [[Psl]] rules (or, in the no-resource fallback, a
+    * [[MultiLabelSuffixes]] entry). */
+  private def isBareSuffix(host: Column): Column =
+    if (Psl.rules.isEmpty) host.isin(MultiLabelSuffixes: _*)
+    else Psl.isPublicSuffix(host)
+
   /** Dedup key: [[canonicalize]] plus a leading-`www.` strip — "www.x.com"
     * and "x.com" almost always serve the same page, so the DEDUP key
     * unifies them while the canonical URL (which a refetch would use)
-    * keeps the spelling the site chose. The lookahead requires at least
-    * two labels AFTER the strip: for the (real) host "www.com", www IS
-    * the registrable label and stripping it would alias the site onto a
-    * different origin. */
-  def dedupKey(url: Column): Column =
-    regexp_replace(canonicalize(url), "^(https?://)www\\.(?=[^/]*\\.)", "$1")
+    * keeps the spelling the site chose. The strip is guarded three ways
+    * against origin aliasing, where `www` is (part of) the registrable
+    * label rather than decoration:
+    *  - the regex lookahead requires at least two labels AFTER the strip
+    *    (for the real host "www.com", www IS the registrable label);
+    *  - the strip is skipped when the POST-strip host is itself a public
+    *    suffix ("www.co.uk" must not collapse onto the bare suffix
+    *    "co.uk" — a different origin shared by every .co.uk registrant);
+    *  - and when the PRE-strip host is itself a public suffix (under a
+    *    wildcard rule like `*.kawasaki.jp`, "www.kawasaki.jp" is a whole
+    *    public zone, not a decorated spelling of "kawasaki.jp"). */
+  def dedupKey(url: Column): Column = {
+    val c = canonicalize(url)
+    val stripped = regexp_replace(c, "^(https?://)www\\.(?=[^/]*\\.)", "$1")
+    val preHost = regexp_extract(c, "^https?://([^/:?]+)", 1)
+    val postHost = regexp_extract(stripped, "^https?://([^/:?]+)", 1)
+    when(c.isNull, lit(null))
+      .when(stripped =!= c && (isBareSuffix(postHost) || isBareSuffix(preHost)), c)
+      .otherwise(stripped)
+  }
 
   /** Registered domain (eTLD+1) of an already-lowercased host: the unit
-    * crawl pipelines budget, rate-limit, and report by. Last two labels,
-    * or three when the last two are a multi-label public suffix
-    * ([[MultiLabelSuffixes]]); a bare two-label host is its own
-    * registered domain. */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".",
-      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
-    when(size(labels) <= 2, host)
-      .when(last2.isin(MultiLabelSuffixes: _*), last3)
-      .otherwise(last2)
-  }
+    * crawl pipelines budget, rate-limit, and report by. Delegates to the
+    * full [[Psl]] rule sets (longest match, wildcard and exception rules;
+    * null when the host IS a public suffix — including single-label
+    * hosts, which have no registrable part under the default rule). Falls
+    * back to the demo last-2-or-3-label logic only when the PSL resource
+    * is absent from the jar. */
+  def registeredDomain(host: Column): Column =
+    if (!Psl.rules.isEmpty) Psl.registeredDomain(host)
+    else {
+      val labels = split(host, "\\.")
+      val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+      val last3 = concat_ws(".",
+        element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+      when(size(labels) <= 2, host)
+        .when(last2.isin(MultiLabelSuffixes: _*), last3)
+        .otherwise(last2)
+    }
 }

@@ -79,7 +79,17 @@ object ShardedPrefix {
         // Long.MaxValue) wraps the width arithmetic and would invert the
         // shard order silently — fail loudly instead (the static path's
         // require, enforced per group at runtime)
-        df.join(broadcast(mm), groupCols)
+        //
+        // SHUFFLE-hash join, not broadcast: the bounds table has one row
+        // PER GROUP, and groups can be crawl domains (10^7+) — a broadcast
+        // would ship tens of MB to every executor and can exceed the
+        // driver. Both join branches exchange on groupCols over the same
+        // df subtree, so Spark's exchange reuse runs the upstream ONCE —
+        // the same ReusedExchange argument as the offsets join below (a
+        // broadcast build side would additionally re-run the whole
+        // upstream pipeline for the bounds, since Catalyst does not share
+        // subtrees across a broadcast boundary).
+        df.join(mm.hint("shuffle_hash"), groupCols)
           .withColumn("__shard", expr(
             s"CASE WHEN `$orderCol` IS NULL THEN -1L " +
               // try_subtract: under ANSI the raw subtraction would throw

@@ -140,7 +140,7 @@ object Streaming {
       .parquet(inputDir)
     in.withColumn("__uk", coalesce(
         graft.functions.Urls.dedupKey(col(urlCol)),
-        concat(lit(" id:"), col(idCol).cast(org.apache.spark.sql.types.StringType))))
+        graft.functions.Urls.fallbackKey(col(idCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__uk"))
       .drop("__uk")

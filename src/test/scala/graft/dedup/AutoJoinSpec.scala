@@ -49,19 +49,31 @@ class AutoJoinSpec extends SparkSpec {
 
   test("auto selects the direct plan under the threshold and PPJoin above it") {
     // the PPJoin formulation's signature is its rarity-ranking window; the
-    // direct self-join has no window at all (df cap inert here)
+    // direct self-join has no window at all (df cap inert here).
+    // materialize = false keeps the lazy plan inspectable (the default
+    // localCheckpoints the pairs, collapsing the plan to a LogicalRDD)
     val below = Jaccard.pairsAuto(docs, "doc_id", "text", 6000L, native = true,
-      directMaxDocs = Long.MaxValue)
+      directMaxDocs = Long.MaxValue, materialize = false)
     assert(!below.queryExecution.optimizedPlan.toString.contains("row_number"))
     val above = Jaccard.pairsAuto(docs, "doc_id", "text", 6000L, native = true,
-      directMaxDocs = 0L)
+      directMaxDocs = 0L, materialize = false)
     assert(above.queryExecution.optimizedPlan.toString.contains("row_number"))
     val cBelow = Containment.pairsAuto(docs, "doc_id", "text", 8000L, native = true,
-      directMaxDocs = Long.MaxValue)
+      directMaxDocs = Long.MaxValue, materialize = false)
     assert(!cBelow.queryExecution.optimizedPlan.toString.contains("row_number"))
     val cAbove = Containment.pairsAuto(docs, "doc_id", "text", 8000L, native = true,
-      directMaxDocs = 0L)
+      directMaxDocs = 0L, materialize = false)
     assert(cAbove.queryExecution.optimizedPlan.toString.contains("row_number"))
+  }
+
+  test("pairsAuto releases its input cache (no corpus-sized blocks accumulate)") {
+    import org.apache.spark.storage.StorageLevel
+    Jaccard.pairsAuto(docs, "doc_id", "text", 6000L, native = true).count()
+    assert(docs.storageLevel == StorageLevel.NONE,
+      "Jaccard.pairsAuto must unpersist its input before returning")
+    Containment.pairsAuto(docs, "doc_id", "text", 8000L, native = true).count()
+    assert(docs.storageLevel == StorageLevel.NONE,
+      "Containment.pairsAuto must unpersist its input before returning")
   }
 
   test("the pipeline's exactNearDup knob curates identically through either plan") {

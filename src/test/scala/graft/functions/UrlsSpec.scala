@@ -71,10 +71,32 @@ class UrlsSpec extends SparkSpec {
       "https://www.com/p", "https://www.com:8080/p"))
   }
 
-  test("registeredDomain: two labels, multi-label public suffix, bare domain") {
-    val out = Seq("www.a.example.com", "a.news.co.uk", "example.com", "localhost")
+  test("dedupKey PSL guards: no strip onto (or off of) a bare public suffix") {
+    val out = Seq(
+      // post-strip host would be the bare multi-label suffix co.uk
+      "https://www.co.uk/p",
+      // pre-strip host is itself a public suffix under *.kawasaki.jp
+      "https://www.kawasaki.jp/p",
+      // ordinary hosts under the same suffixes still strip
+      "https://www.news.co.uk/p", "https://www.city.kawasaki.jp/p")
+      .toDF("u").select(Urls.dedupKey(col("u"))).as[String].collect().toSeq
+    assert(out == Seq(
+      "https://www.co.uk/p", "https://www.kawasaki.jp/p",
+      "https://news.co.uk/p", "https://city.kawasaki.jp/p"))
+  }
+
+  test("registeredDomain: PSL rules — normal, multi-label, wildcard, exception") {
+    val out = Seq("www.a.example.com", "a.news.co.uk", "example.com",
+      "x.shop.web.ck", "a.www.ck", "x.city.kawasaki.jp")
       .toDF("h").select(Urls.registeredDomain(col("h"))).as[String].collect().toSeq
-    assert(out == Seq("example.com", "news.co.uk", "example.com", "localhost"))
+    assert(out == Seq("example.com", "news.co.uk", "example.com",
+      "shop.web.ck", "www.ck", "city.kawasaki.jp"))
+  }
+
+  test("registeredDomain: a bare public suffix or single label has no registrable part") {
+    val out = Seq("co.uk", "localhost")
+      .toDF("h").select(Urls.registeredDomain(col("h"))).collect()
+    assert(out.forall(_.isNullAt(0)))
   }
 
   test("canonicalize is idempotent over generated messy URLs") {
