@@ -69,6 +69,41 @@ object Oracles {
   private def tokensOf(c: String) = s"string_split($c, ' ')"
   private val tokensE = tokensOf("text")
 
+  /** BPE train-then-encode over the corpus vocabulary, rounds unrolled
+    * with the same chr(1)/chr(2) marker-bracket device as the
+    * bpe_train_merges oracle, but CARRYING the word through so the final
+    * CTE `bsyms(w, syms)` maps every vocabulary word to its encoded
+    * symbol sequence (and `beb1..3` expose the learned merges). */
+  private val bpeEncCtes: String = {
+    def round(i: Int) =
+      s"""bey$i AS (SELECT freq,
+         |  string_split(rtrim(ltrim(enc, chr(1)), chr(2)), chr(2) || chr(1)) AS syms
+         | FROM be$i),
+         |bep$i AS (SELECT syms[t.j] AS lhs, syms[t.j + 1] AS rhs, freq
+         | FROM bey$i, UNNEST(range(1, len(syms))) AS t(j)),
+         |beb$i AS (SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+         | FROM bep$i GROUP BY 1, 2 ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |be${i + 1} AS (SELECT w, freq,
+         |  replace(enc, chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+         |    chr(1) || b.lhs || b.rhs || chr(2)) AS enc
+         | FROM be$i CROSS JOIN beb$i b)""".stripMargin
+    s"""bt AS (SELECT doc_id, unnest($tokensE) AS w FROM documents),
+       |bvocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM bt GROUP BY 1),
+       |be1 AS (SELECT w, freq,
+       |  regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc FROM bvocab),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |bsyms AS (SELECT w,
+       |  string_split(rtrim(ltrim(enc, chr(1)), chr(2)), chr(2) || chr(1)) AS syms
+       | FROM be4)""".stripMargin
+  }
+
+  /** Per-doc BPE token counts off [[bpeEncCtes]]'s `bsyms`. */
+  private val bpeCountCte: String =
+    """bcnt AS (SELECT bt.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+      | FROM bt JOIN bsyms s USING (w) GROUP BY bt.doc_id)""".stripMargin
+
   /** Integer word codes: length(w)*WordBase + ascii(first char). */
   private def codesOf(c: String) =
     s"list_transform(${tokensOf(c)}, w -> length(w)*$WordBase + ascii(w))"
@@ -1111,6 +1146,59 @@ object Oracles {
          |  row_number() OVER (ORDER BY cnt DESC, p ASC) AS "rank" FROM pc)
          |SELECT CAST("rank" AS BIGINT) AS "rank", p AS pair, cnt FROM r
          |WHERE "rank" <= 32 ORDER BY "rank"""".stripMargin,
+
+    "bpe_encode" ->
+      s"""WITH $bpeEncCtes,
+         |bmt AS (SELECT lhs || rhs AS merged, 255 + MIN(step) AS tid FROM (
+         |  SELECT 1 AS step, lhs, rhs FROM beb1
+         |  UNION ALL SELECT 2, lhs, rhs FROM beb2
+         |  UNION ALL SELECT 3, lhs, rhs FROM beb3) GROUP BY 1),
+         |bdw AS (SELECT doc_id, i AS wpos, toks[i] AS w FROM
+         |  (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |  UNNEST(range(1, len(toks) + 1)) AS t(i)),
+         |bds AS (SELECT doc_id, wpos, j AS spos, syms[j] AS sym FROM
+         |  (SELECT doc_id, wpos, syms FROM bdw JOIN bsyms USING (w)),
+         |  UNNEST(range(1, len(syms) + 1)) AS t(j)),
+         |bdi AS (SELECT doc_id, wpos, spos, COALESCE(m.tid, ascii(sym)) AS tid
+         |  FROM bds LEFT JOIN bmt m ON m.merged = bds.sym)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bpe,
+         |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wpos, spos) AS token_ids
+         |FROM bdi GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // token_pack with REAL BPE counts: the learned merges re-applied to
+    // the vocabulary, summed per doc, then the identical packing body
+    "token_pack_bpe" ->
+      s"""WITH $bpeEncCtes,
+         |$bpeCountCte,
+         |d AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 80 THEN 'train'
+         |       WHEN (doc_id % $P * $TokenHashA) % $P % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id % 64 AS shard
+         | FROM bcnt),
+         |c AS (SELECT doc_id, split, shard, n_tokens,
+         |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         | FROM d)
+         |SELECT doc_id, split, shard, n_tokens,
+         | cum_before // 512 AS pack_id,
+         | cum_before % 512 AS pack_offset
+         |FROM c ORDER BY split, shard, doc_id""".stripMargin,
+
+    // token_budget_mix with REAL BPE counts, same admission body
+    "token_budget_mix_bpe" ->
+      s"""WITH $bpeEncCtes,
+         |$bpeCountCte,
+         |d AS (SELECT b.doc_id, doc.source, b.n_tokens,
+         |  (b.doc_id % $P * $TokenHashA) % $P AS h,
+         |  CASE WHEN doc.source IN ('src0', 'src1') THEN 1000 ELSE 400 END AS budget
+         | FROM bcnt b JOIN documents doc USING (doc_id)),
+         |c AS (SELECT doc_id, source, n_tokens, budget,
+         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |   ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(cum AS BIGINT) AS cum
+         |FROM c WHERE cum <= budget ORDER BY source, cum""".stripMargin,
 
     // iterated BPE: 3 rounds unrolled; symbols ride as chr(1)-prefixed,
     // chr(2)-suffixed brackets so non-overlapping replace() applies the

@@ -865,6 +865,41 @@ object Queries {
     BPE.trainMerges(vocab, "w", "freq", steps = 3).orderBy(col("step"))
   }
 
+  /** The corpus merge table (the bpe_train_merges loop), collected
+    * driver-side for the encode-consuming entries. */
+  private def trainedMerges(s: SparkSession, dir: String, steps: Int = 3): Seq[BPE.Merge] = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    BPE.collectMerges(BPE.trainMerges(vocab, "w", "freq", steps))
+  }
+
+  /** BPE ENCODING with the trained merge table — the consumer the
+    * trainer exists for: every document becomes its token-id sequence
+    * (ids: single chars by code point, merged symbols 255 + first
+    * training step). [[graft.text.BPE.encode]] runs the greedy fold once
+    * per DISTINCT word and joins the corpus back on the word key; the
+    * id map is a plan literal (`try_element_at` — no join, no UDF), and
+    * per-doc assembly is the same sort-structs-then-join device as
+    * pack_manifest's segments. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    val idMap = merges.groupBy(_.merged).map { case (m, ms) =>
+      m -> (255 + ms.map(_.step).min)
+    }
+    val enc = BPE.encode(t(s, dir, "documents"), "doc_id", "text", merges)
+    enc.select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "sym")))
+      .withColumn("tid",
+        coalesce(try_element_at(typedlit(idMap), col("sym")), ascii(col("sym"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bpe"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wpos"), col("spos"), col("tid")))),
+          x => x.getField("tid").cast(StringType)), ",").as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
@@ -1653,10 +1688,16 @@ object Queries {
     * would serialize each split into one window task at corpus scale, so
     * the shard key (doc_id mod 64) bounds every task's work while keeping
     * pack assignment deterministic and engine-independent. */
-  def tokenPack(s: SparkSession, dir: String): DataFrame = {
+  def tokenPack(s: SparkSession, dir: String): DataFrame =
+    tokenPackFrom(t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast(LongType).as("n_tokens")))
+
+  /** The packing body over any `(doc_id, n_tokens)` counts frame — the
+    * counter is pluggable so [[tokenPackBpe]] can budget in REAL
+    * tokenizer tokens while [[tokenPack]] keeps the cheap whitespace
+    * default. */
+  private def tokenPackFrom(d: DataFrame): DataFrame = {
     val budget = 512L
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
     val split = graft.pipelines.CorpusPipeline
       .withSplit(d, "doc_id", graft.pipelines.CorpusPipeline.Config())
       .withColumn("shard", col("doc_id") % 64)
@@ -1669,6 +1710,15 @@ object Queries {
         (col("cum_before") % budget).as("pack_offset"))
       .orderBy(col("split"), col("shard"), col("doc_id"))
   }
+
+  /** [[tokenPack]] denominated in REAL BPE tokens: the merge table
+    * trained by the bpe_train_merges loop is applied back to the corpus
+    * ([[graft.text.BPE.tokenCounts]] — vocab-bounded encode, one join),
+    * so pack budgets mean what a tokenizer would actually emit instead
+    * of whitespace-token approximations. */
+  def tokenPackBpe(s: SparkSession, dir: String): DataFrame =
+    tokenPackFrom(BPE.tokenCounts(t(s, dir, "documents"), "doc_id", "text",
+      trainedMerges(s, dir), outCol = "n_tokens"))
 
   /** The per-pack manifest a dataloader consumes: for every (split,
     * shard, pack) of `token_pack`, the doc count, token mass, and the
@@ -2779,12 +2829,17 @@ object Queries {
     * in one task; membership is deterministic on any engine or
     * partitioning because the rank order and the token counts are both
     * exact integers. */
-  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
-    val budget = when(col("source").isin("src0", "src1"), 1000L).otherwise(400L)
-    val base = t(s, dir, "documents")
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixFrom(t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-        expr(s"(doc_id % ${Hashing.P}L * ${Hashing.TokenHashA}L) % ${Hashing.P}L").as("h"))
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens")))
+
+  /** The admission body over any `(doc_id, source, n_tokens)` frame —
+    * counter pluggable, same as [[tokenPackFrom]]. */
+  private def tokenBudgetMixFrom(counts: DataFrame): DataFrame = {
+    val budget = when(col("source").isin("src0", "src1"), 1000L).otherwise(400L)
+    val base = counts.withColumn("h",
+      expr(s"(doc_id % ${Hashing.P}L * ${Hashing.TokenHashA}L) % ${Hashing.P}L"))
     graft.operators.ShardedPrefix
       .withRankAndSum(base, Seq("source"), "h", "doc_id",
         rankName = "__rank", sumCol = Some("n_tokens"), cumName = "cum",
@@ -2792,6 +2847,17 @@ object Queries {
       .filter(col("cum") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
       .orderBy(col("source"), col("cum"))
+  }
+
+  /** [[tokenBudgetMix]] denominated in REAL BPE tokens (the trained
+    * merge table re-applied via [[graft.text.BPE.tokenCounts]]): the
+    * per-source budgets admit what a tokenizer would actually count, so
+    * a source of short words no longer reads as cheaper than it is. */
+  def tokenBudgetMixBpe(s: SparkSession, dir: String): DataFrame = {
+    val counts = BPE.tokenCounts(t(s, dir, "documents"), "doc_id", "text",
+      trainedMerges(s, dir), outCol = "n_tokens")
+    tokenBudgetMixFrom(t(s, dir, "documents")
+      .select(col("doc_id"), col("source")).join(counts, "doc_id"))
   }
 
   /** Temperature-based mixing (tau = 2, i.e. alpha = 1/2): each source's
@@ -3156,6 +3222,9 @@ object Queries {
     "bpe_tokens" -> bpeTokens _,
     "bpe_merge_pairs" -> bpeMergePairs _,
     "bpe_train_merges" -> bpeTrainMerges _,
+    "bpe_encode" -> bpeEncode _,
+    "token_pack_bpe" -> tokenPackBpe _,
+    "token_budget_mix_bpe" -> tokenBudgetMixBpe _,
     "text_quality" -> textQuality _,
     "quality_ensemble" -> qualityEnsemble _,
     "text_clean" -> textClean _,

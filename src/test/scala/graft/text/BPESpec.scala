@@ -59,4 +59,43 @@ class BPESpec extends SparkSpec {
       .split(' ').groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
     assert(run(vocab, 3, parts = 7) === reference(vocab, 3))
   }
+
+  test("encode∘train round-trips the training vocabulary (incl. checkpointed path)") {
+    // 9 steps > EncodeCheckpointEvery exercises encodeVocab's
+    // lineage-cutting branch too
+    val vocab = ("the quick brown fox jumps over the lazy dog and the cat" * 3)
+      .split(' ').groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val df = vocab.toSeq.toDF("w", "freq")
+    val (mergesDf, state) = BPE.trainMergesWithState(df, "w", "freq", steps = 9)
+    val merges = BPE.collectMerges(mergesDf)
+    assert(merges.size == 9 && merges.map(_.step) == (1 to 9))
+    val enc = BPE.encodeVocab(df.select("w"), "w", merges)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy("w").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toList)).toSeq
+    assert(rows(enc) == rows(state),
+      "re-applying the merge table must reproduce the trainer's final symbols")
+  }
+
+  test("encoding is lossless and applies to unseen words") {
+    val merges = Seq(BPE.Merge(1, "t", "h"), BPE.Merge(2, "th", "e"), BPE.Merge(3, "a", "n"))
+    val words = Seq("theater", "anthem", "", "x", "ththe").toDF("w")
+    val out = BPE.encodeVocab(words, "w", merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    out.foreach { case (w, syms) =>
+      assert(syms.mkString == w, s"lossless: $w")
+      assert(syms.forall(_.nonEmpty), s"no empty symbols: $w")
+    }
+    assert(out("anthem") == List("an", "the", "m"))
+    assert(out("theater") == List("the", "a", "t", "e", "r"))
+    assert(out("ththe") == List("th", "the"), "greedy left-to-right, non-overlapping")
+    assert(out("") == Nil)
+  }
+
+  test("tokenCounts: real per-doc BPE counts; empty text counts zero") {
+    val merges = Seq(BPE.Merge(1, "a", "b"))
+    val docs = Seq((1L, "ab ab c"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val out = BPE.tokenCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (2L, 2L), (3L, 0L)))
+  }
 }
