@@ -2094,6 +2094,25 @@ object Oracles {
          |FROM hosts h JOIN pslrd p USING (host)
          |GROUP BY 1, 2, 3 ORDER BY host""".stripMargin,
 
+    // cross-run frontier refresh: the canonical key is derived
+    // analytically from (doc_id) as in url_dedup; seen keys drop, unseen
+    // collapse keep-min within the batch, bad URLs (null key) all survive
+    "url_frontier_refresh" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |    ELSE 'https://h' || (doc_id // 4 % 50) || '.example.com/page/'
+        |      || (doc_id // 4) END AS key
+        | FROM documents),
+        |ref AS (SELECT DISTINCT key FROM u WHERE doc_id % 7 < 3 AND key IS NOT NULL),
+        |nw AS (SELECT * FROM u WHERE doc_id % 7 >= 3),
+        |fresh AS (SELECT * FROM nw
+        | WHERE key IS NULL OR key NOT IN (SELECT key FROM ref)),
+        |keep AS (SELECT COALESCE(key, ' id:' || doc_id) AS k2,
+        |  MIN(doc_id) AS kd FROM fresh GROUP BY 1)
+        |SELECT f.doc_id, f.key AS url_key
+        |FROM fresh f JOIN keep k ON k.kd = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+
     // majority label propagation, 2 synchronous rounds unrolled; self-vote
     // included, ties to the smallest label — all deterministic
     "label_spread" -> {

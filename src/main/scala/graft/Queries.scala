@@ -1498,6 +1498,37 @@ object Queries {
       .orderBy(col("host"))
   }
 
+  /** Cross-run crawl-frontier refresh ([[graft.dedup.UrlFrontier]]):
+    * the already-crawled generation's canonical keys form the frontier
+    * index; a new batch of raw spellings is anti-joined against it (a
+    * page fetched last generation is never re-admitted), within-batch
+    * duplicates collapse keep-min, and un-parseable URLs all survive.
+    * The parquet-persisted index refreshing identically to this inline
+    * form is spec-pinned (UrlFrontierSpec); the plan is one keep-min
+    * aggregate on the reference side plus one anti-join and one
+    * keep-min on the batch — window-free throughout. */
+  def urlFrontierRefresh(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val page = expr("doc_id div 4").cast(StringType)
+    val h = concat(lit("h"), expr("doc_id div 4 % 50").cast(StringType))
+    val raw = when(d % 13 === 0, lit("not a url"))
+      .when(d % 4 === 0,
+        concat(lit("https://"), h, lit(".example.com/page/"), page))
+      .when(d % 4 === 1,
+        concat(lit("HTTPS://WWW."), upper(h), lit(".Example.COM:443/page/"), page, lit("/")))
+      .when(d % 4 === 2,
+        concat(lit("https://"), h, lit(".example.com/page/"), page, lit("?utm_source=feed")))
+      .otherwise(
+        concat(lit("https://www."), h, lit(".example.com/page/"), page, lit("#top")))
+    val docs = t(s, dir, "documents").select(d, raw.as("url"))
+    val idx = graft.dedup.UrlFrontier
+      .buildIndex(docs.filter(d % 7 < 3), "doc_id", "url")
+    graft.dedup.UrlFrontier
+      .refresh(docs.filter(d % 7 >= 3), idx, "doc_id", "url")
+      .select(col("doc_id"), Urls.dedupKey(col("url")).as("url_key"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- near-dup / ANN
 
   def simhash16(s: SparkSession, dir: String): DataFrame =
@@ -3243,6 +3274,7 @@ object Queries {
     "url_dedup" -> urlDedup _,
     "url_domain_stats" -> urlDomainStats _,
     "url_psl_domains" -> urlPslDomains _,
+    "url_frontier_refresh" -> urlFrontierRefresh _,
     "vocab_growth" -> vocabGrowth _,
     "neardup_cluster_sizes" -> neardupClusterSizes _,
     "ivf_balance" -> ivfBalance _,

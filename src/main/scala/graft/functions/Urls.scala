@@ -105,13 +105,17 @@ object Urls {
     *    wildcard rule like `*.kawasaki.jp`, "www.kawasaki.jp" is a whole
     *    public zone, not a decorated spelling of "kawasaki.jp"). */
   def dedupKey(url: Column): Column = {
+    // the strip decision needs only the HOST (cheap to re-parse), not the
+    // canonical string — keeping the big canonicalize subtree out of the
+    // guard halves this expression's serialized size, which matters
+    // because the optimizer inlines dedupKey into several plan nodes of
+    // every URL-dedup stage
+    val host = lower(try_parse_url(url, lit("HOST")))
+    val tail = regexp_replace(host, "^www\\.", "")
+    val strip = host.startsWith("www.") && tail.contains(".") &&
+      !isBareSuffix(tail) && !isBareSuffix(host)
     val c = canonicalize(url)
-    val stripped = regexp_replace(c, "^(https?://)www\\.(?=[^/]*\\.)", "$1")
-    val preHost = regexp_extract(c, "^https?://([^/:?]+)", 1)
-    val postHost = regexp_extract(stripped, "^https?://([^/:?]+)", 1)
-    when(c.isNull, lit(null))
-      .when(stripped =!= c && (isBareSuffix(postHost) || isBareSuffix(preHost)), c)
-      .otherwise(stripped)
+    when(strip, regexp_replace(c, "^(https?://)www\\.", "$1")).otherwise(c)
   }
 
   /** Registered domain (eTLD+1) of an already-lowercased host: the unit

@@ -153,6 +153,48 @@ object Streaming {
       .start()
   }
 
+  /** Streaming crawl-frontier refresh — [[urlDedupStream]] plus the
+    * CROSS-RUN guard: each micro-batch is first anti-joined against a
+    * persisted [[graft.dedup.UrlFrontier]] parquet index (a stream-static
+    * join, stateless, re-planned per batch), so pages fetched in ANY
+    * earlier crawl generation are never re-admitted; the watermark state
+    * then dedups within this run's horizon exactly as urlDedupStream.
+    * State stays O(pages per horizon) — the frontier itself never enters
+    * the state store, it streams through the join as a build side. Null
+    * canonical keys (un-parseable URLs) survive the anti-join by
+    * construction and collapse as singletons under the shared fallback
+    * sentinel — batch-identical semantics, pinned by StreamingSpec. */
+  def urlFrontierRefreshStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      frontierPath: String,
+      urlCol: String = "url",
+      idCol: String = "doc_id",
+      watermark: String = "2 hours",
+      tsCol: String = "ts"): StreamingQuery = {
+    val frontier = graft.dedup.UrlFrontier.loadIndex(spark, frontierPath)
+      .select(col("__uk"))
+    val in = spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+    in.withColumn("__uk", graft.functions.Urls.dedupKey(col(urlCol)))
+      .join(frontier, Seq("__uk"), "left_anti")
+      .withColumn("__uk2", coalesce(col("__uk"),
+        graft.functions.Urls.fallbackKey(col(idCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__uk2"))
+      .drop("__uk", "__uk2")
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+
   /** Streaming corpus intake — the incremental twin of CorpusPipeline's
     * stateless stages: cleanup + annotate fuse into the scan projection
     * (row-local, no state), the row-local quality gates (token-count

@@ -34,7 +34,7 @@ class CatalogDeterminismSpec extends SparkSpec {
     "semantic_dedup", "incremental_dedup", "decontaminate", "neardup_components",
     "cluster_best", "ivf_topk", "pq_topk", "ivfpq_topk", "knn_clusters",
     "bm25_topk", "hll_distinct", "heavy_hitters", "kmv_bottomk",
-    "sample_quantiles", "quantile_error", "url_dedup", "stable_split", "quota_split",
+    "sample_quantiles", "quantile_error", "url_dedup", "url_frontier_refresh", "stable_split", "quota_split",
     "shuffle_shards", "domain_mix", "token_budget_mix", "temperature_mix",
     "dsir_resample", "epoch_upsample", "token_pack", "bpe_train_merges",
     "bpe_encode", "token_pack_bpe", "token_budget_mix_bpe",

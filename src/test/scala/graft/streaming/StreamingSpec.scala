@@ -263,6 +263,44 @@ class StreamingSpec extends SparkSpec {
     assert(Set(3L, 5L, 6L).subsetOf(ids))
   }
 
+  test("urlFrontierRefreshStream: persisted frontier bars re-admission across waves") {
+    val dir = Files.createTempDirectory("graft-stream-frontier").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val fp = s"$dir/frontier"
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    // generation 1 (batch-built, persisted): page 1 is already crawled
+    graft.dedup.UrlFrontier.saveIndex(
+      graft.dedup.UrlFrontier.buildIndex(
+        Seq((1L, "https://a.com/p/1?utm_source=f"))
+          .toDF("doc_id", "url"), "doc_id", "url"), fp)
+    // wave 1: a page-1 refetch, a new page, a bad URL
+    Seq(
+      (10L, "HTTPS://WWW.A.com:443/p/1/", ts(0)),
+      (11L, "https://a.com/p/2", ts(1)),
+      (12L, "not a url", ts(2)))
+      .toDF("doc_id", "url", "ts").write.parquet(in)
+    Streaming.urlFrontierRefreshStream(spark, in, out, cp, fp).awaitTermination()
+    // wave 2: page 2 again (within-run state catches it), page 1 yet again
+    // (the FRONTIER catches it), a new page
+    Seq(
+      (13L, "https://a.com/p/2#frag", ts(3)),
+      (14L, "https://a.com/p/1", ts(4)),
+      (15L, "https://a.com/p/3", ts(5)))
+      .toDF("doc_id", "url", "ts").write.mode("append").parquet(in)
+    Streaming.urlFrontierRefreshStream(spark, in, out, cp, fp).awaitTermination()
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L, 12L, 15L))
+    // batch parity: UrlFrontier.refresh over the union of both waves
+    // admits the same docs (arrival order == id order here, so the
+    // stream's keep-first matches the batch keep-min)
+    val batchIds = graft.dedup.UrlFrontier.refresh(
+        spark.read.parquet(in).select("doc_id", "url"),
+        graft.dedup.UrlFrontier.loadIndex(spark, fp), "doc_id", "url")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchIds == ids)
+  }
+
   test("quantileSampleStream deltas re-rank to the batch sample's quantiles exactly") {
     val dir = Files.createTempDirectory("graft-stream-quant").toFile
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
