@@ -14,8 +14,22 @@ class PlanMarkersSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** The engine's session config (Sessions.build), not the bare test
+    * session: the markers pin PRODUCTION plans, and one of them
+    * (exchange reuse under ShardedPrefix) only holds with the engine's
+    * documented `excludedRules` — InferFiltersFromConstraints inserts
+    * derived filters into one join branch, making the two exchange
+    * subtrees unequal and silently killing the reuse. */
+  private lazy val engineSpark = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints," +
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    s
+  }
+
   private def plan(name: String): String =
-    Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
+    Queries.all(name)(engineSpark, dir).queryExecution.executedPlan.toString
 
   test("q6_forecast: selective predicates reach the parquet scan") {
     val p = plan("q6_forecast")
@@ -62,5 +76,57 @@ class PlanMarkersSpec extends SparkSpec {
       plan("decontaminate").contains("BroadcastNestedLoopJoin") ||
       plan("decontaminate").contains("BroadcastExchange"),
       "the benchmark n-gram set must ship as a broadcast build side")
+  }
+
+  // ---- the round-9 window-skew sweep, pinned as CI invariants ----
+
+  /** Every window in the plan must be sharded: a windowspecdefinition
+    * partitioned only by a data-sized key ships a whole stratum to one
+    * reducer at corpus scale. ShardedPrefix's windows all carry the
+    * __shard column in their partition spec. */
+  private def assertShardedWindows(name: String): Unit = {
+    val lines = plan(name).split("\n").filter(_.contains("windowspecdefinition"))
+    assert(lines.nonEmpty, s"$name is expected to use (sharded) windows")
+    lines.foreach(l => assert(l.contains("__shard"),
+      s"$name has a window not partitioned by __shard: $l"))
+  }
+
+  test("token_budget_mix: every window is range-sharded, never whole-source") {
+    assertShardedWindows("token_budget_mix")
+  }
+
+  test("dsir_resample: doc-level windows sharded; only the weight histogram is global") {
+    val lines = plan("dsir_resample").split("\n").filter(_.contains("windowspecdefinition"))
+    assert(lines.exists(_.contains("__shard")),
+      "the crossing-bucket admission must ride ShardedPrefix")
+    lines.filterNot(_.contains("__shard")).foreach(l => assert(l.contains("wgt"),
+      s"only the distinct-weight histogram window (metadata-sized input) " +
+        s"may be unsharded, found: $l"))
+  }
+
+  test("token_budget_mix: the prefix-sum offsets REUSE the data exchange at runtime") {
+    val df = Queries.all("token_budget_mix")(engineSpark, dir)
+    df.collect() // AQE materializes exchange reuse only during execution
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "the (group, shard) totals side must reuse the main exchange — a " +
+        "re-run subtree would charge the scored input pipeline twice")
+  }
+
+  test("chunk_dedup: keep-first is a map-side-combinable aggregate, not a window") {
+    assert(!plan("chunk_dedup").contains("Window"),
+      "a keep-first window over the chunk-hash key would single-thread " +
+        "every mega-duplicate chunk group")
+  }
+
+  test("label_spread: the majority vote is a min_by aggregate, not a rank window") {
+    assert(!plan("label_spread").contains("Window"),
+      "a rank window per node would single-thread high-degree nodes")
+  }
+
+  test("span_dedup: the keep-first join-back is shuffle-hash, never sort-merge") {
+    val p = plan("span_dedup")
+    assert(p.contains("ShuffledHashJoin"), "join-back must be shuffle-hash")
+    assert(!p.contains("SortMergeJoin"),
+      "sort-merge would sort the full gram-occurrence table")
   }
 }
