@@ -2703,7 +2703,7 @@ object Queries {
     // correctness), NOT a min/max over the scored frame — that would
     // re-run the whole DSIR scoring pipeline a second time
     val idBounds = t(s, dir, "documents")
-      .agg(min(col("doc_id")), max(col("doc_id"))).head
+      .agg(min(col("doc_id")), max(col("doc_id"))).head()
     // empty (or fully filtered) table -> null bounds; any valid range
     // works because the frame being ranked is empty too
     val (bLo, bHi) =

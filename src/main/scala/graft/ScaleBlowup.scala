@@ -34,7 +34,7 @@ object ScaleBlowup {
     // ids above the stride would collide across copies (copy k of id x ==
     // copy k+1 of id x - stride) and silently corrupt every id-keyed
     // operator under rehearsal — fail loudly instead
-    val maxDocId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxDocId = docs.agg(max(col("doc_id"))).head().getLong(0)
     require(maxDocId < idStride,
       s"doc_id $maxDocId >= stride $idStride: raise idStride to avoid copy collisions")
     val docCopies = (0 until factor).map { k =>
@@ -52,7 +52,7 @@ object ScaleBlowup {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val maxVecId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val maxVecId = emb.agg(max(col("vec_id"))).head().getLong(0)
     require(maxVecId < idStride,
       s"vec_id $maxVecId >= stride $idStride: raise idStride to avoid copy collisions")
     val embCopies = (0 until factor).map { k =>
@@ -76,7 +76,7 @@ object ScaleBlowup {
     // (user_id kept: more events per user, the realistic growth axis).
     val okStride = 10000000L
     val orders = spark.read.parquet(s"$src/orders.parquet")
-    val maxOk = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val maxOk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
     require(maxOk < okStride,
       s"o_orderkey $maxOk >= stride $okStride: raise okStride to avoid collisions")
     (0 until factor).map { k =>

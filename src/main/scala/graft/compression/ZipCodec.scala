@@ -22,9 +22,9 @@ final class ZipCodec extends CompressionCodec with Configurable {
 
   override def getDefaultExtension: String = ".zip"
 
-  override def createOutputStream(out: OutputStream): CompressionOutputStream =
-    new CompressionOutputStream(out) {
-      private val zip = new ZipOutputStream(out)
+  override def createOutputStream(raw: OutputStream): CompressionOutputStream =
+    new CompressionOutputStream(raw) {
+      private val zip = new ZipOutputStream(raw)
       zip.setLevel(7) // reference's level (ZipCompression.kt:18)
       zip.putNextEntry(new ZipEntry("data"))
       private var finished = false
@@ -35,9 +35,9 @@ final class ZipCodec extends CompressionCodec with Configurable {
       override def close(): Unit = { finish(); zip.close() }
     }
 
-  override def createInputStream(in: InputStream): CompressionInputStream =
-    new CompressionInputStream(in) {
-      private val zip = new ZipInputStream(in)
+  override def createInputStream(raw: InputStream): CompressionInputStream =
+    new CompressionInputStream(raw) {
+      private val zip = new ZipInputStream(raw)
       zip.getNextEntry // position at the single entry
       override def read(): Int = zip.read()
       override def read(b: Array[Byte], off: Int, len: Int): Int = zip.read(b, off, len)

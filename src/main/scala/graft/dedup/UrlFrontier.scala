@@ -49,7 +49,14 @@ object UrlFrontier {
     * itself frontier-consistent and can be unioned into the next
     * generation). Null-key docs (un-parseable URLs) all survive — no URL
     * evidence is not duplicate evidence, the same contract as the inline
-    * URL dedup. */
+    * URL dedup.
+    *
+    * Join strategy is left to AQE on purpose: at test scale the frontier
+    * broadcasts; at crawl scale (10^10 keys, too big for any build side)
+    * the anti-join degrades to a parallel sort-merge on the key HASH —
+    * uniformly distributed, so no reducer ever holds a stratum, unlike
+    * the data-keyed windows the skew sweep removed. Forcing shuffle-hash
+    * here would instead pin a frontier-sized build map per task. */
   def refresh(
       newDocs: DataFrame,
       index: DataFrame,

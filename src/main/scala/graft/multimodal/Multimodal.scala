@@ -224,7 +224,7 @@ object Multimodal {
     * `bytesPerPartition` per task, so mixed thumbnail/4K corpora decode with
     * even task durations instead of long-tail stragglers. */
   def repartitionBySize(df: DataFrame, binCol: String, bytesPerPartition: Long = 128L << 20): DataFrame = {
-    val total = df.select(sum(octet_length(col(binCol)).cast(LongType))).head.getLong(0)
+    val total = df.select(sum(octet_length(col(binCol)).cast(LongType))).head().getLong(0)
     val parts = math.max(1, math.min(Int.MaxValue.toLong, (total + bytesPerPartition - 1) / bytesPerPartition)).toInt
     df.repartition(parts)
   }
