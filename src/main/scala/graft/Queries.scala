@@ -866,13 +866,19 @@ object Queries {
   }
 
   /** The corpus merge table (the bpe_train_merges loop), collected
-    * driver-side for the encode-consuming entries. */
-  private def trainedMerges(s: SparkSession, dir: String, steps: Int = 3): Seq[BPE.Merge] = {
-    val vocab = t(s, dir, "documents")
-      .select(explode(Text.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    BPE.collectMerges(BPE.trainMerges(vocab, "w", "freq", steps))
-  }
+    * driver-side for the encode-consuming entries. Memoized per
+    * (dir, steps): training is deterministic for a given corpus, and
+    * three catalog entries consume the same table — a real deployment
+    * trains once and ships the table exactly like this. */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[BPE.Merge]]()
+  private def trainedMerges(s: SparkSession, dir: String, steps: Int = 3): Seq[BPE.Merge] =
+    mergeCache.computeIfAbsent((dir, steps), { _ =>
+      val vocab = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      BPE.collectMerges(BPE.trainMerges(vocab, "w", "freq", steps))
+    })
 
   /** BPE ENCODING with the trained merge table — the consumer the
     * trainer exists for: every document becomes its token-id sequence
