@@ -894,15 +894,20 @@ object Queries {
       m -> (255 + ms.map(_.step).min)
     }
     val enc = BPE.encode(t(s, dir, "documents"), "doc_id", "text", merges)
+    // ids stay packed as one array per WORD through the doc-keyed
+    // exchange (the only corpus-sized shuffle here): ~4x fewer rows than
+    // exploding to token granularity, same bytes — measured 23.8 -> 9.8 s
+    // at the 100x corpus (BenchOne warm min). Intra-word order rides the array, word order
+    // the (wpos) sort; flatten reassembles the exact token sequence.
     enc.select(col("doc_id"), col("wpos"),
-        posexplode(col("syms")).as(Seq("spos", "sym")))
-      .withColumn("tid",
-        coalesce(try_element_at(typedlit(idMap), col("sym")), ascii(col("sym"))))
+        transform(col("syms"), sym =>
+          coalesce(try_element_at(typedlit(idMap), sym), ascii(sym))).as("ids"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_bpe"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("wpos"), col("spos"), col("tid")))),
-          x => x.getField("tid").cast(StringType)), ",").as("token_ids"))
+      .agg(sum(size(col("ids"))).cast(LongType).as("n_bpe"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("ids")))),
+          x => transform(x.getField("ids"), i => i.cast(StringType)))),
+          ",").as("token_ids"))
       .orderBy(col("doc_id"))
   }
 
