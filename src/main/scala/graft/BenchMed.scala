@@ -47,7 +47,7 @@ object BenchMed {
     "asof_forward", "asof_nearest", "interval_overlap", "corpus_curate_span",
     "pack_manifest", "dedup_report", "span_excise_ref",
     "sample_quantiles", "quantile_error", "audio_features", "url_canonicalize", "url_dedup", "url_domain_stats",
-    "url_psl_domains", "bpe_encode", "token_pack_bpe", "token_budget_mix_bpe", "url_frontier_refresh")
+    "url_psl_domains", "bpe_encode", "token_pack_bpe", "token_budget_mix_bpe", "url_frontier_refresh", "repetition_signals", "pii_scrub")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

@@ -1232,6 +1232,65 @@ object Oracles {
          |ORDER BY step""".stripMargin
     },
 
+    // Gopher repetition signals: bigram argmax with (count desc, gram asc)
+    // tie-break; dup-5-gram coverage as a position-set union
+    "repetition_signals" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensE AS ts FROM documents),
+         |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(ts, w -> length(w))), 0) AS BIGINT) AS l
+         | FROM tk),
+         |bg AS (SELECT doc_id, t.g AS g FROM tk,
+         |  UNNEST(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS t(g)
+         | WHERE len(ts) >= 2),
+         |bc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+         |top AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+         | FROM bc) WHERE rn = 1),
+         |g5 AS (SELECT doc_id, t.i AS p, array_to_string(ts[t.i : t.i + 4], ' ') AS g
+         | FROM tk, UNNEST(range(1, len(ts) - 3)) AS t(i) WHERE len(ts) >= 5),
+         |gc AS (SELECT doc_id, g, COUNT(*) AS c, list(p) AS ps FROM g5 GROUP BY 1, 2),
+         |ocp AS (SELECT doc_id, UNNEST(ps) AS p FROM gc WHERE c >= 2),
+         |cov AS (SELECT DISTINCT doc_id, p + o.o AS cp FROM ocp, range(0, 5) o(o)),
+         |cl AS (SELECT c.doc_id, CAST(SUM(length(tk.ts[c.cp])) AS BIGINT) AS dupchars
+         | FROM cov c JOIN tk ON tk.doc_id = c.doc_id GROUP BY c.doc_id)
+         |SELECT b.doc_id, b.n_tokens, b.l AS n_chars_tok,
+         | top.g AS top_bigram, CAST(coalesce(top.c, 0) AS BIGINT) AS top_bigram_n,
+         | CAST(CASE WHEN b.l > 0
+         |   THEN coalesce(top.c * (length(top.g) - 1), 0) * 10000 // b.l
+         |   ELSE 0 END AS BIGINT) AS top2gram_char_bp,
+         | CAST(CASE WHEN b.l > 0 THEN coalesce(cl.dupchars, 0) * 10000 // b.l
+         |   ELSE 0 END AS BIGINT) AS dup5gram_char_bp
+         |FROM base b LEFT JOIN top USING (doc_id) LEFT JOIN cl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // pii scrub: patterns interpolated from the SAME Pii constants the
+    // engine compiles (written in the Java-regex ∩ RE2 subset)
+    "pii_scrub" -> {
+      val em = graft.text.Pii.EmailPattern
+      val ip = graft.text.Pii.Ipv4Pattern
+      val ph = graft.text.Pii.PhonePattern
+      s"""WITH n AS (SELECT doc_id,
+         |  'contact ' || source || '.user@mail.example.com ' || text ||
+         |  ' call 555-' || (doc_id % 9000 + 1000) ||
+         |  ' from 10.' || (doc_id % 256) || '.' || (doc_id * 7 % 256) || '.'
+         |    || (doc_id * 11 % 256) || ' end' AS noisy
+         | FROM documents),
+         |s AS (SELECT doc_id, noisy,
+         |  regexp_replace(regexp_replace(regexp_replace(noisy,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$ph', '<PHONE>', 'g') AS sc
+         | FROM n)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(noisy, '$em')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(noisy, '$ip')) AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(noisy, '$ph')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(sc, '$em')) + len(regexp_extract_all(sc, '$ip'))
+         |   + len(regexp_extract_all(sc, '$ph')) AS BIGINT) AS n_residual,
+         | CAST(length(sc) AS BIGINT) AS scrubbed_len,
+         | substr(sc, 1, 48) AS scrubbed_head
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, n_stop,
          | CAST(floor(n_stop * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_bp,

@@ -10,7 +10,7 @@ import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, KC
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.{HLL, SampleQuantiles}
 import graft.similarity.{IVF, IVFPQ, Outliers, PQ, SemanticDedup, Similarity}
-import graft.text.{BPE, ChunkDedup, Hashing, LinearModel, SpanDedup, Text}
+import graft.text.{BPE, ChunkDedup, Hashing, LinearModel, Pii, Repetition, SpanDedup, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
   * tables (TESTDATA.md). Each query has a DuckDB oracle twin in
@@ -909,6 +909,43 @@ object Queries {
           x => transform(x.getField("ids"), i => i.cast(StringType)))),
           ",").as("token_ids"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signals ([[graft.text.Repetition]]): the
+    * top-bigram character fraction and the duplicate-5-gram coverage
+    * fraction, both integer-exact basis points. Gram keys built
+    * row-locally; all exchanges doc-keyed; argmax by min_by, not a
+    * window. */
+  def repetitionSignals(s: SparkSession, dir: String): DataFrame =
+    Repetition.signals(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** PII scrubbing ([[graft.text.Pii]]): synthetic identifiers (an
+    * email, a phone, an IP derived from doc_id/source — the documents
+    * table carries none, same injection device as text_clean's web
+    * noise) are planted around each text, then detected, counted, and
+    * replaced with typed placeholders; `n_residual` re-counts on the
+    * scrubbed text and must be zero. One codegen'd projection. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val noisy = concat(
+      lit("contact "), col("source"), lit(".user@mail.example.com "),
+      col("text"),
+      lit(" call 555-"), (d % 9000 + 1000).cast(StringType),
+      lit(" from 10."), (d % 256).cast(StringType),
+      lit("."), (d * 7 % 256).cast(StringType),
+      lit("."), (d * 11 % 256).cast(StringType), lit(" end"))
+    val scrubbed = Pii.scrub(noisy)
+    t(s, dir, "documents")
+      .select(d,
+        Pii.countEmails(noisy).cast(LongType).as("n_emails"),
+        Pii.countIps(noisy).cast(LongType).as("n_ips"),
+        Pii.countPhones(noisy).cast(LongType).as("n_phones"),
+        (Pii.countEmails(scrubbed) + Pii.countIps(scrubbed) +
+          Pii.countPhones(scrubbed)).cast(LongType).as("n_residual"),
+        length(scrubbed).cast(LongType).as("scrubbed_len"),
+        substring(scrubbed, 1, 48).as("scrubbed_head"))
+      .orderBy(d)
   }
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -3268,6 +3305,8 @@ object Queries {
     "token_pack_bpe" -> tokenPackBpe _,
     "token_budget_mix_bpe" -> tokenBudgetMixBpe _,
     "text_quality" -> textQuality _,
+    "repetition_signals" -> repetitionSignals _,
+    "pii_scrub" -> piiScrub _,
     "quality_ensemble" -> qualityEnsemble _,
     "text_clean" -> textClean _,
     "repetition_ratio" -> repetitionRatio _,

@@ -37,7 +37,7 @@ class CatalogDeterminismSpec extends SparkSpec {
     "sample_quantiles", "quantile_error", "url_dedup", "url_frontier_refresh", "stable_split", "quota_split",
     "shuffle_shards", "domain_mix", "token_budget_mix", "temperature_mix",
     "dsir_resample", "epoch_upsample", "token_pack", "bpe_train_merges",
-    "bpe_encode", "token_pack_bpe", "token_budget_mix_bpe",
+    "bpe_encode", "token_pack_bpe", "token_budget_mix_bpe", "repetition_signals",
     "tfidf_top_terms", "corpus_curate")
 
   private lazy val scrambledDir: String = {
