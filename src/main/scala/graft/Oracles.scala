@@ -87,7 +87,8 @@ object Oracles {
          |  replace(enc, chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
          |    chr(1) || b.lhs || b.rhs || chr(2)) AS enc
          | FROM be$i CROSS JOIN beb$i b)""".stripMargin
-    s"""bt AS (SELECT doc_id, unnest($tokensE) AS w FROM documents),
+    s"""bt AS (SELECT doc_id, w FROM
+       |  (SELECT doc_id, unnest($tokensE) AS w FROM documents) WHERE w <> ''),
        |bvocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM bt GROUP BY 1),
        |be1 AS (SELECT w, freq,
        |  regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc FROM bvocab),
@@ -1137,7 +1138,8 @@ object Oracles {
     // frequency-weighted adjacent char-pair counts over the vocabulary:
     // pairs are 2-char substrings, top 32 with a deterministic tie-break
     "bpe_merge_pairs" ->
-      s"""WITH tok AS (SELECT unnest($tokensE) AS w FROM documents),
+      s"""WITH tok AS (SELECT w FROM
+         |  (SELECT unnest($tokensE) AS w FROM documents) WHERE w <> ''),
          |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
          |pairs AS (SELECT t.p AS p, freq FROM vocab,
          | UNNEST(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS t(p)),
@@ -1155,7 +1157,7 @@ object Oracles {
          |  UNION ALL SELECT 3, lhs, rhs FROM beb3) GROUP BY 1),
          |bdw AS (SELECT doc_id, i AS wpos, toks[i] AS w FROM
          |  (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |  UNNEST(range(1, len(toks) + 1)) AS t(i)),
+         |  UNNEST(range(1, len(toks) + 1)) AS t(i) WHERE toks[i] <> ''),
          |bds AS (SELECT doc_id, wpos, j AS spos, syms[j] AS sym FROM
          |  (SELECT doc_id, wpos, syms FROM bdw JOIN bsyms USING (w)),
          |  UNNEST(range(1, len(syms) + 1)) AS t(j)),
@@ -1218,7 +1220,8 @@ object Oracles {
            |  replace(enc, chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
            |    chr(1) || b.lhs || b.rhs || chr(2)) AS enc
            | FROM s$i CROSS JOIN best$i b)""".stripMargin
-      s"""WITH tok AS (SELECT unnest($tokensE) AS w FROM documents),
+      s"""WITH tok AS (SELECT w FROM
+         |  (SELECT unnest($tokensE) AS w FROM documents) WHERE w <> ''),
          |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
          |s1 AS (SELECT freq,
          |  regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc FROM vocab),

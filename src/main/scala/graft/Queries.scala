@@ -838,6 +838,7 @@ object Queries {
   def bpeMergePairs(s: SparkSession, dir: String): DataFrame = {
     val vocab = t(s, dir, "documents")
       .select(explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "") // empty words: see BPE.encode's oracle-parity note
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     vocab
       .withColumn("p", explode(when(length(col("w")) >= 2,
@@ -861,6 +862,7 @@ object Queries {
   def bpeTrainMerges(s: SparkSession, dir: String): DataFrame = {
     val vocab = t(s, dir, "documents")
       .select(explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "") // empty words: see BPE.encode's oracle-parity note
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     BPE.trainMerges(vocab, "w", "freq", steps = 3).orderBy(col("step"))
   }
@@ -869,13 +871,18 @@ object Queries {
     * driver-side for the encode-consuming entries. Memoized per
     * (dir, steps): training is deterministic for a given corpus, and
     * three catalog entries consume the same table — a real deployment
-    * trains once and ships the table exactly like this. */
+    * trains once and ships the table exactly like this. STALENESS
+    * assumption: the data under `dir` is immutable for the JVM's
+    * lifetime (true for the bench/verify harness's read-only testdata);
+    * a harness that rewrites a dir in-process must clear [[mergeCache]]
+    * or key by a content fingerprint. */
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[BPE.Merge]]()
   private def trainedMerges(s: SparkSession, dir: String, steps: Int = 3): Seq[BPE.Merge] =
     mergeCache.computeIfAbsent((dir, steps), { _ =>
       val vocab = t(s, dir, "documents")
         .select(explode(Text.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "") // empty words: see BPE.encode's oracle-parity note
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       BPE.collectMerges(BPE.trainMerges(vocab, "w", "freq", steps))
     })

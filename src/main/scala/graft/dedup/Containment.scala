@@ -177,11 +177,18 @@ object Containment {
     // same persist-before-dispatch as Jaccard.pairsAuto (count + pairs
     // must not traverse an expensive lineage twice), with the same
     // materialize-then-unpersist discipline so the corpus-sized cache
-    // never outlives the call; `materialize = false` keeps the lazy plan
+    // never outlives the call; `materialize = false` keeps the lazy plan,
+    // and a caller-persisted input is reused as-is, never unpersisted
     if (!materialize) {
       if (df.count() <= directMaxDocs)
         pairsDirect(df, idCol, textCol, minBp, native, maxDf)
       else pairs(df, idCol, textCol, minBp, native, maxDf)
+    } else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      val out =
+        if (df.count() <= directMaxDocs)
+          pairsDirect(df, idCol, textCol, minBp, native, maxDf)
+        else pairs(df, idCol, textCol, minBp, native, maxDf)
+      out.localCheckpoint()
     } else {
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

@@ -178,10 +178,20 @@ object Jaccard {
     // blocks never accumulate and never LRU-evict hotter caches.
     // `materialize = false` skips both the persist and the checkpoint —
     // for callers that manage their own caching or want the lazy plan.
+    // A caller-persisted input (storageLevel != NONE) is caller-managed:
+    // reuse it as-is and NEVER unpersist — persist/unpersist act on the
+    // shared plan's cache entry, so dropping it here would silently evict
+    // a cache the caller still holds across calls.
     if (!materialize) {
       if (df.count() <= directMaxDocs)
         pairsDirect(df, idCol, textCol, minBp, native, maxDf)
       else pairs(df, idCol, textCol, minBp, native, maxDf)
+    } else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      val out =
+        if (df.count() <= directMaxDocs)
+          pairsDirect(df, idCol, textCol, minBp, native, maxDf)
+        else pairs(df, idCol, textCol, minBp, native, maxDf)
+      out.localCheckpoint()
     } else {
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

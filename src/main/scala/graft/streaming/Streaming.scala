@@ -156,9 +156,16 @@ object Streaming {
   /** Streaming crawl-frontier refresh — [[urlDedupStream]] plus the
     * CROSS-RUN guard: each micro-batch is first anti-joined against a
     * persisted [[graft.dedup.UrlFrontier]] parquet index (a stream-static
-    * join, stateless, re-planned per batch), so pages fetched in ANY
-    * earlier crawl generation are never re-admitted; the watermark state
-    * then dedups within this run's horizon exactly as urlDedupStream.
+    * join, stateless), so pages fetched in ANY earlier crawl generation
+    * are never re-admitted; the watermark state then dedups within this
+    * run's horizon exactly as urlDedupStream. The frontier SNAPSHOT is
+    * fixed at query start: the static side's parquet file index is
+    * resolved once when the DataFrame is built, so frontier files written
+    * after `start()` are not seen by this query. That is exactly right
+    * for the intended generation loop (AvailableNow run → UrlFrontier
+    * .update → next run starts a fresh query and re-reads); a long-lived
+    * query needing a LIVE frontier would re-read it inside foreachBatch
+    * instead.
     * State stays O(pages per horizon) — the frontier itself never enters
     * the state store, it streams through the join as a build side. Null
     * canonical keys (un-parseable URLs) survive the anti-join by

@@ -147,8 +147,13 @@ object BPE {
       idCol: String,
       textCol: String,
       merges: Seq[Merge]): DataFrame = {
+    // Empty words (doubled/leading/trailing spaces) are dropped on BOTH
+    // engines: charSyms('') is 0 symbols here but the oracle's
+    // string_split device would yield 1, so the contract must not
+    // depend on corpus whitespace hygiene.
     val words = docs.select(col(idCol),
       posexplode(Text.tokens(col(textCol))).as(Seq("wpos", "__w")))
+      .filter(col("__w") =!= "")
     val enc = encodeVocab(words.select(col("__w")).distinct(), "__w", merges)
     words.join(enc.hint("shuffle_hash"), "__w")
       .select(col(idCol), col("wpos"), col("__w").as("word"), col("syms"))

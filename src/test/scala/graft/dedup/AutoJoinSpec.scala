@@ -76,6 +76,21 @@ class AutoJoinSpec extends SparkSpec {
       "Containment.pairsAuto must unpersist its input before returning")
   }
 
+  test("pairsAuto preserves a caller-managed cache (never unpersists it)") {
+    import org.apache.spark.storage.StorageLevel
+    val mine = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val j = Jaccard.pairsAuto(mine, "doc_id", "text", 6000L, native = true)
+      assert(j.count() > 0)
+      assert(mine.storageLevel == StorageLevel.MEMORY_AND_DISK,
+        "a caller-persisted input must keep its cache across Jaccard.pairsAuto")
+      val c = Containment.pairsAuto(mine, "doc_id", "text", 8000L, native = true)
+      assert(c.count() > 0)
+      assert(mine.storageLevel == StorageLevel.MEMORY_AND_DISK,
+        "a caller-persisted input must keep its cache across Containment.pairsAuto")
+    } finally mine.unpersist(blocking = false)
+  }
+
   test("the pipeline's exactNearDup knob curates identically through either plan") {
     val cfg = CorpusPipeline.Config(minTokens = 1L, maxTopTokenBp = 10000L,
       nearDupMinBp = 6000L, exactNearDup = true)

@@ -98,4 +98,18 @@ class BPESpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 3L), (2L, 2L), (3L, 0L)))
   }
+
+  test("whitespace hygiene: doubled/leading/trailing spaces add no tokens") {
+    // split(' ') yields empty words at every extra space; those must be
+    // dropped (0 symbols), not counted — the oracle's string_split device
+    // would give them 1 symbol, so this pins the engine-portable contract
+    val merges = Seq(BPE.Merge(1, "a", "b"))
+    val docs = Seq((1L, "ab  ab c"), (2L, " abc "), (3L, "ab ab c")).toDF("doc_id", "text")
+    val counts = BPE.tokenCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(counts == Seq((1L, 3L), (2L, 2L), (3L, 3L)))
+    val enc = BPE.encode(docs, "doc_id", "text", merges)
+      .filter(col("word") === "").count()
+    assert(enc == 0L, "no empty-word rows survive encode")
+  }
 }

@@ -40,6 +40,17 @@ class PiiSpec extends SparkSpec {
     assert(twice == (("<EMAIL> and <IP> and <PHONE>", 0, 0, 0)))
   }
 
+  test("mixed-case emails mask; full NANP phones mask whole, any separator") {
+    val out = scrub(
+      "mail John.Doe@Example.COM or JANE@MAIL.EXAMPLE.ORG",
+      "call 555-123-4567 or 555.123.4567 or 555 123 4567",
+      "short form 555-1234 still masks")
+    assert(out == Seq(
+      ("mail <EMAIL> or <EMAIL>", 2, 0, 0),
+      ("call <PHONE> or <PHONE> or <PHONE>", 0, 0, 3),
+      ("short form <PHONE> still masks", 0, 0, 1)))
+  }
+
   test("word boundaries: longer digit runs don't phone-match; dotted runs over-match as IP") {
     val out = scrub("order 1234-5678901 is 1.2.3.4.5 not pii-shaped")
     // 1234-5678901: no \d{3}-\d{4} window has boundaries on both sides.
