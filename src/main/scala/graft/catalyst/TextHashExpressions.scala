@@ -183,5 +183,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_srp expects one argument")
         SrpBucket(Cast(children.head, ArrayType(LongType)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bq_encode"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_bq_encode"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_bq_encode expects two arguments")
+        BqEncode(Cast(children(0), ArrayType(LongType)), Cast(children(1), IntegerType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo("graft.catalyst.VectorExpressions", "graft_hamming"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_hamming expects two arguments")
+        BqHamming(Cast(children(0), ArrayType(LongType)), Cast(children(1), ArrayType(LongType)))
+      }))
   }
 }

@@ -121,6 +121,34 @@ case class SrpBucket(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_srp"
 }
 
+/** graft_bq_encode(array<bigint> quantVec, int wordBits) -> array<bigint>
+  * sign-bit binary code, wordBits sign bits packed per word. */
+case class BqEncode(vec: Expression, wordBits: Expression) extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = wordBits
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any, w: Any): Any =
+    VectorKernels.bqEncode(v.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, w) => s"graft.catalyst.VectorKernels.bqEncode($v, $w)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BqEncode =
+    copy(vec = l, wordBits = r)
+  override def prettyName: String = "graft_bq_encode"
+}
+
+/** graft_hamming(array<bigint>, array<bigint>) -> bigint popcount of the
+  * per-word XOR of two packed binary codes. */
+case class BqHamming(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.VectorKernels.hamming($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BqHamming =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_hamming"
+}
+
 /** graft_argmax_dot(array<bigint> vec, array<bigint> flatCents, int nlist)
   * -> bigint list id of the max-dot centroid (ties to the lower id). */
 case class ArgmaxDot(vec: Expression, cents: Expression, nlist: Expression)

@@ -225,4 +225,32 @@ object VectorKernels {
     }
     bucket
   }
+
+  /** Sign-bit binary code of a quantized vector: bit `d % wordBits` of
+    * word `d / wordBits` is set iff element d > 0. `wordBits` stays <=
+    * 32 so every packed word is a small POSITIVE long — the oracle's
+    * `1::BIGINT << b` never overflows and the codes compare portably. */
+  def bqEncode(v: ArrayData, wordBits: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long]((n + wordBits - 1) / wordBits)
+    var i = 0
+    while (i < n) {
+      if (v.getLong(i) > 0) out(i / wordBits) |= 1L << (i % wordBits)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Hamming distance between two packed binary codes: popcount of the
+    * per-word XOR, summed. */
+  def hamming(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
 }
