@@ -32,7 +32,8 @@ object BenchMed {
     "token_budget_mix", "time_bin_hourly", "q1_rollup", "q5_region_join",
     "q10_returned_top", "q17_small_qty", "q21_waiting_suppliers",
     "lsh_recall", "temperature_mix", "bigram_surprisal",
-    "pq_topk", "pq_recall", "cluster_best", "bm25_topk", "cdc_chunks",
+    "pq_topk", "pq_recall", "bq_topk", "bq_recall",
+    "cluster_best", "bm25_topk", "cdc_chunks",
     "winnow_pairs", "winnow_capped", "dsir_weights", "winnow_robust",
     "corpus_curate_best", "ivfpq_topk", "ivfpq_recall", "blocklist_filter",
     "heavy_hitters", "hard_negatives", "dsir_resample", "pq_distortion",

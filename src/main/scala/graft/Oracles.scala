@@ -347,6 +347,27 @@ object Oracles {
        | FROM penc en JOIN plut l ON l.sp = en.sp AND l.code = en.code
        | WHERE en.vec_id <> l.query_id GROUP BY 1, 2)""".stripMargin
 
+  /** Binary-quantization CTE chain (bq_topk and bq_recall), replaying
+    * BQ.encode/search exactly: quantize, pack 32 sign bits per word (bit b
+    * of word w set iff element w*32+b+1 > 0 — every packed word a small
+    * positive BIGINT, so `1::BIGINT << b` replays the kernel's packing
+    * bit for bit), then Hamming distance as the summed popcount of the
+    * per-word XOR. Ends in `hs(query_id, neighbor_id, hamming)`. */
+  private val bqCtes: String = {
+    val words = Dim / 32
+    val hamE = (1 to words)
+      .map(i => s"bit_count(xor(c.code[$i], q.qcode[$i]))").mkString(" + ")
+    s"""pe AS (SELECT vec_id, $quantE AS v FROM embeddings),
+       |bqc AS (SELECT vec_id, list_transform(range($words), w ->
+       |  CAST(list_sum(list_transform(range(32), b ->
+       |   CASE WHEN v[w * 32 + b + 1] > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)) AS code
+       | FROM pe),
+       |bq AS (SELECT vec_id AS query_id, code AS qcode FROM bqc WHERE vec_id < 8),
+       |hs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |  CAST($hamE AS BIGINT) AS hamming
+       | FROM bqc c CROSS JOIN bq q WHERE c.vec_id <> q.query_id)""".stripMargin
+  }
+
   /** IVF-PQ composition, replaying IVFPQ.build/search: coarse assignment
     * from the refined IVF chain, integer residuals v - c_list, PQ
     * codebooks trained/encoded on the residuals, and the MIPS ADC
@@ -2291,6 +2312,36 @@ object Oracles {
          |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1),
          |mm AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
          | FROM exact e JOIN ptop t USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT kk.query_id, kk.k, coalesce(mm.n_match, 0) AS n_match,
+         | CAST(coalesce(mm.n_match, 0) * 10000 // kk.k AS BIGINT) AS recall_bp
+         |FROM kk LEFT JOIN mm ON mm.query_id = kk.query_id
+         |ORDER BY kk.query_id""".stripMargin,
+
+    "bq_topk" ->
+      s"""WITH $bqCtes,
+         |r AS (SELECT query_id, neighbor_id, hamming,
+         | row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS "rank"
+         | FROM hs)
+         |SELECT query_id, neighbor_id, hamming, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "bq_recall" ->
+      s"""WITH $bqCtes,
+         |bshort AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rk
+         | FROM hs) WHERE rk <= 100),
+         |brer AS (SELECT s.query_id, s.neighbor_id, ${dotE("q.v", "c.v")} AS dot
+         | FROM bshort s JOIN pe q ON q.vec_id = s.query_id
+         | JOIN pe c ON c.vec_id = s.neighbor_id),
+         |btop AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rk
+         | FROM brer) WHERE rk <= 10),
+         |exact AS ($cosineTopkSql),
+         |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1),
+         |mm AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+         | FROM exact e JOIN btop t USING (query_id, neighbor_id) GROUP BY 1)
          |SELECT kk.query_id, kk.k, coalesce(mm.n_match, 0) AS n_match,
          | CAST(coalesce(mm.n_match, 0) * 10000 // kk.k AS BIGINT) AS recall_bp
          |FROM kk LEFT JOIN mm ON mm.query_id = kk.query_id

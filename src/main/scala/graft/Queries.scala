@@ -9,7 +9,7 @@ import graft.functions.{Psl, Strings, Times, Urls}
 import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, KCore, LabelProp, PageRank, RangeJoin, Sessionize, Triangles}
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.{HLL, SampleQuantiles}
-import graft.similarity.{IVF, IVFPQ, Outliers, PQ, SemanticDedup, Similarity}
+import graft.similarity.{BQ, IVF, IVFPQ, Outliers, PQ, SemanticDedup, Similarity}
 import graft.text.{BPE, ChunkDedup, Hashing, LinearModel, Pii, Repetition, SpanDedup, Text}
 
 /** The operator catalog as runnable queries over the driver's testdata
@@ -2644,6 +2644,44 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** Binary-quantized Hamming top-k — the memory-lean rung below PQ: one
+    * sign bit per dimension, 64-dim vectors packed to 2 longs, searched by
+    * XOR+popcount. Both encode and distance are native codegen'd kernels
+    * (graft_bq_encode / graft_hamming) and pure integer, so codes and
+    * ranks hash-match the DuckDB bit-packing replay exactly. */
+  def bqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val codes = BQ.encode(emb, "vec_id", "embedding")
+    BQ.search(codes, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the BQ shortlist+rerank pipeline against the exact
+    * brute-force top-k — the accuracy gate for the 1-bit index (symmetric
+    * to pq_recall). Gates the PRODUCTION shape: Hamming shortlist@100 over
+    * the packed codes, exact integer-dot rerank — raw Hamming@10 recall is
+    * structurally weak at 1 bit/dim, which is exactly why the rerank
+    * exists. */
+  def bqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val exact = cosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    val k = exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val codes = BQ.encode(emb, "vec_id", "embedding")
+    val approx = BQ
+      .searchRerank(codes, emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_match"))
+    k.join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .withColumn("recall_bp", expr("n_match * 10000 div k"))
+      .orderBy(col("query_id"))
+  }
+
   /** SemDeDup-style semantic dedup: IVF-cluster the embeddings, drop every
     * vector with a smaller-id twin scoring >= the threshold inside its
     * cluster. The within-cluster self-join is the whole cost — quadratic
@@ -3383,6 +3421,8 @@ object Queries {
     "ann_recall" -> annRecall _,
     "pq_topk" -> pqTopK _,
     "pq_recall" -> pqRecall _,
+    "bq_topk" -> bqTopK _,
+    "bq_recall" -> bqRecall _,
     "pq_distortion" -> pqDistortion _,
     "ivfpq_topk" -> ivfpqTopK _,
     "ivfpq_recall" -> ivfpqRecall _,

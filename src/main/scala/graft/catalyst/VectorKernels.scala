@@ -229,8 +229,13 @@ object VectorKernels {
   /** Sign-bit binary code of a quantized vector: bit `d % wordBits` of
     * word `d / wordBits` is set iff element d > 0. `wordBits` stays <=
     * 32 so every packed word is a small POSITIVE long — the oracle's
-    * `1::BIGINT << b` never overflows and the codes compare portably. */
+    * `1::BIGINT << b` never overflows and the codes compare portably.
+    * The range is enforced, not assumed: 0 would divide by zero, negative
+    * would allocate negatively, and >= 64 would silently produce negative
+    * packed words and break the oracle-parity invariant. */
   def bqEncode(v: ArrayData, wordBits: Int): ArrayData = {
+    require(wordBits >= 1 && wordBits <= 32,
+      s"graft_bq_encode: wordBits must be in [1, 32], got $wordBits")
     val n = v.numElements()
     val out = new Array[Long]((n + wordBits - 1) / wordBits)
     var i = 0
@@ -242,9 +247,14 @@ object VectorKernels {
   }
 
   /** Hamming distance between two packed binary codes: popcount of the
-    * per-word XOR, summed. */
+    * per-word XOR, summed. Unlike the trusted-corpus dot/sub kernels this
+    * REQUIRES equal lengths — codes of different widths are never
+    * comparable, and min-truncation would silently underreport distance
+    * in a user-callable SQL function. */
   def hamming(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    require(a.numElements() == b.numElements(),
+      s"graft_hamming: code lengths differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {

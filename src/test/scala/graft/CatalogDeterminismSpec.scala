@@ -32,7 +32,7 @@ class CatalogDeterminismSpec extends SparkSpec {
     "jaccard_ppjoin", "containment_ppjoin", "winnow_capped", "chunk_dedup",
     "cdc_chunks", "span_dedup", "span_dedup_hashed", "span_dedup_capped",
     "semantic_dedup", "incremental_dedup", "decontaminate", "neardup_components",
-    "cluster_best", "ivf_topk", "pq_topk", "ivfpq_topk", "knn_clusters",
+    "cluster_best", "ivf_topk", "pq_topk", "ivfpq_topk", "bq_topk", "knn_clusters",
     "bm25_topk", "hll_distinct", "heavy_hitters", "kmv_bottomk",
     "sample_quantiles", "quantile_error", "url_dedup", "url_frontier_refresh", "stable_split", "quota_split",
     "shuffle_shards", "domain_mix", "token_budget_mix", "temperature_mix",
