@@ -100,10 +100,16 @@ object Oracles {
        | FROM be4)""".stripMargin
   }
 
-  /** Per-doc BPE token counts off [[bpeEncCtes]]'s `bsyms`. */
+  /** Per-doc BPE token counts off [[bpeEncCtes]]'s `bsyms`. LEFT JOIN from
+    * documents so an all-whitespace/empty doc (whose words are all
+    * filtered by bt's empty-token guard) still emits n_tokens = 0 —
+    * matching BPE.tokenCounts' docs-left-join semantics instead of
+    * silently dropping the doc from the packing/budget row set. */
   private val bpeCountCte: String =
-    """bcnt AS (SELECT bt.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
-      | FROM bt JOIN bsyms s USING (w) GROUP BY bt.doc_id)""".stripMargin
+    """bcnt AS (SELECT d.doc_id,
+      |  CAST(coalesce(SUM(len(s.syms)), 0) AS BIGINT) AS n_tokens
+      | FROM documents d LEFT JOIN bt ON bt.doc_id = d.doc_id
+      | LEFT JOIN bsyms s ON s.w = bt.w GROUP BY d.doc_id)""".stripMargin
 
   /** Integer word codes: length(w)*WordBase + ascii(first char). */
   private def codesOf(c: String) =

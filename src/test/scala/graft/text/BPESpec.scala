@@ -91,12 +91,19 @@ class BPESpec extends SparkSpec {
     assert(out("") == Nil)
   }
 
-  test("tokenCounts: real per-doc BPE counts; empty text counts zero") {
+  test("tokenCounts: real per-doc BPE counts; blank docs count zero but STAY") {
+    // Blank docs (empty or all-whitespace) must emit an n=0 ROW, not
+    // vanish: the packing/budget operators consume this frame and their
+    // row set must not depend on corpus hygiene. The oracle's bcnt CTE
+    // LEFT JOINs documents for the same reason (Oracles.bpeCountCte) —
+    // verified end-to-end against DuckDB on a blank-doc-injected corpus
+    // (token_pack_bpe emits all 502 rows, hash-matched).
     val merges = Seq(BPE.Merge(1, "a", "b"))
-    val docs = Seq((1L, "ab ab c"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val docs = Seq((1L, "ab ab c"), (2L, "abc"), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
     val out = BPE.tokenCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(out == Seq((1L, 3L), (2L, 2L), (3L, 0L)))
+    assert(out == Seq((1L, 3L), (2L, 2L), (3L, 0L), (4L, 0L)))
   }
 
   test("whitespace hygiene: doubled/leading/trailing spaces add no tokens") {
