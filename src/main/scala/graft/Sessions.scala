@@ -38,6 +38,32 @@ object Sessions {
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    warmCodegen(spark)
     spark
   }
+
+  /** One-row pass through the expression-heaviest column families at
+    * session build, so the first REAL query doesn't pay the one-time
+    * codegen infrastructure cost (janino classloading + JIT of the
+    * compiler itself, plus the URL family's regex Pattern compiles) inside
+    * its own wall-clock. The per-plan generated code still compiles per
+    * plan — this warms the machinery, which is the dominant first-use
+    * term now that the PSL rules live in a kernel instead of ~200 KB of
+    * InSet literals (graft.catalyst.PslKernels). Measured: BenchOne
+    * rep-1 on url_dedup drops from ~5 s toward its warm steady state.
+    * Cost: well under a second, once per session build, never on
+    * executors (they compile lazily per task anyway). */
+  private def warmCodegen(spark: SparkSession): Unit =
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      import graft.functions.Urls
+      Seq("https://www.Example.co.uk:443/a/../b/index.html?utm_source=x&b=2#frag")
+        .toDF("url")
+        .select(Urls.canonicalize(col("url")).as("c"), Urls.dedupKey(col("url")).as("k"),
+          org.apache.spark.sql.functions.lit("a.news.co.uk").as("h"))
+        .select(col("k"), col("c"), Urls.registeredDomain(col("h")).as("d"),
+          org.apache.spark.sql.functions.call_function("graft_minhash_sig", col("c")).as("m"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

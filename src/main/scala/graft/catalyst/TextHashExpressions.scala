@@ -91,6 +91,21 @@ case class Fingerprint(child: Expression) extends TextHashUnary {
   override def prettyName: String = "graft_fingerprint"
 }
 
+/** graft_psl_labels(host) -> int: label count of the host's public
+  * suffix per the PSL algorithm over [[PslKernels]]' process-static rule
+  * sets — ONE static call in codegen instead of the former ~200 KB InSet
+  * literal chain (whose first-use janino compile cost ~4-5 s per JVM). */
+case class PslLabels(child: Expression) extends TextHashUnary {
+  override def dataType: DataType = IntegerType
+  override protected def kernel: String = "" // custom codegen below
+  override protected def nullSafeEval(input: Any): Any =
+    PslKernels.pslLabels(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.PslKernels.pslLabels($c)")
+  override protected def withNewChildInternal(newChild: Expression): PslLabels = copy(newChild)
+  override def prettyName: String = "graft_psl_labels"
+}
+
 /** Session extension registering the engine's native functions.
   * `SparkSession.builder.withExtensions(new GraftExtensions)` (done by
   * graft.Sessions.build) or
@@ -111,6 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_simhash64", c => SimHash64(c.head))
     register("graft_fingerprint", c => Fingerprint(c.head))
     register("graft_nfc", c => NfcNormalize(c.head))
+    register("graft_psl_labels", c => PslLabels(c.head))
     // vector functions coerce their own argument shapes
     ext.injectFunction((
       FunctionIdentifier("graft_quantize"),

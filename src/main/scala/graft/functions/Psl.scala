@@ -87,11 +87,23 @@ object Psl {
   private def nLabels(host: Column): Column = size(split(host, "\\."))
 
   /** Number of labels in `host`'s public suffix (>= 1; null for a null
-    * host). The PSL algorithm, evaluated as one coalesce chain: matching
-    * exception rules first (longest exception wins, public suffix =
-    * exception minus one label), then normal/wildcard matches in
-    * descending effective length, then the default rule (1). */
-  def publicSuffixLabels(host: Column): Column = {
+    * host). Evaluates as the native `graft_psl_labels` kernel
+    * ([[graft.catalyst.PslKernels]]): the rule sets live as
+    * process-static hash sets instead of plan literals, so the generated
+    * projection is one static call — eliminating the ~4-5 s first-use
+    * janino compile the former InSet chain cost on every fresh JVM,
+    * with identical results (parity-pinned against the columnar form). */
+  def publicSuffixLabels(host: Column): Column =
+    call_function("graft_psl_labels", host)
+
+  /** The original InSet-literal evaluation of the same algorithm — one
+    * coalesce chain: exception rules first (longest wins, public suffix
+    * = exception minus one label), then normal/wildcard matches in
+    * descending effective length, then the default rule (1). Kept as the
+    * independent parity reference for the kernel (PslSpec); not used on
+    * any hot path because its ~200 KB of generated code pays seconds of
+    * janino compilation at first use. */
+  private[graft] def publicSuffixLabelsColumnar(host: Column): Column = {
     val n = nLabels(host)
     val excArms = excByLen.keys.toSeq.sorted.reverse.map { k =>
       when(n >= k, when(lastLabels(host, k).isInCollection(excByLen(k)), lit(k - 1)))

@@ -74,4 +74,22 @@ class PslPropertySpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("native graft_psl_labels kernel equals the columnar InSet chain") {
+    // the kernel replaced the InSet literals on the hot path (first-use
+    // janino cost); the columnar form stays as this parity reference
+    val prop = Prop.forAll(Gen.listOfN(80, hostGen)) { hosts =>
+      val got = hosts.toDF("h")
+        .select(Psl.publicSuffixLabels(col("h")).as("k"),
+          Psl.publicSuffixLabelsColumnar(col("h")).as("c"))
+        .collect()
+      hosts.zip(got).forall { case (h, row) =>
+        val ok = row.getInt(0) == row.getInt(1)
+        if (!ok) info(s"mismatch on $h: kernel ${row.get(0)} vs columnar ${row.get(1)}")
+        ok
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
