@@ -43,6 +43,7 @@ object BenchMed {
     "split_leakage", "kmv_bottomk", "vocab_growth",
     "neardup_cluster_sizes", "ivf_balance", "subset_docs",
     "span_dedup", "contamination_spans", "kcore_docs", "quality_logit",
+    "quality_train", "quality_train_infer",
     "embedding_outliers", "quota_split", "ppl_buckets",
     "nfc_normalize", "domain_gate", "image_phash",
     "asof_forward", "asof_nearest", "interval_overlap", "corpus_curate_span",

@@ -478,6 +478,39 @@ object Oracles {
        |   AS BIGINT) AS score
        | FROM qbase b JOIN qrep USING (doc_id))""".stripMargin
 
+  /** Batch-perceptron training chain (quality_train and
+    * quality_train_infer), replaying LinearModel.train exactly: feature
+    * counts per (doc, 1024-bucket hashed word code), labels = quality
+    * ensemble score >= 3500, three unrolled rounds of logit -> error
+    * (y - [logit >= 0]) -> per-feature gradient -> weight update, all in
+    * BIGINT. Zero-feature docs score 0 via the LEFT JOIN (pred 1), the
+    * same convention as the engine. Ends in `tw3(feature, w)` (dense,
+    * 1024 rows) with `ttoks`/`fc`/`lab` available upstream. */
+  private lazy val trainCtes: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""tl$r AS (SELECT fc.doc_id, CAST(SUM(fc.c * tw${r - 1}.w) AS BIGINT) AS logit
+         | FROM fc JOIN tw${r - 1} USING (feature) GROUP BY 1),
+         |te$r AS (SELECT lab.doc_id,
+         |  lab.y - (CASE WHEN coalesce(tl$r.logit, 0) >= 0 THEN 1 ELSE 0 END) AS err
+         | FROM lab LEFT JOIN tl$r USING (doc_id)),
+         |tg$r AS (SELECT fc.feature, CAST(SUM(te$r.err * fc.c) AS BIGINT) AS g
+         | FROM fc JOIN te$r USING (doc_id) GROUP BY 1),
+         |tw$r AS (SELECT tw${r - 1}.feature, tw${r - 1}.w + coalesce(tg$r.g, 0) AS w
+         | FROM tw${r - 1} LEFT JOIN tg$r USING (feature))""".stripMargin
+    }.mkString(",\n")
+    s"""$qualityCtes,
+       |ttoks AS (SELECT doc_id, unnest(${tokensOf("text")}) AS tok FROM documents),
+       |fc AS (SELECT doc_id,
+       |  (length(tok) * $WordBase + ascii(tok)) % 1024 AS feature,
+       |  CAST(COUNT(*) AS BIGINT) AS c
+       | FROM ttoks GROUP BY 1, 2),
+       |lab AS (SELECT doc_id, CASE WHEN score >= 3500 THEN 1 ELSE 0 END AS y
+       | FROM qscored),
+       |tw0 AS (SELECT CAST(t.i AS BIGINT) AS feature, CAST(0 AS BIGINT) AS w
+       | FROM UNNEST(range(1024)) AS t(i)),
+       |$rounds""".stripMargin
+  }
+
   /** Min-label recursive closure over the minhash near-pair graph — the
     * shared tail of neardup_components and cluster_best. Splice after
     * `minhashCtes` with its WITH upgraded to WITH RECURSIVE; ends in
@@ -1879,6 +1912,27 @@ object Oracles {
          | CAST(SUM(w.weight) AS BIGINT) >= 0 AS keep
          |FROM f JOIN w USING (feature)
          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // batch-perceptron training (LinearModel.train): labels distilled
+    // from the quality ensemble (score >= 3500), three synchronous
+    // integer gradient folds over the 1024-bucket hashed feature counts,
+    // w_{t+1} = w_t + sum((y - [logit_t >= 0]) * count). Dense output.
+    "quality_train" ->
+      s"""WITH $trainCtes
+         |SELECT feature, w AS weight FROM tw3 ORDER BY feature""".stripMargin,
+
+    // train -> infer round trip: score the corpus with the weights the
+    // perceptron chain just learned (quality_logit's plumbing, tw3's
+    // weights)
+    "quality_train_infer" ->
+      s"""WITH $trainCtes,
+         |qf AS (SELECT doc_id,
+         |  (length(tok) * $WordBase + ascii(tok)) % 1024 AS feature FROM ttoks)
+         |SELECT qf.doc_id, COUNT(*) AS n_tokens,
+         | CAST(SUM(w.w) AS BIGINT) AS logit,
+         | CAST(SUM(w.w) AS BIGINT) >= 0 AS keep
+         |FROM qf JOIN tw3 w USING (feature)
+         |GROUP BY qf.doc_id ORDER BY qf.doc_id""".stripMargin,
 
     // 2-core of the near-dup graph: 4 peel rounds unrolled as plain CTEs
     // (peeling has a unique fixpoint and near-dup clusters settle in 1-2

@@ -2088,6 +2088,43 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Labeled training frame for the learned filter: the heuristic
+    * quality-ensemble score distilled into a 0/1 label (weak
+    * supervision — the production pattern where a cheap teacher labels
+    * the corpus and a hashed linear student learns to imitate it at
+    * inference cost). Threshold 3500 splits the test corpus ~55/45. */
+  private def qualityLabeled(docs: DataFrame): DataFrame =
+    docs
+      .join(graft.pipelines.CorpusPipeline.ensembleScore(docs, "doc_id", "text"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        (col("__score") >= 3500).cast(LongType).as("label"))
+
+  /** Trained weights for the learned filter ([[LinearModel.train]]):
+    * 3 batch-perceptron rounds over the 1024-bucket hashed features,
+    * labels distilled from the quality ensemble. All integer, so DuckDB
+    * replays every gradient fold and the dense weight table hash-matches.
+    * This closes the loop quality_logit left open — the engine can now
+    * PRODUCE the weights its inference path consumes. */
+  def qualityTrain(s: SparkSession, dir: String): DataFrame =
+    LinearModel.train(qualityLabeled(t(s, dir, "documents")),
+        "doc_id", "text", "label", buckets = 1024, iters = 3)
+      .orderBy(col("feature"))
+
+  /** Train -> infer round trip through the catalog: score the corpus with
+    * the weights [[qualityTrain]] just learned (same plumbing as
+    * quality_logit's stand-in weights — broadcast join, integer sums).
+    * The whole loop — teacher labels, perceptron folds, broadcast
+    * scoring — is oracle-replayed end to end. */
+  def qualityTrainInfer(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val weights = LinearModel.train(qualityLabeled(docs),
+      "doc_id", "text", "label", buckets = 1024, iters = 3)
+    LinearModel.score(docs, "doc_id", "text", weights, "feature", "weight",
+        buckets = 1024)
+      .orderBy(col("doc_id"))
+  }
+
   /** The one-table dedup audit a data team reads before a training run:
     * every dedup method's removal mass side by side — whole-doc exact
     * (fingerprint group), whole-doc near (LSH components at 5000bp),
@@ -3436,6 +3473,8 @@ object Queries {
     "contamination_spans" -> contaminationSpans _,
     "kcore_docs" -> kcoreDocs _,
     "quality_logit" -> qualityLogit _,
+    "quality_train" -> qualityTrain _,
+    "quality_train_infer" -> qualityTrainInfer _,
     "embedding_outliers" -> embeddingOutliers _,
     "quota_split" -> quotaSplit _,
     "ppl_buckets" -> pplBuckets _,

@@ -157,7 +157,7 @@ object CorpusPipeline {
     * catalog entry, over an arbitrary text column): capped token mass plus
     * three 1000-point gates on stopword ratio, top-token share, and mean
     * token length. Returns (idCol, __score). */
-  private def ensembleScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def ensembleScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rep = df
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))

@@ -54,6 +54,82 @@ object LinearModel {
       .withColumn("keep", col("logit") >= 0)
   }
 
+  /** Batch-perceptron training for the hashed linear model — the missing
+    * half of the learned-filter loop ([[score]] infers; this produces the
+    * weights it consumes). Pure integer arithmetic, so training is
+    * deterministic on any partitioning and the DuckDB oracle replays the
+    * gradient folds bit for bit (the quality_train catalog entry).
+    *
+    * Algorithm: `iters` synchronous rounds of the batch perceptron over
+    * the hashed feature counts. Round t scores every doc against w_t
+    * (pred = [logit >= 0]), and w_{t+1,f} = w_{t,f} +
+    * sum_docs((y_d - pred_d) * count_{d,f}) — all integers, no learning
+    * rate to tune, errors of +1/-1 per doc. This is the integer-exact
+    * member of the logistic-regression family (the sigmoid is the only
+    * float in LR, and it only gates the step size).
+    *
+    * Scale shape: the per-doc feature counts are built ONCE (one explode
+    * + one map-side-combinable aggregate, persisted across rounds); each
+    * round costs one broadcast of the O(buckets) weight table, one
+    * per-doc sum, one per-feature gradient aggregate, and an O(buckets)
+    * driver collect — the IVF-centroid device. The corpus is never
+    * collected, sorted, or re-tokenized.
+    *
+    * `labelCol` must be 0/1 (castable to long). Output: dense
+    * (feature, weight), `buckets` rows. */
+  def train(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int,
+      iters: Int = 3): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fc = docs
+      .select(col(idCol).as("__id"), explode(Text.tokens(col(textCol))).as("__tok"))
+      .select(col("__id"), (Text.wordCode(col("__tok")) % buckets).as("__feature"))
+      .groupBy(col("__id"), col("__feature"))
+      .agg(count(lit(1)).as("__c"))
+      .persist()
+    val lab = docs.select(col(idCol).as("__id"), col(labelCol).cast(LongType).as("__y"))
+    try {
+      val w = Array.fill(buckets)(0L)
+      for (_ <- 1 to iters) {
+        val wDf = broadcast(w.toSeq.zipWithIndex
+          .map { case (wt, f) => (f.toLong, wt) }.toDF("__feature", "__w"))
+        val logit = fc.join(wDf, Seq("__feature"))
+          .groupBy(col("__id"))
+          .agg(sum(col("__c") * col("__w")).as("__logit"))
+        // docs with zero features have no logit row: left join + coalesce
+        // scores them 0 (pred 1), same as score()'s empty-sum convention
+        val err = lab.join(logit, Seq("__id"), "left")
+          .select(col("__id"),
+            (col("__y") - when(coalesce(col("__logit"), lit(0L)) >= 0, 1L)
+              .otherwise(0L)).as("__err"))
+          .filter(col("__err") =!= 0L)
+        val grad = fc.join(err, Seq("__id"))
+          .groupBy(col("__feature"))
+          .agg(sum(col("__err") * col("__c")).as("__g"))
+          .collect()
+        grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      }
+      w.toSeq.zipWithIndex.map { case (wt, f) => (f.toLong, wt) }
+        .toDF("feature", "weight")
+    } finally fc.unpersist()
+  }
+
+  /** Persist a trained weights table — O(buckets) rows, one file. */
+  def saveWeights(weights: DataFrame, path: String): Unit =
+    weights.select(col("feature"), col("weight"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Reload persisted weights for [[score]] — a pure parquet scan. */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** A deterministic stand-in weights table for the catalog/oracle path:
     * weight(f) = (f * TokenHashA mod P) mod 17 - 8, an integer in
     * [-8, 8]. A real deployment loads trained weights from parquet; the

@@ -52,4 +52,43 @@ class LinearModelSpec extends SparkSpec {
     assert(w.values.forall(v => v >= -8 && v <= 8))
     assert(w.values.toSet.size > 1) // not degenerate
   }
+
+  // a linearly separable corpus: label-1 docs speak 'x', label-0 docs
+  // speak 'zzz' (distinct buckets), so one perceptron round must solve it
+  private val labeled = Seq(
+    (1L, "x x x", 1L), (2L, "x x", 1L), (3L, "zzz zzz zzz", 0L),
+    (4L, "zzz", 0L), (5L, "x zzz x", 1L))
+    .toDF("doc_id", "text", "label")
+
+  test("train learns a separating weight vector; train -> infer round-trips") {
+    val w = LinearModel.train(labeled, "doc_id", "text", "label", buckets = 1024)
+    val wm = w.as[(Long, Long)].collect().toMap
+    assert(wm.size == 1024, "dense weight table")
+    assert(wm(216L) > 0 || wm(216L) == 0, "'x' never penalized below zero-keep")
+    assert(wm(410L) < 0, "'zzz' learned negative")
+    val scored = LinearModel
+      .score(labeled, "doc_id", "text", w, "feature", "weight", buckets = 1024)
+      .orderBy("doc_id").select("doc_id", "keep").as[(Long, Boolean)].collect()
+    val want = labeled.orderBy("doc_id").select("doc_id", "label")
+      .as[(Long, Long)].collect().map { case (d, y) => (d, y == 1L) }
+    assert(scored.toSeq == want.toSeq, "perfect training accuracy on a separable corpus")
+  }
+
+  test("training is invariant to input partitioning") {
+    val a = LinearModel.train(labeled, "doc_id", "text", "label", buckets = 64)
+      .orderBy("feature").as[(Long, Long)].collect().toSeq
+    val b = LinearModel.train(labeled.repartition(7), "doc_id", "text", "label",
+        buckets = 64)
+      .orderBy("feature").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("weights persist and reload byte-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    val w = LinearModel.train(labeled, "doc_id", "text", "label", buckets = 64)
+    LinearModel.saveWeights(w, s"$dir/w")
+    val back = LinearModel.loadWeights(spark, s"$dir/w")
+      .orderBy("feature").as[(Long, Long)].collect().toSeq
+    assert(back == w.orderBy("feature").as[(Long, Long)].collect().toSeq)
+  }
 }
