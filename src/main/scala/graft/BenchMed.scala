@@ -20,36 +20,12 @@ import java.nio.file.{Files, Paths}
   */
 object BenchMed {
 
-  /** The sweep list: every query whose single-pass time has exceeded ~0.7 s
-    * in a recent round, plus every query a past round flagged as a possible
-    * regression (time_bin_hourly, q5_region_join, tfidf_top_terms,
-    * simhash_neardup, timestamp_sets, token_budget_mix). */
-  val Default: Seq[String] = Seq(
-    "corpus_curate", "jaccard_ppjoin", "ngram_jaccard_pairs",
-    "containment_pairs", "ann_recall", "ivf_topk", "semantic_dedup",
-    "tfidf_top_terms", "minhash_neardup", "neardup_by_source",
-    "simhash_neardup", "simhash64_neardup", "timestamp_sets",
-    "token_budget_mix", "time_bin_hourly", "q1_rollup", "q5_region_join",
-    "q10_returned_top", "q17_small_qty", "q21_waiting_suppliers",
-    "lsh_recall", "temperature_mix", "bigram_surprisal",
-    "pq_topk", "pq_recall", "bq_topk", "bq_recall",
-    "cluster_best", "bm25_topk", "cdc_chunks",
-    "winnow_pairs", "winnow_capped", "dsir_weights", "winnow_robust",
-    "corpus_curate_best", "ivfpq_topk", "ivfpq_recall", "blocklist_filter",
-    "heavy_hitters", "hard_negatives", "dsir_resample", "pq_distortion",
-    "doc_pagerank", "hll_distinct", "triangle_count", "bpe_merge_pairs",
-    "label_spread", "user_ewma", "bpe_train_merges", "kn_bigram_bits",
-    "knn_graph", "knn_graph_scaled", "knn_clusters", "ngram_novelty",
-    "split_leakage", "kmv_bottomk", "vocab_growth",
-    "neardup_cluster_sizes", "ivf_balance", "subset_docs",
-    "span_dedup", "contamination_spans", "kcore_docs", "quality_logit",
-    "quality_train", "quality_train_infer",
-    "embedding_outliers", "quota_split", "ppl_buckets",
-    "nfc_normalize", "domain_gate", "image_phash",
-    "asof_forward", "asof_nearest", "interval_overlap", "corpus_curate_span",
-    "pack_manifest", "dedup_report", "span_excise_ref",
-    "sample_quantiles", "quantile_error", "audio_features", "url_canonicalize", "url_dedup", "url_domain_stats",
-    "url_psl_domains", "bpe_encode", "token_pack_bpe", "token_budget_mix_bpe", "url_frontier_refresh", "repetition_signals", "pii_scrub")
+  /** The sweep list is the FULL catalog: every driver-bench query gets a
+    * committed warm row, so any single-pass spike (cold-JVM codegen, JIT,
+    * machine noise) can be adjudicated against a steady-state baseline
+    * from committed artifacts alone — no query is ever "unadjudicable"
+    * because it was missing from the warm table. */
+  val Default: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")

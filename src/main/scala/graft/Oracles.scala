@@ -111,6 +111,72 @@ object Oracles {
       | FROM documents d LEFT JOIN bt ON bt.doc_id = d.doc_id
       | LEFT JOIN bsyms s ON s.w = bt.w GROUP BY d.doc_id)""".stripMargin
 
+  /** One greedy minimal-bits segmentation pass of the unigram-LM chain
+    * ([[graft.text.Unigram]]): a recursive CTE advancing a cursor
+    * through every vocabulary word, picking at each position the piece
+    * from `costs` that minimizes scaled bits-per-character
+    * (cost * 12/len, exact since 12 = lcm(1..4)), longest piece on
+    * ties — the LATERAL arg-min mirrors the engine's array_min struct
+    * comparison. Every character is in the piece table (the alphabet is
+    * permanent), so the cursor always advances. */
+  private def unigramSegCte(name: String, costs: String): String =
+    s"""$name AS (
+       |  SELECT w, freq, CAST(0 AS BIGINT) AS pos,
+       |    CAST(NULL AS VARCHAR) AS piece, CAST(0 AS BIGINT) AS cost
+       |  FROM uvocab
+       |  UNION ALL
+       |  SELECT r.w, r.freq, r.pos + length(b.piece), b.piece, b.cost_bits
+       |  FROM $name r, LATERAL (
+       |    SELECT c.piece, c.cost_bits FROM $costs c
+       |    WHERE c.piece = substring(r.w, CAST(r.pos + 1 AS INT), length(c.piece))
+       |    ORDER BY c.cost_bits * (12 // length(c.piece)) ASC,
+       |      length(c.piece) DESC
+       |    LIMIT 1) b
+       |  WHERE r.pos < length(r.w))""".stripMargin
+
+  /** The full unigram-LM training replay: seed costs (every character
+    * plus the top-48 multi-char substrings, integer bit costs
+    * bitlen(total) - bitlen(count)), then 2 hard-EM rounds of
+    * segment -> usage-recount -> re-cost. Multi-char pieces that go
+    * unused in a round drop out; the single-char alphabet is permanent
+    * (count 0 keeps a row). Ends at `ucost2`, the final piece table. */
+  private val unigramCtes: String = {
+    def emRound(i: Int): String =
+      s"""${unigramSegCte(s"useg$i", s"ucost${i - 1}")},
+         |uuse$i AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         | FROM useg$i WHERE piece IS NOT NULL GROUP BY 1),
+         |utab$i AS (
+         | SELECT a.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt
+         |  FROM ualpha a LEFT JOIN uuse$i u USING (piece)
+         | UNION ALL
+         | SELECT piece, cnt FROM uuse$i WHERE length(piece) > 1),
+         |ucost$i AS (SELECT piece, cnt,
+         |  CAST(length(bin(tt.total)) - length(bin(cnt)) AS BIGINT) AS cost_bits
+         | FROM utab$i, (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM utab$i) tt)"""
+        .stripMargin
+    s"""utok AS (SELECT w FROM
+       |  (SELECT unnest($tokensE) AS w FROM documents) WHERE w <> ''),
+       |uvocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM utok GROUP BY 1),
+       |usub AS (SELECT t.p AS p, freq FROM uvocab, UNNEST(flatten([
+       |  list_transform(range(1, length(w) + 1), i -> substring(w, CAST(i AS INT), 1)),
+       |  list_transform(range(1, length(w)), i -> substring(w, CAST(i AS INT), 2)),
+       |  list_transform(range(1, length(w) - 1), i -> substring(w, CAST(i AS INT), 3)),
+       |  list_transform(range(1, length(w) - 2), i -> substring(w, CAST(i AS INT), 4))
+       |  ])) AS t(p)),
+       |useed AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM usub GROUP BY 1),
+       |ualpha AS (SELECT p AS piece FROM useed WHERE length(p) = 1),
+       |utab0 AS (
+       | SELECT p AS piece, cnt FROM useed WHERE length(p) = 1
+       | UNION ALL
+       | (SELECT p, cnt FROM useed WHERE length(p) > 1
+       |  ORDER BY cnt DESC, p ASC LIMIT 48)),
+       |ucost0 AS (SELECT piece, cnt,
+       |  CAST(length(bin(tt.total)) - length(bin(cnt)) AS BIGINT) AS cost_bits
+       | FROM utab0, (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM utab0) tt),
+       |${emRound(1)},
+       |${emRound(2)}""".stripMargin
+  }
+
   /** Integer word codes: length(w)*WordBase + ascii(first char). */
   private def codesOf(c: String) =
     s"list_transform(${tokensOf(c)}, w -> length(w)*$WordBase + ascii(w))"
@@ -1294,6 +1360,33 @@ object Oracles {
          | UNION ALL SELECT 3, lhs, rhs, lhs || rhs, cnt FROM best3)
          |ORDER BY step""".stripMargin
     },
+
+    // unigram-LM trainer: seed inventory + 2 hard-EM rounds, the greedy
+    // segmentation running as a recursive CTE with a LATERAL arg-min
+    "unigram_lm_train" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT piece, cnt AS n_uses, cost_bits FROM ucost2
+         |ORDER BY piece""".stripMargin,
+
+    // unigram encoding under the trained table: third segmentation pass
+    // over the vocabulary, corpus joined back on the word key; blank
+    // docs keep an n_pieces=0 row (documents LEFT JOIN)
+    "unigram_encode" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |${unigramSegCte("useg3", "ucost2")},
+         |uenc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(cost) AS BIGINT) AS bits
+         | FROM useg3 WHERE piece IS NOT NULL GROUP BY 1),
+         |udw AS (SELECT doc_id, t.w AS w FROM
+         |  (SELECT doc_id, $tokensE AS ts FROM documents),
+         |  UNNEST(ts) AS t(w) WHERE t.w <> ''),
+         |upd AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(bits) AS BIGINT) AS bits
+         | FROM udw JOIN uenc USING (w) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(p.bits, 0) AS BIGINT) AS total_bits
+         |FROM documents d LEFT JOIN upd p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Gopher repetition signals: bigram argmax with (count desc, gram asc)
     // tie-break; dup-5-gram coverage as a position-set union

@@ -10,7 +10,7 @@ import graft.operators.{AsOf, ConnectedComponents, Dedup, Flatten, Intervals, KC
 import graft.dedup.{Incremental, Jaccard, MinHash, SimHash}
 import graft.sketch.{HLL, SampleQuantiles}
 import graft.similarity.{BQ, IVF, IVFPQ, Outliers, PQ, SemanticDedup, Similarity}
-import graft.text.{BPE, ChunkDedup, Hashing, LinearModel, Pii, Repetition, SpanDedup, Text}
+import graft.text.{BPE, ChunkDedup, Hashing, LinearModel, Pii, Repetition, SpanDedup, Text, Unigram}
 
 /** The operator catalog as runnable queries over the driver's testdata
   * tables (TESTDATA.md). Each query has a DuckDB oracle twin in
@@ -917,6 +917,40 @@ object Queries {
           ",").as("token_ids"))
       .orderBy(col("doc_id"))
   }
+
+  /** Unigram-LM tokenizer training ([[graft.text.Unigram]]) — the
+    * SentencePiece-style counterpart to [[bpeTrainMerges]]: seed a
+    * candidate inventory (every character plus the top-48 most frequent
+    * 2..4-char substrings of the vocabulary), then 2 hard-EM rounds of
+    * greedy minimal-bits segmentation and usage recount, everything in
+    * integer bit costs so the DuckDB twin replays the final piece table
+    * bit for bit (the segmentation runs as a recursive CTE with a
+    * LATERAL arg-min). Output: (piece, n_uses, cost_bits). */
+  def unigramLmTrain(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "") // empty words: see BPE.encode's oracle-parity note
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    Unigram.train(vocab, "w", "freq").orderBy(col("piece"))
+  }
+
+  /** The trained unigram piece table, memoized per dir for the encode
+    * consumer — same staleness contract as [[mergeCache]]. */
+  private val pieceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Unigram.Piece]]()
+  private def trainedPieces(s: SparkSession, dir: String): Seq[Unigram.Piece] =
+    pieceCache.computeIfAbsent(dir, { _ =>
+      Unigram.collectPieces(unigramLmTrain(s, dir))
+    })
+
+  /** Unigram encoding with the trained piece table — the consumer the
+    * trainer exists for: per-document piece count and total bit cost.
+    * [[graft.text.Unigram.encode]] segments once per DISTINCT word and
+    * joins the corpus back on the word key (the bpe_encode device);
+    * blank docs keep an n_pieces=0 row. */
+  def unigramEncode(s: SparkSession, dir: String): DataFrame =
+    Unigram.encode(t(s, dir, "documents"), "doc_id", "text", trainedPieces(s, dir))
+      .orderBy(col("doc_id"))
 
   /** Gopher-style repetition signals ([[graft.text.Repetition]]): the
     * top-bigram character fraction and the duplicate-5-gram coverage
@@ -3384,6 +3418,8 @@ object Queries {
     "bpe_merge_pairs" -> bpeMergePairs _,
     "bpe_train_merges" -> bpeTrainMerges _,
     "bpe_encode" -> bpeEncode _,
+    "unigram_lm_train" -> unigramLmTrain _,
+    "unigram_encode" -> unigramEncode _,
     "token_pack_bpe" -> tokenPackBpe _,
     "token_budget_mix_bpe" -> tokenBudgetMixBpe _,
     "text_quality" -> textQuality _,

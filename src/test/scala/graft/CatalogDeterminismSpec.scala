@@ -38,6 +38,7 @@ class CatalogDeterminismSpec extends SparkSpec {
     "shuffle_shards", "domain_mix", "token_budget_mix", "temperature_mix",
     "dsir_resample", "epoch_upsample", "token_pack", "bpe_train_merges",
     "bpe_encode", "token_pack_bpe", "token_budget_mix_bpe", "repetition_signals",
+    "unigram_lm_train", "unigram_encode",
     "tfidf_top_terms", "corpus_curate", "quality_train", "quality_train_infer")
 
   private lazy val scrambledDir: String = {
