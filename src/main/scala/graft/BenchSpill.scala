@@ -32,7 +32,7 @@ object BenchSpill {
     "kcore_docs", "doc_pagerank", "ppl_buckets",
     "jaccard_ppjoin", "knn_graph", "chunk_dedup", "bpe_encode")
 
-  private final class TaskMetricsAcc extends SparkListener {
+  private[graft] final class TaskMetricsAcc extends SparkListener {
     val memSpilled = new AtomicLong(0L)
     val diskSpilled = new AtomicLong(0L)
     val peakTask = new AtomicLong(0L)

@@ -1369,29 +1369,30 @@ object Queries {
     * or day, unlike rand()-based sampling) and the k-minimum-values
     * distinct estimate est = (k-1) * P div h_k, the classical
     * cross-check for [[hllDistinct]] from an entirely different
-    * estimator family. The bottom-k selection is the sharded two-phase
-    * ranking (per (source, doc-hash shard) local bottom-k, then a final
-    * rank over the <= shards x k survivors), so no task ever sorts a
-    * whole source; result-identical because the global bottom-k is
-    * contained in the union of per-shard bottom-k's and both phases
-    * break ties on doc_id. */
+    * estimator family. The bottom-k selection is ONE `graft_topk`
+    * bounded aggregate on the negated hash (bottom-k under (h ASC,
+    * doc_id ASC) IS top-k under (-h DESC, doc_id ASC)): map-side
+    * partial aggregation prunes every task to k rows per source before
+    * the exchange, nothing ever sorts a source's hash stream, and the
+    * KMV threshold h_k falls out of the aggregate for free — it is the
+    * LAST element of the sorted result array, so the former
+    * max-over-partition window disappears too. h stays in [0, P), so
+    * the negation is exact. */
   def kmvBottomK(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Hashing.P
     val k = 10
-    val w1 = Window
-      .partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(32L)))
-      .orderBy(col("h"), col("doc_id"))
-    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     t(s, dir, "documents")
       .select(col("source"), col("doc_id"), HLL.mix(col("doc_id")).as("h"))
-      .withColumn("__srk", row_number().over(w1))
-      .filter(col("__srk") <= k)
-      .drop("__srk")
-      .withColumn("pos", row_number().over(w).cast(LongType))
-      .filter(col("pos") <= k)
+      .groupBy(col("source"))
+      .agg(call_function("graft_topk", -col("h"), col("doc_id"), lit(k))
+        .as("__tk"))
       .withColumn("kmv_est",
-        expr(s"${k - 1}L * ${P}L div max(h) over (partition by source)"))
-      .select(col("source"), col("pos"), col("doc_id"), col("h"), col("kmv_est"))
+        expr(s"${k - 1}L * ${P}L div -element_at(__tk, cardinality(__tk)).score"))
+      .select(col("source"), col("kmv_est"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("source"), (col("__pos") + 1).cast(LongType).as("pos"),
+        col("__e").getField("id").as("doc_id"),
+        (-col("__e").getField("score")).as("h"), col("kmv_est"))
       .orderBy(col("source"), col("pos"))
   }
 
@@ -1971,9 +1972,9 @@ object Queries {
                | div (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)""".stripMargin))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("part_millis")).as("score_millis"))
-    // per-query ranking via the sharded two-phase top-k: a probe term
-    // shared by a large corpus fraction would otherwise send that
-    // query's whole candidate set to one window partition
+    // per-query ranking via the graft_topk bounded aggregate: a probe
+    // term shared by a large corpus fraction would otherwise send that
+    // query's whole candidate set to one window partition's sort
     Similarity.topKPerQuery(scored, "score_millis", 10, idCol = "doc_id")
       .orderBy(col("query_id"), col("rank"))
   }
@@ -2046,26 +2047,22 @@ object Queries {
   /** Quota-based stratified split: exactly 5 eval docs per source, chosen
     * by ranking the stable per-doc hash within each stratum — the
     * balanced-eval-set sibling of `stable_split`'s proportional buckets.
-    * Deterministic on any partitioning. The quota pick is the sharded
-    * two-phase bottom-k (per (source, shard) local bottom-5, final rank
-    * over <= shards x 5 survivors) and the winner sliver joins back to
-    * flag the full corpus — no task ever sorts a whole stratum, and the
-    * join build side is sources x 5 rows. */
+    * Deterministic on any partitioning. The quota pick is one
+    * `graft_topk` bounded aggregate on the negated stratum hash
+    * (bottom-5 = top-5 of -h; h in [0, P) so negation is exact): every
+    * map task prunes to 5 rows per source before the exchange, no task
+    * ever sorts a stratum, and the winner sliver — sources x 5 rows —
+    * joins back to flag the full corpus. */
   def quotaSplit(s: SparkSession, dir: String): DataFrame = {
     val h = col("doc_id") % Hashing.P * Hashing.TokenHashA % Hashing.P
     val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), h.as("__h"))
-    val w1 = Window
-      .partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(32L)))
-      .orderBy(col("__h"), col("doc_id"))
-    val w2 = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
     val winners = base
-      .withColumn("__srk", row_number().over(w1))
-      .filter(col("__srk") <= 5)
-      .drop("__srk")
-      .withColumn("__rn", row_number().over(w2))
-      .filter(col("__rn") <= 5)
-      .select(col("doc_id"), lit(true).as("__eval"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_topk", -col("__h"), col("doc_id"), lit(5))
+        .as("__tk"))
+      .select(explode(col("__tk").getField("id")).as("doc_id"),
+        lit(true).as("__eval"))
     base
       .join(broadcast(winners), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
@@ -2599,11 +2596,17 @@ object Queries {
     val cand = probed.join(idx.assigned, "__list")
       .join(labels, "__id")
       .filter(col("label") =!= col("__qlab"))
-      .select(col("query_id"), col("__id").as("neighbor_id"), col("label"),
+      .select(col("query_id"), col("__id").as("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__v")).as("dot"))
-    // sharded two-phase top-k: an IVF list holding a corpus-scale hot
-    // cluster would otherwise sort one query's whole probe set in a task
+    // class filter BEFORE ranking (unchanged), but the label payload is
+    // re-attached to the queries x k winner sliver AFTER it, so ranking
+    // rides the graft_topk bounded aggregate — an IVF list holding a
+    // corpus-scale hot cluster contributes O(k) aggregate state instead
+    // of a window partition's sort
     Similarity.topKPerQuery(cand, "dot", 10)
+      .join(labels.withColumnRenamed("__id", "neighbor_id"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("label"), col("dot"),
+        col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 

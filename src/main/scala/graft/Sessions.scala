@@ -31,6 +31,16 @@ object Sessions {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints," +
           "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // graft_topk (TypedImperativeAggregate -> ObjectHashAggregateExec)
+      // holds O(k) state per group, and per-task group counts are
+      // queries-per-task — thousands, not millions. The default 128-key
+      // fallback would flip the ranking aggregate to SORT-based
+      // aggregation, i.e. re-introduce the candidate-stream sort the
+      // aggregate exists to remove; 1M keys x ~250 B of top-k state is
+      // still only ~250 MB per task at the bound, never reached in
+      // practice.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no native
       // nanos type — read as long, Tables.load converts to micros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,6 +74,15 @@ object Sessions {
           org.apache.spark.sql.functions.lit("a.news.co.uk").as("h"))
         .select(col("k"), col("c"), Urls.registeredDomain(col("h")).as("d"),
           org.apache.spark.sql.functions.call_function("graft_minhash_sig", col("c")).as("m"))
+        .write.format("noop").mode("overwrite").save()
+      // the ranking aggregate's first use pays ObjectHashAggregateExec's
+      // own codegen/classloading infrastructure (measured ~5 s extra on
+      // the first graft_topk query per JVM); one 2-row group warms it
+      Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("g", "i", "s")
+        .groupBy(col("g"))
+        .agg(org.apache.spark.sql.functions
+          .call_function("graft_topk", col("s"), col("i"),
+            org.apache.spark.sql.functions.lit(1)).as("tk"))
         .write.format("noop").mode("overwrite").save()
     } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -213,5 +213,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_hamming expects two arguments")
         BqHamming(Cast(children(0), ArrayType(LongType)), Cast(children(1), ArrayType(LongType)))
       }))
+    // bounded top-k aggregate (the analyzer wraps the bare
+    // AggregateFunction in a Complete AggregateExpression, exactly as it
+    // does for built-in sum/min); k stays un-cast so foldability is
+    // checked on the literal the caller wrote
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo("graft.catalyst.TopKAggregate", "graft_topk"),
+      { children: Seq[Expression] =>
+        require(children.size == 3, "graft_topk expects three arguments")
+        TopKPairs(Cast(children(0), LongType), Cast(children(1), LongType),
+          children(2))
+      }))
   }
 }

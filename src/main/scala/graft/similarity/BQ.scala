@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: encode is a pure codegen'd projection
   * (graft_quantize -> graft_bq_encode, both native kernels); search
   * broadcasts the tiny query-code side and scans the codes projection
-  * once; ranking rides [[Similarity.topKPerQuery]]'s sharded two-phase
-  * top-k so no task sorts a corpus-scale candidate set; the rerank join
+  * once; ranking rides [[Similarity.topKPerQuery]]'s bounded `graft_topk`
+  * aggregate so the candidate stream is never sorted; the rerank join
   * touches only the shortlist. Everything is integer-exact, so codes,
   * distances, and ranks hash-match the DuckDB replay bit for bit.
   */
@@ -61,14 +61,17 @@ object BQ {
       shards: Int = 32): DataFrame = {
     val qc = encode(queries, idCol, vecCol)
       .select(col("__id").as("query_id"), col("__code").as("__qcode"))
+    // topKPerQuery ranks DESCENDING; negate so smaller Hamming wins. The
+    // frame stays exactly (query, id, score) so ranking rides the
+    // graft_topk bounded aggregate; hamming is recovered by un-negating
     val cand = codes.crossJoin(broadcast(qc))
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
-        call_function("graft_hamming", col("__code"), col("__qcode")).as("hamming"))
-    // topKPerQuery ranks DESCENDING; negate so smaller Hamming wins
-    Similarity.topKPerQuery(cand.withColumn("__score", -col("hamming")),
-        "__score", k, shards = shards)
-      .drop("__score")
+        (-call_function("graft_hamming", col("__code"), col("__qcode")))
+          .as("__score"))
+    Similarity.topKPerQuery(cand, "__score", k, shards = shards)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("__score")).as("hamming"), col("rank"))
   }
 
   /** Hamming shortlist + exact rerank — the production recall shape:

@@ -128,8 +128,9 @@ object IVF {
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__v")).as("dot"))
-    // sharded two-phase ranking: a query's candidate set is nprobe/nlist
-    // of the corpus — at scale that must never sort in one task
+    // graft_topk bounded-aggregate ranking: a query's candidate set is
+    // nprobe/nlist of the corpus — at scale that must never sort at all
+    // (the 100x rehearsal measured 17 GiB of window-sort spill here)
     Similarity.topKPerQuery(cand, "dot", k, shards = shards)
   }
 }

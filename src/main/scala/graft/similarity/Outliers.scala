@@ -49,11 +49,11 @@ object Outliers {
       .agg(sum((col("__qv") - col("__cv")) * (col("__qv") - col("__cv")))
         .as("dist"))
     // the outlier set is a per-group top-K selection: pick it with the
-    // sharded two-phase ranking (a plain per-group window would hold an
-    // ENTIRE group — a whole source or language, a large corpus fraction
-    // — in one task's sort), then flag the full report by joining the
-    // groups x topK winner sliver back. Both windows only ever sort
-    // group-members/shards or <= shards x topK rows.
+    // graft_topk bounded aggregate (a plain per-group window would hold
+    // an ENTIRE group — a whole source or language, a large corpus
+    // fraction — in one task's sort; the aggregate holds O(topK) state
+    // per group), then flag the full report by joining the
+    // groups x topK winner sliver back.
     val winners = Similarity
       .topKPerQuery(dist, "dist", topK, queryCol = "__g", idCol = "__id")
       .select(col("__g"), col("__id"), lit(true).as("__out"))

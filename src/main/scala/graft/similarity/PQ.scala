@@ -172,7 +172,8 @@ object PQ {
         call_function("graft_pq_adc", col("__codes"), col("__lut"), lit(cb.ksub))
           .as("adot"))
     // the ADC scan scores the WHOLE codes table per query — rank it with
-    // the sharded two-phase top-k so no task sorts a corpus-scale set
+    // the graft_topk bounded aggregate so the corpus-scale candidate
+    // stream is pruned to k per query before the exchange, never sorted
     Similarity.topKPerQuery(cand, "adot", k, shards = shards)
   }
 

@@ -43,18 +43,30 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Two-phase per-query top-k over a scored candidate frame
-    * (query_id, neighbor_id, scoreCol): first keep each (query, shard)'s
-    * local top-k — the shard is a hash of the neighbor id, so the window
-    * sort is bounded by candidates/shards instead of ALL of a query's
-    * candidates — then rank the surviving <= shards x k rows per query.
-    * Result-identical to the single window (the global top-k is contained
-    * in the union of per-shard top-k's; ties break on neighbor id in both
-    * phases), but no task ever sorts a corpus-scale candidate set: a
-    * single query against a 10^9-vector scan would otherwise pin one
-    * reducer with the whole scored corpus. Phase 1 shuffles the same rows
-    * the single-window plan shuffled (keyed finer); phase 2 moves only
-    * the shards x k survivors. */
+  /** Per-query top-k over a scored candidate frame (query_id,
+    * neighbor_id, scoreCol), ranked by (score DESC, id ASC).
+    *
+    * Primary path — the `graft_topk` bounded aggregate
+    * ([[graft.catalyst.TopKPairs]]): one hash aggregate per query whose
+    * state is an O(k) heap, ranks via posexplode of the sorted result
+    * array. Partial aggregation prunes every map task's candidates to
+    * <= k per query BEFORE the exchange, so the shuffle carries k-entry
+    * buffers instead of candidate rows and NOTHING ever sorts the
+    * candidate stream. The predecessor — a sharded two-phase rank
+    * window — bounded per-TASK sort state but still externally sorted
+    * the whole candidate mass: at the 100x kNN-graph rehearsal
+    * (2.5x10^8 candidates) that window spilled 17 GiB even under
+    * perfect IVF sizing, where the aggregate holds queries x k structs
+    * and spills nothing (BENCHSCALE.md round-12 sizing rehearsal).
+    *
+    * The aggregate path engages when score and id are LongType (every
+    * catalog consumer: integer dots, Hamming negations, millis scores)
+    * and the frame is exactly (query, id, score) — extra payload
+    * columns can't ride an aggregate, so such callers fall back to the
+    * sharded two-phase window (phase 1 bounds each task's sort to
+    * candidates/shards; phase 2 ranks the <= shards x k survivors —
+    * still spill-prone at extreme candidate mass, so scale-sensitive
+    * callers should re-attach payload after ranking instead). */
   private[graft] def topKPerQuery(
       scored: DataFrame,
       scoreCol: String,
@@ -64,34 +76,52 @@ object Similarity {
       queryCol: String = "query_id",
       idCol: String = "neighbor_id"): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
-    val w2 = Window.partitionBy(col(queryCol))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-    // shards = 1: the classic single window — cheaper on corpora small
-    // enough that a whole candidate set sorts comfortably in one task
-    // (measured ~0.5 s/query less at sf0.1's 20k vectors, where the
-    // two-phase shape only adds stage overhead)
-    val pruned =
-      if (shards == 1) scored
-      else {
-        val w1 = Window
-          .partitionBy(col(queryCol),
-            pmod(xxhash64(col(idCol)), lit(shards)))
-          .orderBy(col(scoreCol).desc, col(idCol).asc)
-        scored
-          .withColumn("__shard_rk", row_number().over(w1))
-          .filter(col("__shard_rk") <= k)
-          .drop("__shard_rk")
-      }
-    pruned
-      .withColumn(rankCol, row_number().over(w2).cast(LongType))
-      .filter(col(rankCol) <= k)
+    val aggregable =
+      scored.schema(scoreCol).dataType == LongType &&
+        scored.schema(idCol).dataType == LongType &&
+        scored.columns.toSet == Set(queryCol, idCol, scoreCol)
+    if (aggregable) {
+      val ranked = scored
+        .groupBy(col(queryCol))
+        .agg(call_function("graft_topk", col(scoreCol), col(idCol), lit(k))
+          .as("__tk"))
+        .select(col(queryCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      // original column order, rank appended — the window path's shape
+      val outCols = scored.columns.toSeq.map {
+        case c if c == idCol => col("__e").getField("id").as(idCol)
+        case c if c == scoreCol => col("__e").getField("score").as(scoreCol)
+        case c => col(c)
+      } :+ (col("__pos") + 1).cast(LongType).as(rankCol)
+      ranked.select(outCols: _*)
+    } else {
+      val w2 = Window.partitionBy(col(queryCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      // shards = 1: the classic single window — cheaper on corpora small
+      // enough that a whole candidate set sorts comfortably in one task
+      val pruned =
+        if (shards == 1) scored
+        else {
+          val w1 = Window
+            .partitionBy(col(queryCol),
+              pmod(xxhash64(col(idCol)), lit(shards)))
+            .orderBy(col(scoreCol).desc, col(idCol).asc)
+          scored
+            .withColumn("__shard_rk", row_number().over(w1))
+            .filter(col("__shard_rk") <= k)
+            .drop("__shard_rk")
+        }
+      pruned
+        .withColumn(rankCol, row_number().over(w2).cast(LongType))
+        .filter(col(rankCol) <= k)
+    }
   }
 
   /** Brute-force top-k neighbors for each row of `queries` against `corpus`.
     * Output: (query_id, neighbor_id, dot, rank). The query side is
     * broadcast; ranking ties break on neighbor id for determinism; the
-    * ranking itself is the sharded two-phase [[topKPerQuery]], so no task
-    * sorts the whole scored corpus for a query.
+    * ranking itself is [[topKPerQuery]]'s bounded `graft_topk` aggregate,
+    * so the scored corpus is never sorted — each map task prunes to k
+    * per query before the exchange.
     * `native=true` scores with the codegen'd graft_quantize/graft_qdot
     * kernels (same integer math, no interpreted lambdas) — requires a
     * GraftExtensions session. */

@@ -23,21 +23,24 @@ import org.apache.spark.sql.types.LongType
   * interpolation rule, engine-portable, and EXACT whenever the group has
   * at most k rows (the sample is then the whole group).
   *
-  * Scale shape: phase 1 ranks per (group, id-hash shard) so no task ever
-  * sorts a whole group — a crawl domain with 10^9 docs costs each task
-  * ~1/shards of the group, and only shards*k survivors per group reach
-  * the final rank (the same sharded-top-k discipline as kmv_bottomk).
-  * Everything after that is windows over <= k rows per group plus one
-  * broadcast-joined exact count. Standard error of a sample quantile q
-  * is sqrt(q(1-q)/k) in rank space — k=64 gives ~6 rank points at the
-  * median; callers needing tighter bounds raise k, never re-sort.
+  * Scale shape: the bottom-k ids are ONE `graft_topk` bounded aggregate
+  * on the negated hash (bottom-k under (h ASC, id ASC) is top-k under
+  * (-h DESC, id ASC); HLL.mix stays in [0, 2^31) so the negation is
+  * exact) — map-side partial aggregation prunes every task to k rows
+  * per group BEFORE the exchange, so a crawl domain with 10^9 docs
+  * contributes k-entry heap buffers to the shuffle, and nothing ever
+  * sorts a group's hash stream. The sampled ROWS (the payload an
+  * aggregate can't carry) come back through a shuffle-hash join against
+  * the groups x k winner sliver. Everything after that is windows over
+  * <= k rows per group plus one broadcast-joined exact count. Standard
+  * error of a sample quantile q is sqrt(q(1-q)/k) in rank space — k=64
+  * gives ~6 rank points at the median; callers needing tighter bounds
+  * raise k, never re-sort.
   */
 object SampleQuantiles {
 
   /** Default sample size per group. */
   val K = 64
-  /** Phase-1 shard count for the bottom-k selection. */
-  val Shards = 32
 
   /** Deterministic uniform bottom-k sample per group: input columns of
     * `cols` plus `h` (the sample hash). `idCol` must be unique per row. */
@@ -47,16 +50,17 @@ object SampleQuantiles {
       idCol: String,
       k: Int = K): DataFrame = {
     val gc = groupCols.map(col)
-    val shard = pmod(xxhash64(col(idCol)), lit(Shards.toLong))
-    val w1 = Window.partitionBy(gc :+ shard: _*).orderBy(col("h"), col(idCol))
-    val w = Window.partitionBy(gc: _*).orderBy(col("h"), col(idCol))
-    df.withColumn("h", HLL.mix(col(idCol)))
-      .withColumn("__srk", row_number().over(w1))
-      .filter(col("__srk") <= k)
-      .drop("__srk")
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    val withH = df.withColumn("h", HLL.mix(col(idCol)))
+    val winners = withH
+      .groupBy(gc: _*)
+      .agg(call_function("graft_topk", -col("h"), col(idCol), lit(k))
+        .as("__tk"))
+      .select(gc :+ explode(col("__tk").getField("id")).as(idCol): _*)
+    // shuffle-hash, not sort-merge: the join-back would otherwise
+    // re-introduce the very corpus sort the aggregate removed (build
+    // side is groups x k ids; per-partition slivers stay tiny)
+    withH.join(winners.hint("shuffle_hash"), groupCols :+ idCol)
+      .select((df.columns :+ "h").map(col): _*)
   }
 
   /** Floor-rank order statistics of an already-selected sample (what the

@@ -66,9 +66,34 @@ class PlanMarkersSpec extends SparkSpec {
     assert(!p.contains("Window"), "no window: keep-min is an aggregate")
   }
 
-  test("sample_quantiles: rank pushdown caps the sharded bottom-k sorts") {
-    assert(plan("sample_quantiles").contains("WindowGroupLimit"),
-      "row_number <= k must prune during the sort, not after it")
+  test("sample_quantiles: bottom-k sampling is the bounded aggregate + shuffle-hash join-back") {
+    val p = plan("sample_quantiles")
+    assert(p.contains("graft_topk"),
+      "the bottom-k id pick must ride the graft_topk bounded aggregate")
+    assert(p.contains("ShuffledHashJoin"),
+      "the row join-back must be shuffle-hash: sort-merge would re-sort " +
+        "the corpus the aggregate exists to keep unsorted")
+    // the only windows left are quantilesOfSample's, over <= k sampled
+    // rows per group — never the corpus hash stream
+    assert(!p.contains("WindowGroupLimit"),
+      "no rank-filter window may remain on the sampling path")
+  }
+
+  test("kmv_bottomk: bottom-k and the KMV threshold ride one bounded aggregate") {
+    val p = plan("kmv_bottomk")
+    assert(p.contains("ObjectHashAggregate") && p.contains("graft_topk"),
+      "the bottom-k selection must be the graft_topk bounded aggregate")
+    assert(!p.contains("Window"),
+      "no window anywhere: h_k is the last element of the aggregate's " +
+        "sorted array, so even the max-over-partition disappears")
+  }
+
+  test("quota_split: the per-stratum quota pick is the bounded aggregate") {
+    val p = plan("quota_split")
+    assert(p.contains("ObjectHashAggregate") && p.contains("graft_topk"),
+      "the bottom-5 pick must be the graft_topk bounded aggregate")
+    assert(!p.contains("Window"),
+      "a mega-stratum would otherwise sort in one window partition")
   }
 
   test("decontaminate: the eval-suite side builds a broadcast") {
@@ -121,6 +146,28 @@ class PlanMarkersSpec extends SparkSpec {
   test("label_spread: the majority vote is a min_by aggregate, not a rank window") {
     assert(!plan("label_spread").contains("Window"),
       "a rank window per node would single-thread high-degree nodes")
+  }
+
+  test("knn_graph: per-query ranking is the bounded aggregate, never a rank window") {
+    val p = plan("knn_graph")
+    assert(p.contains("ObjectHashAggregate") && p.contains("graft_topk"),
+      "ANN ranking must ride the graft_topk bounded aggregate")
+    assert(!p.contains("Window"),
+      "a rank window over the candidate stream externally sorts the whole " +
+        "probe mass at scale (measured: 17 GiB spilled at the 100x corpus)")
+  }
+
+  test("bm25_topk: per-query ranking is the bounded aggregate, never a rank window") {
+    val p = plan("bm25_topk")
+    assert(p.contains("ObjectHashAggregate") && p.contains("graft_topk"),
+      "BM25 ranking must ride the graft_topk bounded aggregate")
+    // the only windows allowed are the probe-term extraction's, which
+    // partition by doc_id over a single document's own terms (bounded by
+    // terms-per-doc); a window partitioned by query_id would sort a
+    // query's whole candidate set — a large corpus fraction when a probe
+    // term is common — in one task
+    assert(!p.contains("windowspecdefinition(query_id"),
+      "no window may partition by query_id: that sorts the candidate set")
   }
 
   test("span_dedup: the keep-first join-back is shuffle-hash, never sort-merge") {

@@ -1,0 +1,138 @@
+package graft.catalyst
+
+import graft.SparkSpec
+import graft.similarity.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+/** The bounded top-k aggregate: buffer semantics (heap bounds, ties,
+  * serde, merge), SQL-level behavior (nulls, k clamping, determinism
+  * across partitionings), and exact parity with the rank-window
+  * formulation it replaced.
+  */
+class TopKAggregateSpec extends SparkSpec with TableDrivenPropertyChecks {
+
+  // ---- buffer unit behavior ----
+
+  test("buffer keeps the k best under (score desc, id asc), any insert order") {
+    val buf = new TopKBuffer(3)
+    Seq((5L, 10L), (1L, 1L), (9L, 7L), (5L, 2L), (9L, 8L), (0L, 0L))
+      .foreach { case (s, i) => buf.insert(s, i) }
+    val got = buf.toSortedArrayData.array.toSeq
+      .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // best: 9@7, 9@8 (tie -> lower id first), then 5@2 beats 5@10
+    assert(got == Seq((9L, 7L), (9L, 8L), (5L, 2L)))
+  }
+
+  test("buffer under capacity returns what it has, sorted") {
+    val buf = new TopKBuffer(5)
+    buf.insert(2L, 2L); buf.insert(7L, 1L)
+    val got = buf.toSortedArrayData.array.toSeq
+      .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == Seq((7L, 1L), (2L, 2L)))
+  }
+
+  test("serde round-trip and merge preserve the kept set") {
+    val a = new TopKBuffer(4)
+    val b = new TopKBuffer(4)
+    Seq((3L, 3L), (8L, 1L), (8L, 9L)).foreach { case (s, i) => a.insert(s, i) }
+    Seq((5L, 5L), (8L, 0L), (1L, 2L)).foreach { case (s, i) => b.insert(s, i) }
+    val aRound = TopKBuffer.deserialize(a.serialize(), 4)
+    aRound.absorb(b)
+    val got = aRound.toSortedArrayData.array.toSeq
+      .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == Seq((8L, 0L), (8L, 1L), (8L, 9L), (5L, 5L)))
+  }
+
+  test("heap never exceeds k and evicts exactly the worst") {
+    val buf = new TopKBuffer(2)
+    (1L to 100L).foreach(i => buf.insert(i % 13, i))
+    assert(buf.size == 2)
+    val got = buf.toSortedArrayData.array.toSeq
+      .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // best score is 12, smallest ids with score 12 are 12 and 25
+    assert(got == Seq((12L, 12L), (12L, 25L)))
+  }
+
+  // ---- SQL-level behavior ----
+
+  test("graft_topk over SQL: ranks, null skipping, k larger than group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(5L), Some(1L)), ("a", Some(9L), Some(2L)),
+      ("a", None, Some(3L)), ("a", Some(7L), None),
+      ("b", Some(4L), Some(4L))).toDF("g", "s", "i")
+    val out = df.groupBy(col("g"))
+      .agg(call_function("graft_topk", col("s"), col("i"), lit(10)).as("tk"))
+      .select(col("g"), expr("transform(tk, e -> e.id)").as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // null score and null id rows are skipped; under-full groups keep all
+    assert(out("a") == Seq(2L, 1L))
+    assert(out("b") == Seq(4L))
+  }
+
+  test("graft_topk rejects a non-literal or non-positive k") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("s", "i")
+    intercept[Exception] {
+      df.select(call_function("graft_topk", col("s"), col("i"), col("s")))
+        .collect()
+    }
+    intercept[Exception] {
+      df.groupBy(lit(1))
+        .agg(call_function("graft_topk", col("s"), col("i"), lit(0)))
+        .collect()
+    }
+  }
+
+  // ---- parity with the window formulation ----
+
+  /** Deterministic pseudo-random candidates: 40 queries x ~200 candidates
+    * with heavy score ties (scores mod 17) — the tie-break regime where a
+    * wrong comparator shows up immediately. */
+  private def candidates = {
+    spark.range(8000).select(
+      (col("id") % 40).as("query_id"),
+      (col("id") * 2654435761L % 100003).as("neighbor_id"),
+      (col("id") * 40503L % 17).as("dot"))
+      .distinct()
+  }
+
+  test("aggregate path matches the rank-window formulation exactly") {
+    val viaAgg = Similarity.topKPerQuery(candidates, "dot", 5)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    val viaWindow = candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+    assert(viaAgg.columns.toSeq == viaWindow.columns.toSeq)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+    // and the plan is the aggregate, not a window
+    val p = viaAgg.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), "expected the bounded aggregate")
+    assert(!p.contains("Window"), "no rank window on the aggregate path")
+  }
+
+  test("result is identical across partitionings (1, 3, 16 slices)") {
+    val expected = Similarity.topKPerQuery(candidates, "dot", 4)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    for (n <- Seq(1, 3, 16)) {
+      val got = Similarity.topKPerQuery(candidates.repartition(n), "dot", 4)
+        .orderBy(col("query_id"), col("rank")).collect().toSeq
+      assert(got == expected, s"partitioning $n diverged")
+    }
+  }
+
+  test("payload-column frames fall back to the window path") {
+    val extra = candidates.withColumn("payload", lit("x"))
+    val out = Similarity.topKPerQuery(extra, "dot", 3)
+    assert(out.columns.contains("payload"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "4-column frames must use the window path")
+  }
+}

@@ -7,12 +7,14 @@ import org.apache.spark.sql.types.LongType
 
 import graft.SparkSpec
 
-/** The sharded two-phase top-k must be RESULT-IDENTICAL to the single
-  * per-query window it replaces — same rows, same ranks — for any scored
-  * frame, any k, any shard count, under heavy score ties (the tie-break
-  * on neighbor id is what makes the two plans agree row for row). The
-  * point of the two-phase shape is purely physical: no task ever sorts a
-  * corpus-scale candidate set for one query. */
+/** Both physical shapes of [[Similarity.topKPerQuery]] must be
+  * RESULT-IDENTICAL to the single per-query rank window they replace —
+  * same rows, same ranks — for any scored frame, any k, any shard count,
+  * under heavy score ties (the tie-break on neighbor id is what makes
+  * the plans agree row for row). A bare (query, id, long-score) frame
+  * takes the `graft_topk` bounded-aggregate path; a frame carrying a
+  * payload column falls back to the sharded two-phase window, so the
+  * payload variant here is what keeps the fallback property-covered. */
 class TopKSpec extends SparkSpec {
   import spark.implicits._
 
@@ -26,22 +28,42 @@ class TopKSpec extends SparkSpec {
     } yield (q, n, s))
   } yield rows.distinct // (query, neighbor) pairs are unique in real scans
 
-  test("two-phase equals the single window for any frame, k, and shards") {
+  private def naiveTopK(rows: List[(Long, Long, Long)], k: Int) = {
+    val scored = rows.toDF("query_id", "neighbor_id", "score")
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc))
+          .cast(LongType))
+      .filter(col("rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("aggregate path equals the single window for any frame and k") {
+    val prop = Prop.forAll(genScored, Gen.choose(1, 5)) { (rows, k) =>
+      val scored = rows.toDF("query_id", "neighbor_id", "score")
+      val got = Similarity.topKPerQuery(scored, "score", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      got == naiveTopK(rows, k)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("window fallback (payload column) equals the single window for any frame, k, shards") {
     val prop = Prop.forAll(genScored, Gen.choose(1, 5), Gen.oneOf(1, 2, 7, 32)) {
       (rows, k, shards) =>
+        // the payload column forces the sharded two-phase window path
         val scored = rows.toDF("query_id", "neighbor_id", "score")
-        val naive = scored.withColumn("rank",
-            row_number().over(Window.partitionBy(col("query_id"))
-              .orderBy(col("score").desc, col("neighbor_id").asc))
-              .cast(LongType))
-          .filter(col("rank") <= k)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .withColumn("payload", col("neighbor_id") * 3)
+        val plan = Similarity.topKPerQuery(scored, "score", k, shards = shards)
+        val got = plan
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
           .toSet
-        val sharded = Similarity
-          .topKPerQuery(scored, "score", k, shards = shards)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-          .toSet
-        sharded == naive
+        got == naiveTopK(rows, k) &&
+          plan.queryExecution.executedPlan.toString.contains("Window")
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
