@@ -135,4 +135,34 @@ class TopKAggregateSpec extends SparkSpec with TableDrivenPropertyChecks {
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("Window"), "4-column frames must use the window path")
   }
+
+  // ---- buffer property: any insert/merge tree equals sort-take ----
+
+  test("buffer equals the sort-take reference for any inserts, k, and merge split") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRows = Gen.listOf(for {
+      s <- Gen.choose(-5L, 5L) // heavy ties, including negatives
+      i <- Gen.choose(0L, 60L)
+    } yield (s, i)).map(_.distinct) // unique ids per group, per the contract
+    val prop = Prop.forAll(genRows, Gen.choose(1, 6), Gen.choose(0.0, 1.0)) {
+      (rows, k, frac) =>
+        // reference: plain sort by (score desc, id asc), take k
+        val expected = rows.sortBy { case (s, i) => (-s, i) }.take(k)
+        // split the stream at an arbitrary point, build two partial
+        // buffers (one serde round-tripped), merge — the partial/final
+        // aggregation shape on an arbitrary partitioning
+        val cut = (rows.size * frac).toInt
+        val (la, lb) = rows.splitAt(cut)
+        val a = new TopKBuffer(k); la.foreach { case (s, i) => a.insert(s, i) }
+        val b = new TopKBuffer(k); lb.foreach { case (s, i) => b.insert(s, i) }
+        val merged = TopKBuffer.deserialize(a.serialize(), k)
+        merged.absorb(TopKBuffer.deserialize(b.serialize(), k))
+        val got = merged.toSortedArrayData.array.toSeq
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+          .map(r => (r.getLong(0), r.getLong(1)))
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
