@@ -20,12 +20,14 @@ import graft.similarity.IVF
   * orthogonal knob that multiplies work, not per-task join state.
   *
   * The second knob this rehearsal exposes is `spark.sql.shuffle.
-  * partitions`: the ranking phase's per-task SORT state is candidate
-  * mass / shuffle partitions, so a partition count pinned while the
-  * corpus grows turns into sort spill even under perfect index sizing.
-  * Real deployments scale partition count with data (AQE advisory
-  * sizing); passing a count here makes that mechanism observable
-  * locally.
+  * partitions`. Under the pre-round-12 rank-window plan the ranking
+  * phase's per-task SORT state was candidate mass / shuffle partitions,
+  * so a pinned partition count turned into sort spill even under
+  * perfect index sizing (measured: 17 GiB spilled at the 100x corpus,
+  * BENCHSCALE.md). With ranking on the `graft_topk` bounded aggregate
+  * that state is queries x k structs and the knob stops mattering for
+  * memory — the rehearsal keeps it so the before/after stays
+  * re-measurable.
   *
   * Usage: runMain graft.IvfSizingRehearsal [sfDir] [shufflePartitions]
   * [nlist...] (defaults: /tmp/graft-scale100, 0 = session default,
