@@ -136,6 +136,25 @@ class TopKAggregateSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(p.contains("Window"), "4-column frames must use the window path")
   }
 
+  test("sort-based aggregation fallback (threshold exceeded) stays hash-identical") {
+    // production raises the ObjectHashAggregate fallback threshold to 1M
+    // (Sessions.build); if a task ever holds MORE distinct groups, Spark
+    // flips to sort-based aggregation, which serializes/sorts/merges the
+    // typed buffers on a different code path — force that flip at
+    // threshold 2 and pin exact parity with the hash path
+    val s = spark.newSession()
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    val cand = s.range(8000).select(
+      (col("id") % 40).as("query_id"),
+      (col("id") * 2654435761L % 100003).as("neighbor_id"),
+      (col("id") * 40503L % 17).as("dot")).distinct()
+    val got = Similarity.topKPerQuery(cand, "dot", 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val expected = Similarity.topKPerQuery(candidates, "dot", 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(got == expected, "sort-based fallback diverged from the hash path")
+  }
+
   // ---- buffer property: any insert/merge tree equals sort-take ----
 
   test("buffer equals the sort-take reference for any inserts, k, and merge split") {
