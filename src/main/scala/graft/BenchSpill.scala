@@ -59,6 +59,18 @@ object BenchSpill {
     }
   }
 
+  /** Drain still-queued TaskEnd events before attaching a measuring
+    * listener: the listener bus is ASYNC, so events from a job that
+    * already returned (e.g. a warm-up rep) are delivered to listeners
+    * added later and would contaminate their totals. A throwaway
+    * listener absorbs the queue and is removed once it quiesces. */
+  private[graft] def drainBus(sc: org.apache.spark.SparkContext): Unit = {
+    val sink = new TaskMetricsAcc
+    sc.addSparkListener(sink)
+    sink.settle()
+    sc.removeSparkListener(sink)
+  }
+
   private def mb(bytes: Long): String = f"${bytes / 1024.0 / 1024.0}%.1f"
 
   def main(args: Array[String]): Unit = {
@@ -79,6 +91,7 @@ object BenchSpill {
       (1 until reps).foreach { _ =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      drainBus(spark.sparkContext)
       val acc = new TaskMetricsAcc
       spark.sparkContext.addSparkListener(acc)
       val t0 = System.nanoTime()

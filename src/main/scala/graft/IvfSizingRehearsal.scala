@@ -46,6 +46,7 @@ object IvfSizingRehearsal {
     val n = emb.count()
 
     nlists.foreach { nlist =>
+      BenchSpill.drainBus(spark.sparkContext)
       val acc = new BenchSpill.TaskMetricsAcc
       spark.sparkContext.addSparkListener(acc)
       val t0 = System.nanoTime()

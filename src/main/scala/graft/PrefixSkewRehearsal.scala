@@ -56,7 +56,18 @@ object PrefixSkewRehearsal {
       rankName = "rank", sumCol = Some("n_tokens"), cumName = "cum",
       orderRange = Some((0L, P - 1))) // the static-range production path
 
+    // async-bus drain: straggler TaskEnd events from the previous
+    // rep/variant must not land after the clear (same device as
+    // TopKSkewRehearsal / BenchSpill.drainBus)
+    def drain(): Unit = {
+      var prev = -1
+      var cur = durs.synchronized(durs.size)
+      while (prev != cur) {
+        Thread.sleep(200); prev = cur; cur = durs.synchronized(durs.size)
+      }
+    }
     def measure(label: String)(df: => DataFrame): Unit = (1 to 2).foreach { rep =>
+      drain()
       durs.synchronized(durs.clear())
       val t0 = System.nanoTime()
       // the filter consumes both rank and cum so neither column is pruned

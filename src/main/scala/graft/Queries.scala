@@ -2057,12 +2057,9 @@ object Queries {
     val h = col("doc_id") % Hashing.P * Hashing.TokenHashA % Hashing.P
     val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), h.as("__h"))
-    val winners = base
-      .groupBy(col("source"))
-      .agg(call_function("graft_topk", -col("__h"), col("doc_id"), lit(5))
-        .as("__tk"))
-      .select(explode(col("__tk").getField("id")).as("doc_id"),
-        lit(true).as("__eval"))
+    val winners = Similarity
+      .bottomKIds(base, Seq("source"), "doc_id", "__h", 5)
+      .select(col("doc_id"), lit(true).as("__eval"))
     base
       .join(broadcast(winners), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),

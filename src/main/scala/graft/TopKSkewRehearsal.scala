@@ -60,7 +60,18 @@ object TopKSkewRehearsal {
     // aggregate variant: the bare frame rides graft_topk
     val viaAgg = Similarity.topKPerQuery(cand, "dot", k)
 
+    // the listener bus is async: straggler TaskEnd events from the
+    // previous rep/variant must not land after the clear and pollute the
+    // next measurement's task stats — poll until the count stops moving
+    def drain(): Unit = {
+      var prev = -1
+      var cur = durs.synchronized(durs.size)
+      while (prev != cur) {
+        Thread.sleep(200); prev = cur; cur = durs.synchronized(durs.size)
+      }
+    }
     def measure(label: String)(df: => DataFrame): Unit = (1 to 2).foreach { rep =>
+      drain()
       durs.synchronized(durs.clear())
       val t0 = System.nanoTime()
       val cnt = df.filter(col("rank") <= k).count()

@@ -17,9 +17,12 @@ import graft.functions.Psl
   * but the FIRST use per JVM paid ~4-5 s of janino compilation (measured
   * on url_dedup: reps 6.2 -> 1.4 -> 1.2 s), a cost that recurs on every
   * fresh executor and distorts every cold benchmark. Here the rule sets
-  * are process-static hash sets (built once per JVM from the committed
-  * resource — the same place the plan literals came from, so
-  * distribution semantics are unchanged) and the generated code is ONE
+  * are process-static hash sets built once per JVM from the committed
+  * resource. The plan-literal form shipped the rules inside the
+  * serialized plan; the per-JVM build is equivalent ONLY because
+  * [[graft.functions.Psl.rules]] fails loudly when the resource is
+  * missing from a host's classpath — otherwise a misdeployed executor
+  * would silently answer the default rule. The generated code is ONE
   * static call, compiling in microseconds. Membership stays grouped by
   * label count: a k-label suffix can only equal a k-label rule.
   */

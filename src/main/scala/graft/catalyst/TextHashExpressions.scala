@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StringType}
 
 import graft.text.Hashing
 
@@ -216,12 +216,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded top-k aggregate (the analyzer wraps the bare
     // AggregateFunction in a Complete AggregateExpression, exactly as it
     // does for built-in sum/min); k stays un-cast so foldability is
-    // checked on the literal the caller wrote
+    // checked on the literal the caller wrote. Score and id must already
+    // be integral: a silent Cast from fractional would TRUNCATE scores
+    // in (0, 1) to 0 and degenerate the "top-k" to the k lowest ids —
+    // the engine's ranking scores are integer by design (dots, Hamming,
+    // millis), so a fractional argument is a caller bug, not a coercion.
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo("graft.catalyst.TopKAggregate", "graft_topk"),
       { children: Seq[Expression] =>
         require(children.size == 3, "graft_topk expects three arguments")
+        val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+        require(integral.contains(children(0).dataType),
+          s"graft_topk: score must be an integral type, got ${children(0).dataType.sql}")
+        require(integral.contains(children(1).dataType),
+          s"graft_topk: id must be an integral type, got ${children(1).dataType.sql}")
         TopKPairs(Cast(children(0), LongType), Cast(children(1), LongType),
           children(2))
       }))

@@ -30,9 +30,7 @@ object Psl {
   final case class Rules(
       normal: Set[String],
       wildcards: Set[String],
-      exceptions: Set[String]) {
-    def isEmpty: Boolean = normal.isEmpty && wildcards.isEmpty && exceptions.isEmpty
-  }
+      exceptions: Set[String])
 
   /** Parses PSL-format lines: one rule per line, `//` comments and blank
     * lines ignored, anything after the first whitespace ignored (the
@@ -51,14 +49,21 @@ object Psl {
     Rules(normal.result(), wild.result(), exc.result())
   }
 
-  /** Rules from the committed resource. Empty (callers fall back to
-    * their demo logic) only if the resource is missing from the jar. */
+  /** Rules from the committed resource. The resource travels in the
+    * library jar, so every JVM — driver or executor — builds the same
+    * sets; a missing resource FAILS (classloading error at first use)
+    * rather than silently degrading every lookup on that host to the
+    * default 1-label rule, which would make registeredDomain and the
+    * URL dedup keys differ per executor with no error anywhere. (The
+    * InSet plan-literal predecessor was immune because the rules rode
+    * the serialized plan; this is the kernel's equivalent guarantee.) */
   val rules: Rules = {
-    val in = Option(getClass.getResourceAsStream("/graft/public_suffix_list.dat"))
-    in.fold(Rules(Set.empty, Set.empty, Set.empty)) { s =>
-      try parse(Source.fromInputStream(s, "UTF-8").getLines())
-      finally s.close()
-    }
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null,
+      "graft: /graft/public_suffix_list.dat missing from the classpath — " +
+        "PSL-backed functions would silently return wrong labels")
+    try parse(Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
   }
 
   private def labelCount(s: String): Int = s.count(_ == '.') + 1

@@ -38,13 +38,6 @@ object Urls {
     * mechanism is the point. */
   val TrackingKeys: Seq[String] = Seq("ref", "fbclid", "gclid", "mc_cid", "mc_eid")
 
-  /** Demo subset of multi-label public suffixes, kept ONLY as the
-    * fallback when the committed PSL resource is absent from the jar —
-    * [[registeredDomain]] and the [[dedupKey]] guard normally run on the
-    * full [[Psl]] rule sets (wildcard and exception rules included). */
-  val MultiLabelSuffixes: Seq[String] =
-    Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
-
   private def isTracking(p: Column): Column = {
     val key = split(p, "=").getItem(0)
     key.startsWith("utm_") || key.isin(TrackingKeys: _*)
@@ -84,11 +77,9 @@ object Urls {
     concat(lit(" id:"), id.cast(org.apache.spark.sql.types.StringType))
 
   /** True when `host` has no registrable part — it IS a public suffix
-    * under the [[Psl]] rules (or, in the no-resource fallback, a
-    * [[MultiLabelSuffixes]] entry). */
+    * under the [[Psl]] rules. */
   private def isBareSuffix(host: Column): Column =
-    if (Psl.rules.isEmpty) host.isin(MultiLabelSuffixes: _*)
-    else Psl.isPublicSuffix(host)
+    Psl.isPublicSuffix(host)
 
   /** Dedup key: [[canonicalize]] plus a leading-`www.` strip — "www.x.com"
     * and "x.com" almost always serve the same page, so the DEDUP key
@@ -122,18 +113,9 @@ object Urls {
     * crawl pipelines budget, rate-limit, and report by. Delegates to the
     * full [[Psl]] rule sets (longest match, wildcard and exception rules;
     * null when the host IS a public suffix — including single-label
-    * hosts, which have no registrable part under the default rule). Falls
-    * back to the demo last-2-or-3-label logic only when the PSL resource
-    * is absent from the jar. */
+    * hosts, which have no registrable part under the default rule).
+    * [[Psl.rules]] fails loudly at classload if the committed resource
+    * is missing, so there is no silent demo fallback to diverge from. */
   def registeredDomain(host: Column): Column =
-    if (!Psl.rules.isEmpty) Psl.registeredDomain(host)
-    else {
-      val labels = split(host, "\\.")
-      val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-      val last3 = concat_ws(".",
-        element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
-      when(size(labels) <= 2, host)
-        .when(last2.isin(MultiLabelSuffixes: _*), last3)
-        .otherwise(last2)
-    }
+    Psl.registeredDomain(host)
 }

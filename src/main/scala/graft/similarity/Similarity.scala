@@ -66,7 +66,14 @@ object Similarity {
     * sharded two-phase window (phase 1 bounds each task's sort to
     * candidates/shards; phase 2 ranks the <= shards x k survivors —
     * still spill-prone at extreme candidate mass, so scale-sensitive
-    * callers should re-attach payload after ranking instead). */
+    * callers should re-attach payload after ranking instead).
+    *
+    * Null semantics, identical on BOTH paths: a candidate row with a
+    * null score or null id is not a ranked candidate and is dropped
+    * before ranking (the aggregate skips such rows by contract; the
+    * fallback filters them so it cannot diverge — a bare desc window
+    * would otherwise rank nulls LAST and let them fill out under-full
+    * queries). */
   private[graft] def topKPerQuery(
       scored: DataFrame,
       scoreCol: String,
@@ -94,18 +101,21 @@ object Similarity {
       } :+ (col("__pos") + 1).cast(LongType).as(rankCol)
       ranked.select(outCols: _*)
     } else {
+      // match the aggregate path's null contract (see Scaladoc)
+      val nonNull = scored
+        .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
       val w2 = Window.partitionBy(col(queryCol))
         .orderBy(col(scoreCol).desc, col(idCol).asc)
       // shards = 1: the classic single window — cheaper on corpora small
       // enough that a whole candidate set sorts comfortably in one task
       val pruned =
-        if (shards == 1) scored
+        if (shards == 1) nonNull
         else {
           val w1 = Window
             .partitionBy(col(queryCol),
               pmod(xxhash64(col(idCol)), lit(shards)))
             .orderBy(col(scoreCol).desc, col(idCol).asc)
-          scored
+          nonNull
             .withColumn("__shard_rk", row_number().over(w1))
             .filter(col("__shard_rk") <= k)
             .drop("__shard_rk")
@@ -114,6 +124,29 @@ object Similarity {
         .withColumn(rankCol, row_number().over(w2).cast(LongType))
         .filter(col(rankCol) <= k)
     }
+  }
+
+  /** Per-group bottom-k IDS under (hashCol ASC, idCol ASC): one
+    * `graft_topk` bounded aggregate on the NEGATED hash — bottom-k is
+    * top-k of -h, and every caller's hash lives in [0, 2^31) (HLL.mix /
+    * the mod-P stratum hashes), so the negation is exact. Output:
+    * groupCols + idCol, the groups x k winner sliver consumers flag or
+    * join rows back against. This helper carries the negation-exactness
+    * and tie-break proof ONCE for the deterministic-sampling family
+    * (quota_split, SampleQuantiles.bottomK); kmv_bottomk inlines the
+    * same idiom because it also reads the KMV threshold h_k off the
+    * aggregate's result array. */
+  private[graft] def bottomKIds(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      hashCol: String,
+      k: Int): DataFrame = {
+    val gc = groupCols.map(col)
+    df.groupBy(gc: _*)
+      .agg(call_function("graft_topk", -col(hashCol), col(idCol), lit(k))
+        .as("__tk"))
+      .select(gc :+ explode(col("__tk").getField("id")).as(idCol): _*)
   }
 
   /** Brute-force top-k neighbors for each row of `queries` against `corpus`.

@@ -49,13 +49,9 @@ object SampleQuantiles {
       groupCols: Seq[String],
       idCol: String,
       k: Int = K): DataFrame = {
-    val gc = groupCols.map(col)
     val withH = df.withColumn("h", HLL.mix(col(idCol)))
-    val winners = withH
-      .groupBy(gc: _*)
-      .agg(call_function("graft_topk", -col("h"), col(idCol), lit(k))
-        .as("__tk"))
-      .select(gc :+ explode(col("__tk").getField("id")).as(idCol): _*)
+    val winners = graft.similarity.Similarity
+      .bottomKIds(withH, groupCols, idCol, "h", k)
     // shuffle-hash, not sort-merge: the join-back would otherwise
     // re-introduce the very corpus sort the aggregate removed (build
     // side is groups x k ids; per-partition slivers stay tiny)

@@ -94,7 +94,11 @@ object LinearModel {
       .groupBy(col("__id"), col("__feature"))
       .agg(count(lit(1)).as("__c"))
       .persist()
+    // persisted like fc: the label frame is consumed once per round, and
+    // in the catalog it is itself a corpus-scale teacher pipeline
+    // (qualityTrain's ensemble join) that must not re-run per iteration
     val lab = docs.select(col(idCol).as("__id"), col(labelCol).cast(LongType).as("__y"))
+      .persist()
     try {
       val w = Array.fill(buckets)(0L)
       for (_ <- 1 to iters) {
@@ -118,7 +122,7 @@ object LinearModel {
       }
       w.toSeq.zipWithIndex.map { case (wt, f) => (f.toLong, wt) }
         .toDF("feature", "weight")
-    } finally fc.unpersist()
+    } finally { fc.unpersist(); lab.unpersist() }
   }
 
   /** Persist a trained weights table — O(buckets) rows, one file. */

@@ -158,7 +158,13 @@ object Unigram {
           .groupBy(col("__p")).agg(sum(col("__f")).as("__cnt"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val nextSingles = alphabet.map(c => (c, usage.getOrElse(c, 0L)))
-        val nextMultis = usage.filter(_._1.length > 1).toSeq.sortBy(_._1)
+        // codePointCount, not String.length: the seed's single/multi split
+        // uses Spark's length() (codepoints), and a supplementary-plane
+        // char (1 codepoint, 2 UTF-16 units) must not land in BOTH the
+        // permanent alphabet and the multi list
+        val nextMultis = usage
+          .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+          .toSeq.sortBy(_._1)
         table = withCosts(nextSingles ++ nextMultis)
       }
       table.sortBy(_.piece)

@@ -76,6 +76,36 @@ class TopKAggregateSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out("b") == Seq(4L))
   }
 
+  test("graft_topk rejects fractional score/id instead of silently truncating") {
+    import spark.implicits._
+    val df = Seq((0.9, 1L), (0.1, 2L)).toDF("s", "i")
+    // a Cast would send every score in (0,1) to 0L and degenerate the
+    // ranking; the registration must refuse the frame outright
+    val e = intercept[Exception] {
+      df.groupBy(lit(1))
+        .agg(call_function("graft_topk", col("s"), col("i"), lit(1)))
+        .collect()
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("null score/id rows are dropped on BOTH ranking paths identically") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", Some(5L), Some(1L)), ("a", None, Some(2L)), ("a", Some(3L), None),
+      ("b", None, Some(9L))) // query b has ONLY null-scored candidates
+    val bare = rows.toDF("query_id", "s", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("s"))
+    val viaAgg = Similarity.topKPerQuery(bare, "s", 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaWindow = Similarity
+      .topKPerQuery(bare.withColumn("payload", lit(1)), "s", 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // nulls are not ranked candidates: query b vanishes on both paths
+    assert(viaAgg == Set(("a", 1L)))
+    assert(viaWindow == viaAgg, "fallback must share the aggregate's null contract")
+  }
+
   test("graft_topk rejects a non-literal or non-positive k") {
     import spark.implicits._
     val df = Seq((1L, 1L)).toDF("s", "i")

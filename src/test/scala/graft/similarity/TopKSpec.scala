@@ -62,8 +62,11 @@ class TopKSpec extends SparkSpec {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
           .toSet
+        // an empty frame optimizes to an empty relation (no Window node),
+        // so only assert the physical shape when rows survive to plan
         got == naiveTopK(rows, k) &&
-          plan.queryExecution.executedPlan.toString.contains("Window")
+          (rows.isEmpty ||
+            plan.queryExecution.executedPlan.toString.contains("Window"))
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
