@@ -328,6 +328,37 @@ object Streaming {
       .start()
   }
 
+  /** Streaming binary-quantization encode — [[pqEncodeStream]]'s sibling
+    * for the BQ rung: arriving vectors are sign-bit packed
+    * ([[graft.similarity.BQ.encode]]) and written as `batch=N`
+    * partitions. Even simpler than PQ because BQ has NO codebook — the
+    * codes projection IS the index, so there is nothing to load at
+    * stream start and a refresh is exactly this stream. Stateless
+    * codegen'd projection per batch; exactly-once via the idempotent
+    * per-batch overwrite. `spark.read.parquet(outputDir)` returns the
+    * streamed additions; union with the base codes table for the full
+    * corpus. */
+  def bqEncodeStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery =
+    spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.similarity.BQ.encode(batch, idCol, vecCol)
+            .write.mode("overwrite").parquet(s"$outputDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming count-min-sketch maintenance — the incremental twin of the
     * heavy_hitters catalog entry. Each micro-batch of documents collapses
     * to its own 4 x 256 counter DELTA (same seed family and bucketing as

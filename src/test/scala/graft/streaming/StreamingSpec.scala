@@ -178,6 +178,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 40)
   }
 
+  test("bqEncodeStream packs arriving vectors identically to the batch encode") {
+    val dir = Files.createTempDirectory("graft-stream-bq").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // two arrival batches — BQ has no codebook, so there is no train step
+    emb.filter(col("vec_id") < 20).write.parquet(in)
+    Streaming.bqEncodeStream(spark, in, out, cp).awaitTermination()
+    emb.filter(col("vec_id").between(20, 39)).write.mode("append").parquet(in)
+    Streaming.bqEncodeStream(spark, in, out, cp).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("__id"), col("__code"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val expect = graft.similarity.BQ
+      .encode(emb.filter(col("vec_id") < 40), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == expect)
+    // replay admits nothing new (checkpointed exactly-once)
+    Streaming.bqEncodeStream(spark, in, out, cp).awaitTermination()
+    assert(spark.read.parquet(out).count() == 40)
+  }
+
   test("cmsStream deltas merge to the batch sketch's counters exactly") {
     val dir = Files.createTempDirectory("graft-stream-cms").toFile
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
