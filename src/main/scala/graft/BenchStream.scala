@@ -101,6 +101,10 @@ object BenchStream {
     bench("ewmaStream", events, "event_id") { (in, out, cp) =>
       graft.streaming.Streaming.ewmaStream(spark, in, out, cp)
     }
+    bench("bqEncodeStream",
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id") { (in, out, cp) =>
+      graft.streaming.Streaming.bqEncodeStream(spark, in, out, cp)
+    }
     println(s"corpus: $nDocs docs, $nEvents events ($sfDir)")
     spark.stop()
   }
