@@ -81,12 +81,24 @@ object EtlBench {
       faultTolerance = sys.env.get("GRAFT_ETL_TOLERANT").forall(_ == "1"),
       dedupDefault = DedupConfig(enable = true))
     val job = new Restructure(spark, cfg)
+    // task-level memory/spill stats ride the measured pass — the 10x/
+    // scale rehearsal question is whether the dynamic-partition write
+    // (one file per project/user/topic/hour bin) stays in memory, not
+    // just how fast it goes
+    BenchSpill.drainBus(spark.sparkContext)
+    val acc = new BenchSpill.TaskMetricsAcc
+    spark.sparkContext.addSparkListener(acc)
     val start = System.nanoTime()
     val result = job.run()
     val sec = (System.nanoTime() - start) / 1e9
+    acc.settle()
+    spark.sparkContext.removeSparkListener(acc)
     println(
       s"""{"metric":"etl_records_per_sec","value":${(result.records / sec).toLong},""" +
-        s""""records":${result.records},"files":${result.files},"sec":$sec}""")
+        s""""records":${result.records},"files":${result.files},"sec":$sec,""" +
+        s""""tasks":${acc.tasks.get()},"memSpilledMB":${acc.memSpilled.get() / 1048576},""" +
+        s""""diskSpilledMB":${acc.diskSpilled.get() / 1048576},""" +
+        s""""peakTaskMemMB":${acc.peakTask.get() / 1048576}}""")
 
     // phase breakdown on a SECOND identical dataset (fresh topic name so
     // state/output are cold), to attribute the pipeline's cost

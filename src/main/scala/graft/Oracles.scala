@@ -426,6 +426,11 @@ object Oracles {
     * bit for bit), then Hamming distance as the summed popcount of the
     * per-word XOR. Ends in `hs(query_id, neighbor_id, hamming)`. */
   private val bqCtes: String = {
+    // the kernel packs ceil(dim/32) words; this replay assumes an exact
+    // multiple so the truncating division below matches — fail loudly if
+    // Dim ever changes rather than silently dropping the tail dimensions
+    require(Dim % 32 == 0,
+      s"bqCtes replays 32-bit word packing and requires Dim % 32 == 0, got $Dim")
     val words = Dim / 32
     val hamE = (1 to words)
       .map(i => s"bit_count(xor(c.code[$i], q.qcode[$i]))").mkString(" + ")

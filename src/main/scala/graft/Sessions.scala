@@ -36,9 +36,13 @@ object Sessions {
       // queries-per-task — thousands, not millions. The default 128-key
       // fallback would flip the ranking aggregate to SORT-based
       // aggregation, i.e. re-introduce the candidate-stream sort the
-      // aggregate exists to remove; 1M keys x ~250 B of top-k state is
-      // still only ~250 MB per task at the bound, never reached in
-      // practice.
+      // aggregate exists to remove. Worst-case pre-fallback task
+      // footprint is bounded by the LARGEST k the catalog runs —
+      // the shortlist=100 rerank paths (~1.7 KB/buffer), so 1M keys x
+      // ~1.7 KB ~= 1.7 GB per task at the bound. Real group counts per
+      // task are queries-per-task (thousands), so actual state is MBs;
+      // a workload that truly held 1M distinct 100-entry groups per task
+      // should lower this bound or raise task memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1048576")
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no native

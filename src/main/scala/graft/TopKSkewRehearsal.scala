@@ -21,9 +21,11 @@ import graft.similarity.Similarity
   * bounded aggregate (the production path in
   * [[Similarity.topKPerQuery]]) prunes every map task to <= k rows per
   * query before the exchange, so the hot query contributes exactly one
-  * k-entry heap per task no matter how many candidates it owns. The
-  * window variant here is forced through topKPerQuery's payload
-  * fallback so both sides share the same code path selection logic.
+  * k-entry heap per task no matter how many candidates it owns. Three
+  * legs: the pre-round-12 rank window (now reachable only via
+  * topKPerQuery's explicit `forceWindow` opt-in), the payload frame on
+  * the round-13 `graft_topk_payload` aggregate (the DEFAULT for frames
+  * carrying extra columns), and the bare frame on `graft_topk`.
   * Reported per plan: wall seconds, max task ms, median task ms, and
   * the max/p50 skew ratio; the spill metrics BenchSpill pins at corpus
   * scale are flat here only because the planted corpus fits — the 100x
@@ -52,9 +54,15 @@ object TopKSkewRehearsal {
       .cache()
     cand.count()
 
-    // window variant: the payload column forces topKPerQuery's sharded
-    // two-phase rank-window fallback (the pre-round-12 plan)
+    // window variant: the pre-round-12 sharded two-phase rank window,
+    // now an explicit opt-in
     val viaWindow = Similarity
+      .topKPerQuery(cand.withColumn("__payload", lit(1)), "dot", k,
+        forceWindow = true)
+      .drop("__payload")
+    // payload-aggregate variant: the same payload frame on the DEFAULT
+    // path — graft_topk_payload carries the extra column in the heap
+    val viaPayload = Similarity
       .topKPerQuery(cand.withColumn("__payload", lit(1)), "dot", k)
       .drop("__payload")
     // aggregate variant: the bare frame rides graft_topk
@@ -84,6 +92,7 @@ object TopKSkewRehearsal {
     }
 
     measure("rank-window-OLD")(viaWindow)
+    measure("topk-payload-NEW")(viaPayload)
     measure("graft_topk-NEW")(viaAgg)
     spark.stop()
   }

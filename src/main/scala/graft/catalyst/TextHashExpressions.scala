@@ -234,5 +234,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKPairs(Cast(children(0), LongType), Cast(children(1), LongType),
           children(2))
       }))
+    // the payload-carrying variant: same integral score/id discipline,
+    // payload any SQL type (rides the heap inert, UnsafeRow-serialized
+    // across the exchange)
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_payload"),
+      new ExpressionInfo("graft.catalyst.TopKAggregate", "graft_topk_payload"),
+      { children: Seq[Expression] =>
+        require(children.size == 4, "graft_topk_payload expects four arguments")
+        val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+        require(integral.contains(children(0).dataType),
+          s"graft_topk_payload: score must be an integral type, got ${children(0).dataType.sql}")
+        require(integral.contains(children(1).dataType),
+          s"graft_topk_payload: id must be an integral type, got ${children(1).dataType.sql}")
+        TopKPairsPayload(Cast(children(0), LongType), Cast(children(1), LongType),
+          children(2), children(3))
+      }))
   }
 }

@@ -95,7 +95,12 @@ object BQ {
       .select(col("__id").as("query_id"), col("__v").as("__qv"))
     val cv = quantize(corpus, idCol, vecCol)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
-    val rer = cv.join(broadcast(short.join(broadcast(qv), "query_id")), "neighbor_id")
+    // two SEPARATE broadcasts — the (query_id, neighbor_id) id sliver and
+    // the |Q|-row query-vector table — so the driver never materializes
+    // the |Q| x shortlist x dim product (shortlist ids are 16 B/row; the
+    // vectors fan out to shortlist copies only inside each task's join)
+    val rer = cv.join(broadcast(short), "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__cv")).as("dot"))
     Similarity.topKPerQuery(rer, "dot", k, shards = shards)

@@ -28,6 +28,57 @@ object IVF {
 
   final case class Index(assigned: DataFrame, centroids: Array[Array[Long]])
 
+  /** Persist a built index: the coarse quantizer (centroids, a
+    * (list, dim, w) table of nlist x dim rows — KBs) plus the assignment
+    * projection (__id, __v, __list — the list-partitioned corpus the
+    * search scans). At 100 TB the centroids are exactly what's trained
+    * offline and refreshed incrementally: a reload + [[encodeNew]] over
+    * arriving vectors extends the index without re-reading (or
+    * re-clustering) the base corpus — the [[PQ.saveIndex]] /
+    * [[graft.dedup.Incremental.Index]] pattern for the IVF rung. */
+  def saveIndex(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val rows = for {
+      l <- index.centroids.indices
+      d <- index.centroids(l).indices
+    } yield (l, d, index.centroids(l)(d))
+    rows.toDF("list", "dim", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Reload a persisted index — pure parquet scans, no re-clustering.
+    * The centroid collect is nlist x dim rows (KBs, driver-trivial);
+    * the assignment table comes back re-partitioned on list id, the
+    * co-location [[build]] established. */
+  def loadIndex(spark: SparkSession, path: String): Index = {
+    val cRows = spark.read.parquet(s"$path/centroids")
+      .select(col("list"), col("dim"), col("w")).collect()
+    require(cRows.nonEmpty, s"empty centroids at $path")
+    val nlist = cRows.map(_.getInt(0)).max + 1
+    val dim = cRows.map(_.getInt(1)).max + 1
+    val centroids = Array.ofDim[Long](nlist, dim)
+    cRows.foreach(r => centroids(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .repartition(col("__list"))
+    Index(assigned, centroids)
+  }
+
+  /** Assign NEW vectors to the existing coarse quantizer — the
+    * incremental-refresh half of index persistence. Same projection as
+    * [[build]]'s final step (id, quantized vector, argmax-dot list id),
+    * so unioning the result with a loaded index's `assigned` extends
+    * the index; vectors already indexed encode to identical rows. */
+  def encodeNew(
+      centroids: Array[Array[Long]],
+      df: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        call_function("graft_quantize", col(vecCol)).as("__v"))
+      .withColumn("__list", listId(col("__v"), centroids))
+
   /** Argmax-dot list id for a quantized vector column, as ONE kernel call
     * over the flat centroid literal. Ties break toward the lower list id.
     * (The previous form — nlist chained literal-dot `when` expressions —

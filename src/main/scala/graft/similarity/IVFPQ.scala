@@ -179,7 +179,10 @@ object IVFPQ {
     val qv = q.select(col("query_id"), col("__qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       call_function("graft_quantize", col(vecCol)).as("__cv"))
-    val rer = cv.join(broadcast(short.join(broadcast(qv), "query_id")), "neighbor_id")
+    // two SEPARATE broadcasts (id sliver + |Q|-row vector table) so the
+    // |Q| x shortlist x dim product never materializes driver-side
+    val rer = cv.join(broadcast(short), "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__cv")).as("dot"))
     Similarity.topKPerQuery(rer, "dot", k, shards = shards)

@@ -203,7 +203,10 @@ object PQ {
       .select(col("__id").as("query_id"), col("__v").as("__qv"))
     val cv = quantize(corpus, idCol, vecCol)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
-    val rer = cv.join(broadcast(short.join(broadcast(qv), "query_id")), "neighbor_id")
+    // two SEPARATE broadcasts (id sliver + |Q|-row vector table) so the
+    // |Q| x shortlist x dim product never materializes driver-side
+    val rer = cv.join(broadcast(short), "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__cv")).as("dot"))
     Similarity.topKPerQuery(rer, "dot", k, shards = shards)

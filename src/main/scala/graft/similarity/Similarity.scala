@@ -59,20 +59,24 @@ object Similarity {
     * perfect IVF sizing, where the aggregate holds queries x k structs
     * and spills nothing (BENCHSCALE.md round-12 sizing rehearsal).
     *
-    * The aggregate path engages when score and id are LongType (every
-    * catalog consumer: integer dots, Hamming negations, millis scores)
-    * and the frame is exactly (query, id, score) — extra payload
-    * columns can't ride an aggregate, so such callers fall back to the
-    * sharded two-phase window (phase 1 bounds each task's sort to
-    * candidates/shards; phase 2 ranks the <= shards x k survivors —
-    * still spill-prone at extreme candidate mass, so scale-sensitive
-    * callers should re-attach payload after ranking instead).
+    * The aggregate path engages whenever score and id are LongType
+    * (every catalog consumer: integer dots, Hamming negations, millis
+    * scores). A bare (query, id, score) frame rides `graft_topk`; a
+    * frame carrying EXTRA columns packs them into one struct and rides
+    * `graft_topk_payload` ([[graft.catalyst.TopKPairsPayload]]) — the
+    * payload sits inert beside its pair in the same O(k) heap, so
+    * payload callers get the identical no-sort, map-side-pruned shape
+    * instead of regressing to a corpus-mass sort. The sharded two-phase
+    * rank window remains ONLY as an explicit opt-in (`forceWindow`,
+    * for A/B rehearsals) or for non-Long score/id types, which no
+    * public entry point produces.
     *
-    * Null semantics, identical on BOTH paths: a candidate row with a
+    * Null semantics, identical on ALL paths: a candidate row with a
     * null score or null id is not a ranked candidate and is dropped
-    * before ranking (the aggregate skips such rows by contract; the
-    * fallback filters them so it cannot diverge — a bare desc window
-    * would otherwise rank nulls LAST and let them fill out under-full
+    * before ranking (the aggregates skip such rows by contract — a
+    * null PAYLOAD column does not drop the row; the window fallback
+    * filters them so it cannot diverge — a bare desc window would
+    * otherwise rank nulls LAST and let them fill out under-full
     * queries). */
   private[graft] def topKPerQuery(
       scored: DataFrame,
@@ -81,23 +85,31 @@ object Similarity {
       rankCol: String = "rank",
       shards: Int = 32,
       queryCol: String = "query_id",
-      idCol: String = "neighbor_id"): DataFrame = {
+      idCol: String = "neighbor_id",
+      forceWindow: Boolean = false): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
-    val aggregable =
+    val longKeyed =
       scored.schema(scoreCol).dataType == LongType &&
-        scored.schema(idCol).dataType == LongType &&
-        scored.columns.toSet == Set(queryCol, idCol, scoreCol)
-    if (aggregable) {
+        scored.schema(idCol).dataType == LongType
+    val extras = scored.columns.toSeq
+      .filter(c => c != queryCol && c != idCol && c != scoreCol)
+    if (longKeyed && !forceWindow) {
+      val tk =
+        if (extras.isEmpty)
+          call_function("graft_topk", col(scoreCol), col(idCol), lit(k))
+        else
+          call_function("graft_topk_payload", col(scoreCol), col(idCol),
+            struct(extras.map(col): _*), lit(k))
       val ranked = scored
         .groupBy(col(queryCol))
-        .agg(call_function("graft_topk", col(scoreCol), col(idCol), lit(k))
-          .as("__tk"))
+        .agg(tk.as("__tk"))
         .select(col(queryCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
       // original column order, rank appended — the window path's shape
       val outCols = scored.columns.toSeq.map {
         case c if c == idCol => col("__e").getField("id").as(idCol)
         case c if c == scoreCol => col("__e").getField("score").as(scoreCol)
-        case c => col(c)
+        case c if c == queryCol => col(c)
+        case c => col("__e").getField("payload").getField(c).as(c)
       } :+ (col("__pos") + 1).cast(LongType).as(rankCol)
       ranked.select(outCols: _*)
     } else {

@@ -359,6 +359,39 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming IVF index maintenance — [[pqEncodeStream]]'s sibling for
+    * the coarse-quantizer rung: arriving vectors are assigned to the
+    * PERSISTED centroids ([[graft.similarity.IVF.loadIndex]] once at
+    * stream start — nlist x dim longs, KBs; clustering is the offline
+    * step) and written as `batch=N` partitions of (__id, __v, __list)
+    * rows. Stateless codegen'd projection per batch; exactly-once via
+    * the idempotent per-batch overwrite. `spark.read.parquet(outputDir)`
+    * returns the streamed additions; union with the base index's
+    * `assigned` table (re-partitioning on __list) for the full corpus. */
+  def ivfEncodeStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery = {
+    val centroids = graft.similarity.IVF.loadIndex(spark, indexPath).centroids
+    spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.similarity.IVF.encodeNew(centroids, batch, idCol, vecCol)
+            .write.mode("overwrite").parquet(s"$outputDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Streaming count-min-sketch maintenance — the incremental twin of the
     * heavy_hitters catalog entry. Each micro-batch of documents collapses
     * to its own 4 x 256 counter DELTA (same seed family and bucketing as

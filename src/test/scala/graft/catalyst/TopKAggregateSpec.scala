@@ -89,7 +89,7 @@ class TopKAggregateSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
-  test("null score/id rows are dropped on BOTH ranking paths identically") {
+  test("null score/id rows are dropped on ALL ranking paths identically") {
     import spark.implicits._
     val rows = Seq(
       ("a", Some(5L), Some(1L)), ("a", None, Some(2L)), ("a", Some(3L), None),
@@ -98,12 +98,16 @@ class TopKAggregateSpec extends SparkSpec with TableDrivenPropertyChecks {
       .select(col("query_id"), col("neighbor_id"), col("s"))
     val viaAgg = Similarity.topKPerQuery(bare, "s", 3)
       .select("query_id", "neighbor_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val viaWindow = Similarity
+    val viaPayload = Similarity
       .topKPerQuery(bare.withColumn("payload", lit(1)), "s", 3)
       .select("query_id", "neighbor_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    // nulls are not ranked candidates: query b vanishes on both paths
+    val viaWindow = Similarity
+      .topKPerQuery(bare.withColumn("payload", lit(1)), "s", 3, forceWindow = true)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // nulls are not ranked candidates: query b vanishes on every path
     assert(viaAgg == Set(("a", 1L)))
-    assert(viaWindow == viaAgg, "fallback must share the aggregate's null contract")
+    assert(viaPayload == viaAgg, "payload aggregate must share the null contract")
+    assert(viaWindow == viaAgg, "window opt-in must share the null contract")
   }
 
   test("graft_topk rejects a non-literal or non-positive k") {
@@ -158,12 +162,72 @@ class TopKAggregateSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
-  test("payload-column frames fall back to the window path") {
+  test("payload-column frames ride graft_topk_payload, never a window") {
     val extra = candidates.withColumn("payload", lit("x"))
     val out = Similarity.topKPerQuery(extra, "dot", 3)
-    assert(out.columns.contains("payload"))
+    assert(out.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "dot", "payload", "rank"))
     val p = out.queryExecution.executedPlan.toString
-    assert(p.contains("Window"), "4-column frames must use the window path")
+    assert(p.contains("graft_topk_payload") && p.contains("ObjectHashAggregate"),
+      "payload frames must use the bounded payload aggregate")
+    assert(!p.contains("Window"), "no rank window on the payload path")
+    assert(out.collect().forall(_.getString(3) == "x"))
+  }
+
+  test("payload path: mixed-type payloads (string/array/null) survive serde across partitionings") {
+    import spark.implicits._
+    // strings, arrays, and nulls exercise the UnsafeRow payload serde —
+    // values must survive the exchange's serialize/deserialize and the
+    // heap's eviction shuffling intact, on any input partitioning
+    val df = spark.range(2000).select(
+        (col("id") % 20).as("query_id"),
+        (col("id") * 2654435761L % 100003).as("neighbor_id"),
+        (col("id") * 40503L % 17).as("dot"))
+      .distinct()
+      .withColumn("tag",
+        when(col("neighbor_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("t"), col("neighbor_id"))))
+      .withColumn("arr", array(col("neighbor_id"), col("dot")))
+    val expected = Similarity
+      .topKPerQuery(df, "dot", 4, forceWindow = true)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getSeq[Long](4), r.getLong(5))).toSeq
+    for (n <- Seq(1, 3, 16)) {
+      val got = Similarity.topKPerQuery(df.repartition(n), "dot", 4)
+        .orderBy(col("query_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getString(3)), r.getSeq[Long](4), r.getLong(5))).toSeq
+      assert(got == expected, s"payload path diverged from window at partitioning $n")
+    }
+  }
+
+  test("payload buffer equals sort-take with payload integrity, any inserts/k/merge split") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRows = Gen.listOf(for {
+      s <- Gen.choose(-5L, 5L)
+      i <- Gen.choose(0L, 60L)
+    } yield (s, i)).map(_.distinct)
+    val prop = Prop.forAll(genRows, Gen.choose(1, 6), Gen.choose(0.0, 1.0)) {
+      (rows, k, frac) =>
+        // payload = a string derived from the id, so misplaced payloads
+        // are visible; reference is plain sort-take carrying payloads
+        val expected = rows.sortBy { case (s, i) => (-s, i) }.take(k)
+          .map { case (s, i) => (s, i, s"p$i") }
+        val cut = (rows.size * frac).toInt
+        val (la, lb) = rows.splitAt(cut)
+        val a = new TopKPayloadBuffer(k)
+        la.foreach { case (s, i) => a.insert(s, i, s"p$i") }
+        val b = new TopKPayloadBuffer(k)
+        lb.foreach { case (s, i) => b.insert(s, i, s"p$i") }
+        a.absorb(b)
+        val got = a.toSortedArrayData.array.toSeq
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+          .map(r => (r.getLong(0), r.getLong(1), r.get(2, null).toString))
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("sort-based aggregation fallback (threshold exceeded) stays hash-identical") {

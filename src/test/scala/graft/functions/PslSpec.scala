@@ -101,6 +101,105 @@ class PslSpec extends SparkSpec {
     assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
   }
 
+  test("publicsuffix.org checkPublicSuffix golden vectors (subset-valid rows)") {
+    // The PSL project's own test file (test_psl.txt, public domain):
+    // checkPublicSuffix(host, expectedRegistrableDomain). Rows whose
+    // governing rule is absent from the committed SUBSET resource are
+    // omitted (noted inline); every retained row keeps the official
+    // expected value verbatim. Canonicalization — lowercase, and a host
+    // with an empty label is invalid — is the PSL algorithm's documented
+    // PRECONDITION ("the domain ... must be canonicalized in the usual
+    // way for hostnames - lower-case"), applied here exactly as the
+    // production path does via Urls.canonicalize before any PSL lookup.
+    val vectors: Seq[(String, String)] = Seq(
+      // null input
+      (null, null),
+      // mixed case
+      ("COM", null),
+      ("example.COM", "example.com"),
+      ("WwW.example.COM", "example.com"),
+      // leading dot (empty label -> invalid host)
+      (".com", null),
+      (".example", null),
+      (".example.com", null),
+      (".example.example", null),
+      // unlisted TLD (default rule)
+      ("example", null),
+      ("example.example", "example.example"),
+      ("b.example.example", "example.example"),
+      ("a.b.example.example", "example.example"),
+      // TLD with only 1 rule
+      ("biz", null),
+      ("domain.biz", "domain.biz"),
+      ("b.domain.biz", "domain.biz"),
+      ("a.b.domain.biz", "domain.biz"),
+      // TLD with some 2-level rules
+      ("com", null),
+      ("example.com", "example.com"),
+      ("b.example.com", "example.com"),
+      ("a.b.example.com", "example.com"),
+      // (uk.com private-section rows omitted: uk.com not in the subset)
+      // TLD with 1-level and 2-level rules: jp
+      ("jp", null),
+      ("test.jp", "test.jp"),
+      ("www.test.jp", "test.jp"),
+      ("ac.jp", null),
+      ("test.ac.jp", "test.ac.jp"),
+      ("www.test.ac.jp", "test.ac.jp"),
+      ("kyoto.jp", null),
+      ("test.kyoto.jp", "test.kyoto.jp"),
+      // (ide.kyoto.jp rows omitted: rule not in the subset)
+      // jp wildcard city blocks with exceptions
+      ("c.kobe.jp", null),
+      ("b.c.kobe.jp", "b.c.kobe.jp"),
+      ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+      ("city.kobe.jp", "city.kobe.jp"),
+      ("www.city.kobe.jp", "city.kobe.jp"),
+      // TLD with a wildcard rule and exceptions: ck
+      ("ck", null),
+      ("test.ck", null),
+      ("b.test.ck", "b.test.ck"),
+      ("a.b.test.ck", "b.test.ck"),
+      ("www.ck", "www.ck"),
+      ("www.www.ck", "www.ck"),
+      // US K12
+      ("us", null),
+      ("test.us", "test.us"),
+      ("www.test.us", "test.us"),
+      ("ak.us", null),
+      ("test.ak.us", "test.ak.us"),
+      ("www.test.ak.us", "test.ak.us"),
+      // (k12.ak.us rows omitted: the subset carries k12.ca.us-family only)
+      // IDN labels — the 中国-TLD rows hold under the subset because an
+      // unlisted bare TLD matches the default rule with the same outcome
+      ("食狮.com.cn", "食狮.com.cn"),
+      ("shishi.中国", "shishi.中国"),
+      ("中国", null),
+      ("食狮.中国", "食狮.中国"),
+      ("www.食狮.中国", "食狮.中国"),
+      // (公司.cn rows omitted: rule not in the subset)
+      // same as above, but punycoded
+      ("xn--85x722f.com.cn", "xn--85x722f.com.cn"),
+      ("shishi.xn--fiqs8s", "shishi.xn--fiqs8s"),
+      ("xn--fiqs8s", null),
+      ("xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+      ("www.xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"))
+    val canon = lower(col("h"))
+    val invalid = col("h").isNull ||
+      canon.rlike("^\\.") || canon.rlike("\\.\\.") || canon.rlike("\\.$") ||
+      canon === ""
+    val got = vectors.toDF("h", "expected")
+      .select(col("h"), col("expected"),
+        when(!invalid, Psl.registeredDomain(canon)).as("got"))
+      .collect()
+    got.foreach { r =>
+      assert(Option(r.getString(2)) == Option(r.getString(1)),
+        s"checkPublicSuffix(${r.getString(0)}): got ${r.getString(2)}, " +
+          s"expected ${r.getString(1)}")
+    }
+    assert(got.length == vectors.length)
+  }
+
   test("isPublicSuffix: the dedupKey strip guard") {
     val out = Seq("co.uk", "example.com", "web.ck", "www.ck", "kawasaki.jp",
       "sub.kawasaki.jp", "localhost")

@@ -91,6 +91,39 @@ class IVFSpec extends SparkSpec {
     assert(r2 >= r1, s"the second Lloyd round must not lose recall: $r2 vs $r1")
   }
 
+  test("persisted index round-trips: load-then-search == inline search; encodeNew matches") {
+    val corpus = emb.limit(200)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val idx = IVF.build(corpus, "vec_id", "embedding", nlist = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfindex").toString
+    IVF.saveIndex(idx, dir)
+    val loaded = IVF.loadIndex(spark, dir)
+    // the coarse quantizer survives bit for bit
+    assert(loaded.centroids.length == idx.centroids.length)
+    idx.centroids.indices.foreach { l =>
+      assert(java.util.Arrays.equals(loaded.centroids(l), idx.centroids(l)))
+    }
+    // the assignment table survives row for row
+    def rows(i: IVF.Index) = i.assigned
+      .select(col("__id"), col("__list"), col("__v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    assert(rows(loaded) == rows(idx))
+    // search over the loaded index is the search over the built one
+    def run(i: IVF.Index) =
+      IVF.search(i, queries, "vec_id", "embedding", k = 10, nprobe = 3)
+        .select("query_id", "neighbor_id", "dot", "rank")
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(run(loaded) == run(idx))
+    // a refresh encodes NEW vectors against the loaded centroids only,
+    // and re-encoding already-indexed vectors reproduces their rows
+    val fresh = emb.filter(col("vec_id").between(200, 249))
+    val freshRows = IVF.encodeNew(loaded.centroids, fresh, "vec_id", "embedding")
+    assert(freshRows.count() == fresh.count())
+    val reRows = IVF.encodeNew(loaded.centroids, corpus, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getSeq[Long](1).toList)).toSet
+    assert(reRows == rows(idx).map { case (i, l, v) => (i, l, v) })
+  }
+
   test("nprobe = 1 returns k results from the probed list, ranked") {
     val corpus = emb.limit(200)
     val queries = corpus.filter(col("vec_id") === 0)

@@ -7,14 +7,17 @@ import org.apache.spark.sql.types.LongType
 
 import graft.SparkSpec
 
-/** Both physical shapes of [[Similarity.topKPerQuery]] must be
+/** Every physical shape of [[Similarity.topKPerQuery]] must be
   * RESULT-IDENTICAL to the single per-query rank window they replace —
-  * same rows, same ranks — for any scored frame, any k, any shard count,
-  * under heavy score ties (the tie-break on neighbor id is what makes
-  * the plans agree row for row). A bare (query, id, long-score) frame
-  * takes the `graft_topk` bounded-aggregate path; a frame carrying a
-  * payload column falls back to the sharded two-phase window, so the
-  * payload variant here is what keeps the fallback property-covered. */
+  * same rows, same ranks, same payload values — for any scored frame,
+  * any k, any shard count, under heavy score ties (the tie-break on
+  * neighbor id is what makes the plans agree row for row). A bare
+  * (query, id, long-score) frame takes the `graft_topk` bounded
+  * aggregate; a frame carrying a payload column takes
+  * `graft_topk_payload` (round 13 — payload frames no longer regress
+  * to a corpus-mass sort); the sharded two-phase window survives only
+  * behind the explicit `forceWindow` opt-in, property-covered here so
+  * the A/B rehearsal baseline stays trustworthy. */
 class TopKSpec extends SparkSpec {
   import spark.implicits._
 
@@ -51,13 +54,38 @@ class TopKSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  test("window fallback (payload column) equals the single window for any frame, k, shards") {
+  test("payload path (graft_topk_payload) equals the single window for any frame and k") {
+    val prop = Prop.forAll(genScored, Gen.choose(1, 5)) { (rows, k) =>
+      val scored = rows.toDF("query_id", "neighbor_id", "score")
+        .withColumn("payload", col("neighbor_id") * 3)
+      val plan = Similarity.topKPerQuery(scored, "score", k)
+      val out = plan.collect()
+      val got = out
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+        .toSet
+      // ranked rows AND payload integrity: each kept pair must carry ITS
+      // payload value through the heap/serde, not a neighbor's
+      got == naiveTopK(rows, k) &&
+        out.forall(r => r.getLong(3) == r.getLong(1) * 3) &&
+        // an empty frame optimizes to an empty relation, so only assert
+        // the physical shape when rows survive to plan: the payload
+        // aggregate, never a rank window
+        (rows.isEmpty || {
+          val p = plan.queryExecution.executedPlan.toString
+          p.contains("graft_topk_payload") && !p.contains("Window")
+        })
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("forced window path equals the single window for any frame, k, shards") {
     val prop = Prop.forAll(genScored, Gen.choose(1, 5), Gen.oneOf(1, 2, 7, 32)) {
       (rows, k, shards) =>
-        // the payload column forces the sharded two-phase window path
         val scored = rows.toDF("query_id", "neighbor_id", "score")
           .withColumn("payload", col("neighbor_id") * 3)
-        val plan = Similarity.topKPerQuery(scored, "score", k, shards = shards)
+        val plan = Similarity.topKPerQuery(scored, "score", k, shards = shards,
+          forceWindow = true)
         val got = plan
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))

@@ -178,6 +178,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 40)
   }
 
+  test("ivfEncodeStream assigns arriving vectors against the persisted centroids") {
+    val dir = Files.createTempDirectory("graft-stream-ivf").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"; val ix = s"$dir/ix"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 100)
+    val idx = graft.similarity.IVF.build(corpus, "vec_id", "embedding", nlist = 8, iters = 1)
+    graft.similarity.IVF.saveIndex(idx, ix)
+    // two arrival batches of NEW vectors
+    emb.filter(col("vec_id").between(100, 119)).write.parquet(in)
+    Streaming.ivfEncodeStream(spark, in, out, cp, ix).awaitTermination()
+    emb.filter(col("vec_id").between(120, 139)).write.mode("append").parquet(in)
+    Streaming.ivfEncodeStream(spark, in, out, cp, ix).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("__id"), col("__list"), col("__v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    val expect = graft.similarity.IVF
+      .encodeNew(idx.centroids, emb.filter(col("vec_id").between(100, 139)),
+        "vec_id", "embedding")
+      .select(col("__id"), col("__list"), col("__v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(got == expect)
+    // re-run admits nothing new (checkpointed exactly-once)
+    Streaming.ivfEncodeStream(spark, in, out, cp, ix).awaitTermination()
+    assert(spark.read.parquet(out).count() == 40)
+  }
+
   test("bqEncodeStream packs arriving vectors identically to the batch encode") {
     val dir = Files.createTempDirectory("graft-stream-bq").toFile
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
