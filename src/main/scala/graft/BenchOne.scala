@@ -4,6 +4,11 @@ package graft
   * dir — the single-query feedback loop for plan iteration that Bench (one
   * timed pass over the whole catalog) is too coarse for.
   *
+  * Besides wall time, each rep reports the DELTA in Spark's codegen
+  * metrics (generated-class compilations and their summed source bytes)
+  * so a slow rep-1 can be attributed: a large compile delta on rep 1
+  * that vanishes by rep 2 is janino/classloading cost, not the query.
+  *
   * Usage: runMain graft.BenchOne <name> [sfDir] [reps]
   */
 object BenchOne {
@@ -14,15 +19,23 @@ object BenchOne {
     val spark = Sessions.build("graft-bench-one")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     val fn = SparkEntry.queries(name)
-    val times = (1 to reps).map { _ =>
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compiles: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def srcBytes: Long = CodegenMetrics.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount
+    val stats = (1 to reps).map { _ =>
+      val c0 = compiles; val b0 = srcBytes
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column: count() would let the
       // optimizer prune projection-only queries down to scan+count and the
       // timing would no longer respond to the expressions under test
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, compiles - c0, srcBytes - b0)
     }
-    println(s"""{"query":"$name","times":[${times.mkString(",")}],"min":${times.min}}""")
+    val times = stats.map(_._1)
+    println(s"""{"query":"$name","times":[${times.mkString(",")}],"min":${times.min},""" +
+      s""""compiles":[${stats.map(_._2).mkString(",")}],""" +
+      s""""classes":[${stats.map(_._3).mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   * of the original slice — the rehearsal measures how the algorithms scale
   * with corpus size, not with a synthetic duplication explosion. (Exact
   * hash families see each copy as a distinct doc for the same reason.)
+  *
+  * The salt must differ per copy UNDER THE ENGINE'S WORD CODE, which is
+  * (token length, first char) — `Text.wordCode = length * base + ascii` —
+  * not the full string. The original `z<k>p<i>` salt collided there for
+  * every same-digit-count pair of copies (z1p0 and z2p0: length 4, first
+  * 'z'), which made all those copies' shingle SETS identical — the 100x
+  * rehearsal surfaced ~20M manufactured exact-duplicate pairs in clusters
+  * of ~90 "identical" docs, a pathology no real 100x corpus has. The salt
+  * token is now `<c><xx...><i>` with first char c = 'a' + k % 26 and
+  * k / 26 extra pad chars: (first, length) is injective in k, and the
+  * >= 8-char length collides with no vocabulary word of the test corpus.
+  *
   * Copy k of an embedding flips the sign of every dimension where
   * (dim + k) % 7 == 0 — same norm, rotated direction, so IVF/cosine see
   * genuinely new vectors.
@@ -39,13 +51,17 @@ object ScaleBlowup {
       s"doc_id $maxDocId >= stride $idStride: raise idStride to avoid copy collisions")
     val docCopies = (0 until factor).map { k =>
       if (k == 0) docs
-      else docs
-        .withColumn("doc_id", col("doc_id") + lit(k * idStride))
-        .withColumn("text", array_join(
-          transform(split(col("text"), " "),
-            (t, i) => when(i % 4 === 0, concat_ws("", lit(s"z${k}p"), i)).otherwise(t)),
-          " "))
-        .withColumn("n_chars", length(col("text")))
+      else {
+        // (first char, length) must be injective in k — see the Scaladoc
+        val mark = s"${('a' + k % 26).toChar}${"x" * (6 + k / 26)}"
+        docs
+          .withColumn("doc_id", col("doc_id") + lit(k * idStride))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              (t, i) => when(i % 4 === 0, concat_ws("", lit(mark), i)).otherwise(t)),
+            " "))
+          .withColumn("n_chars", length(col("text")))
+      }
     }
     docCopies.reduce(_ unionByName _)
       .repartition(32)

@@ -64,9 +64,22 @@ object Jaccard {
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf)
         .select(col("__x"))
-      occ.join(heavy, Seq("__x"), "left_anti")
+      // Aggregate only each doc's HEAVY members (few — boilerplate
+      // shingles; clean docs contribute no rows) and rebuild the capped
+      // set from the per-row array with array_except. The former shape —
+      // anti-join the occurrence stream, re-collect every doc's whole
+      // set — held every document's full shingle list as hash-aggregate
+      // state, which under the session's graft_topk-sized fallback
+      // threshold OOMed the 100x rehearsal; this aggregate's state is
+      // bounded by the doc's heavy-shingle count instead.
+      val removed = occ.join(heavy, Seq("__x"))
         .groupBy(col("__id"))
-        .agg(sort_array(collect_list(col("__x"))).as("__set"))
+        .agg(collect_list(col("__x")).as("__rm"))
+      raw.join(removed, Seq("__id"), "left")
+        .select(col("__id"),
+          array_sort(array_except(col("__set"),
+            coalesce(col("__rm"), expr("CAST(array() AS array<bigint>)"))))
+            .as("__set"))
         .filter(size(col("__set")) > 0)
     }
   }

@@ -29,10 +29,14 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *
   * Physical shape: one posexplode for grams (narrow, k tokens of payload
   * per position), a map-side-combinable min-aggregate + hash-join-back on
-  * the gram for keep-first (skew-proof — see [[dedupSpans]]),
-  * one exchange on (doc, position) to subtract covered positions, one
-  * exchange on doc id to re-assemble — shuffle linear in corpus token
-  * count times k, nothing driver-side, no all-pairs stage anywhere. At
+  * the gram for keep-first (skew-proof — see [[dedupSpans]]), then ONE
+  * exchange of the redundant gram starts (int pairs) into per-doc start
+  * sets and one join back to the original text; re-assembly is a pure
+  * projection over the text column (see [[excise]] — the corpus token
+  * stream itself never shuffles and no aggregate ever holds a document's
+  * tokens). Shuffle is linear in gram count on the keep-first leg and in
+  * EXCISED-span count on the excise leg, nothing driver-side, no
+  * all-pairs stage anywhere. At
   * 100 TB the gram text dominates shuffle bytes; `hashGrams = true` keys
   * the window by xxhash64 of the gram instead (8x fewer bytes at k=8, the
   * production setting; a 64-bit collision at web scale is vanishingly rare
@@ -51,36 +55,52 @@ object SpanDedup {
            | p -> array_join(slice(__tk, p + 1, $k), ' '))""".stripMargin))
         .as(Seq("__p", "__gram")))
 
-  /** Expand redundant gram starts to their k covered positions and remove
-    * them: per-document summary (idCol, n_tokens, n_removed, dedup_text)
-    * with the survivors re-joined in original order. */
+  /** Remove the spans the redundant gram starts cover: per-document
+    * summary (idCol, n_tokens, n_removed, dedup_text) with the survivors
+    * in original order.
+    *
+    * Scale shape (the round-13 rewrite): the ONLY aggregation is
+    * `collect_set` of redundant gram STARTS — an int set per
+    * CONTAMINATED document, O(redundant spans) state; clean documents
+    * contribute no aggregate rows at all. The deduped text is then
+    * re-derived from the original text column as a pure projection:
+    * kept positions = `array_except(sequence(0, n-1), flatten(covered
+    * ranges))` (hash-set semantics, duplicates from overlapping spans
+    * collapse for free), tokens re-read by `element_at`. The previous
+    * formulation posexploded the WHOLE corpus to (doc, pos, token) rows,
+    * subtracted covered positions with a second exchange, and
+    * re-assembled each document via `collect_list(struct(pos, token,
+    * keep))` — a hash aggregate whose per-group state was every
+    * document's full token-struct list. Under the session's raised
+    * ObjectHashAggregate fallback threshold (sized for `graft_topk`'s
+    * O(k) buffers) that held ~1e5 full documents per task at the 100x
+    * rehearsal and exhausted the heap before sort-based fallback could
+    * engage; the rewrite's aggregate state is bounded by the EXCISED
+    * span count, the corpus token stream never shuffles, and two
+    * exchanges disappear outright. */
   private def excise(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       redundant: DataFrame, // (__id, __p) gram starts to remove
       k: Int): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
-    val covered = redundant
-      .select(col("__id"),
-        explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cpos"))
-      .distinct()
-    toks
-      .join(covered,
-        toks("__id") === covered("__id") && toks("__pos") === covered("__cpos"),
-        "left")
-      .select(toks("__id"), col("__pos"), col("__tok"),
-        col("__cpos").isNull.as("__keep"))
-      .groupBy(col("__id").as(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+    val starts = redundant
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__p")).as("__st"))
+      .withColumnRenamed("__id", "__jid")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .join(starts, col(idCol) === col("__jid"), "left")
+      .withColumn("__kept", expr(
+        s"""array_except(sequence(0, size(__tk) - 1),
+           | flatten(transform(coalesce(__st, CAST(array() AS array<int>)),
+           |   p -> sequence(p, p + ${k - 1}))))""".stripMargin))
+      .select(col(idCol),
+        size(col("__tk")).cast(LongType).as("n_tokens"),
+        (size(col("__tk")) - size(col("__kept"))).cast(LongType).as("n_removed"),
         array_join(
-          expr("transform(array_sort(filter(collect_list(struct(__pos, __tok, __keep)), " +
-            "x -> x.__keep)), x -> x.__tok)"),
-          " ").as("dedup_text"))
+          transform(col("__kept"), p => element_at(col("__tk"), p + 1)), " ")
+          .as("dedup_text"))
   }
 
   /** Per-document span-dedup summary: (idCol, n_tokens, n_removed,
