@@ -5,9 +5,10 @@ package graft
   * timed pass over the whole catalog) is too coarse for.
   *
   * Besides wall time, each rep reports the DELTA in Spark's codegen
-  * metrics (generated-class compilations and their summed source bytes)
-  * so a slow rep-1 can be attributed: a large compile delta on rep 1
-  * that vanishes by rep 2 is janino/classloading cost, not the query.
+  * metrics — janino compilation invocations and generated CLASS COUNTS
+  * (histogram sample counts, not byte totals) — so a slow rep-1 can be
+  * attributed: a large compile delta on rep 1 that vanishes by rep 2 is
+  * janino/classloading cost, not the query.
   *
   * Usage: runMain graft.BenchOne <name> [sfDir] [reps]
   */
@@ -21,16 +22,17 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     import org.apache.spark.metrics.source.CodegenMetrics
     def compiles: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-    def srcBytes: Long = CodegenMetrics.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount
+    def generatedClasses: Long =
+      CodegenMetrics.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount
     val stats = (1 to reps).map { _ =>
-      val c0 = compiles; val b0 = srcBytes
+      val c0 = compiles; val b0 = generatedClasses
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column: count() would let the
       // optimizer prune projection-only queries down to scan+count and the
       // timing would no longer respond to the expressions under test
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, compiles - c0, srcBytes - b0)
+      (sec, compiles - c0, generatedClasses - b0)
     }
     val times = stats.map(_._1)
     println(s"""{"query":"$name","times":[${times.mkString(",")}],"min":${times.min},""" +

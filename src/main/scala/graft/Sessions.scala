@@ -113,5 +113,11 @@ object Sessions {
         .write.mode("overwrite").parquet(s"$warmDir/embeddings.parquet")
       Queries.urlDedup(spark, warmDir).write.format("noop").mode("overwrite").save()
       Queries.bqTopK(spark, warmDir).write.format("noop").mode("overwrite").save()
+      // the twins exist only to populate the codegen cache — remove them
+      // so repeated session builds don't accumulate temp directories
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(warmDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     } catch { case scala.util.control.NonFatal(_) => () }
 }

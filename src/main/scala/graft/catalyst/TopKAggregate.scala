@@ -8,6 +8,18 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+/** The ONE ranking order both top-k buffers share: (score DESC, id ASC),
+  * expressed as "is a strictly worse than b". [[TopKBuffer]] and
+  * [[TopKPayloadBuffer]] deliberately keep separate sift loops — the bare
+  * buffer works over two primitive long arrays with no object array on
+  * the hot path — but the comparator they must agree on lives here, and
+  * TopKAggregateSpec pins the two buffers' kept sets equal on random
+  * streams so the loops cannot drift apart silently. */
+private[catalyst] object TopKOrdering {
+  @inline def worse(sa: Long, ia: Long, sb: Long, ib: Long): Boolean =
+    sa < sb || (sa == sb && ia > ib)
+}
+
 /** Bounded top-k aggregation state: the k best (score, id) pairs under
   * the ranking order (score DESC, id ASC), held as a binary heap keyed
   * WORST-at-root (lowest score, then highest id) over two parallel long
@@ -26,7 +38,7 @@ final class TopKBuffer(val k: Int) {
 
   /** a strictly worse than b under (score DESC, id ASC)? */
   @inline private def worse(sa: Long, ia: Long, sb: Long, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+    TopKOrdering.worse(sa, ia, sb, ib)
 
   private def siftUp(start: Int): Unit = {
     var i = start
@@ -203,7 +215,14 @@ final class TopKPayloadBuffer(val k: Int) {
   def size: Int = n
 
   @inline private def worse(sa: Long, ia: Long, sb: Long, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+    TopKOrdering.worse(sa, ia, sb, ib)
+
+  /** Would (score, id) enter this buffer right now? The aggregate tests
+    * this BEFORE paying the payload deep-copy: at candidate-stream scale
+    * nearly every row is rejected, and copying its payload first would be
+    * one discarded allocation per rejected row. */
+  @inline def accepts(score: Long, id: Long): Boolean =
+    n < k || worse(scores(0), ids(0), score, id)
 
   @inline private def swap(a: Int, b: Int): Unit = {
     val s = scores(a); val d = ids(a); val p = payloads(a)
@@ -304,11 +323,15 @@ case class TopKPairsPayload(
 
   override def children: Seq[Expression] = Seq(score, id, payload, kExpr)
   override def nullable: Boolean = false
+  // the payload field keeps the payload EXPRESSION's nullability, so a
+  // non-nullable input column re-derived through getField stays
+  // non-nullable in the output schema — callers migrated off the window
+  // path must see the schema the window preserved
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("score", LongType, nullable = false),
       StructField("id", LongType, nullable = false),
-      StructField("payload", payload.dataType, nullable = true))),
+      StructField("payload", payload.dataType, nullable = payload.nullable))),
     containsNull = false)
 
   /** Serializer for one payload value: a single-field UnsafeRow handles
@@ -326,10 +349,14 @@ case class TopKPairsPayload(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      // copy: the evaluated value may point into a reused row/buffer,
-      // and the heap retains it across input rows
-      val p = InternalRow.copyValue(payload.eval(input))
-      buffer.insert(s.asInstanceOf[Long], i.asInstanceOf[Long], p)
+      val sl = s.asInstanceOf[Long]
+      val il = i.asInstanceOf[Long]
+      // test acceptance FIRST: at candidate-stream scale nearly every row
+      // is rejected, and the payload deep-copy (the evaluated value may
+      // point into a reused row/buffer, so the heap must own a copy) is
+      // only worth paying for the ~k rows per group that actually enter
+      if (buffer.accepts(sl, il))
+        buffer.insert(sl, il, InternalRow.copyValue(payload.eval(input)))
     }
     buffer
   }

@@ -48,11 +48,12 @@ object IVF {
     index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
   }
 
-  /** Reload a persisted index — pure parquet scans, no re-clustering.
-    * The centroid collect is nlist x dim rows (KBs, driver-trivial);
-    * the assignment table comes back re-partitioned on list id, the
-    * co-location [[build]] established. */
-  def loadIndex(spark: SparkSession, path: String): Index = {
+  /** Just the coarse quantizer from a persisted index — nlist x dim rows
+    * (KBs, driver-trivial), never touching the corpus-sized assignment
+    * table. The encode-only consumers ([[encodeNew]], ivfEncodeStream)
+    * load this, not [[loadIndex]]: at production scale even LISTING the
+    * assignment parquet is an object-store walk they have no use for. */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Long]] = {
     val cRows = spark.read.parquet(s"$path/centroids")
       .select(col("list"), col("dim"), col("w")).collect()
     require(cRows.nonEmpty, s"empty centroids at $path")
@@ -60,9 +61,17 @@ object IVF {
     val dim = cRows.map(_.getInt(1)).max + 1
     val centroids = Array.ofDim[Long](nlist, dim)
     cRows.foreach(r => centroids(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    centroids
+  }
+
+  /** Reload a persisted index — pure parquet scans, no re-clustering.
+    * The centroid collect is nlist x dim rows (KBs, driver-trivial);
+    * the assignment table comes back re-partitioned on list id, the
+    * co-location [[build]] established. */
+  def loadIndex(spark: SparkSession, path: String): Index = {
     val assigned = spark.read.parquet(s"$path/assigned")
       .repartition(col("__list"))
-    Index(assigned, centroids)
+    Index(assigned, loadCentroids(spark, path))
   }
 
   /** Assign NEW vectors to the existing coarse quantizer — the

@@ -376,7 +376,9 @@ object Streaming {
       indexPath: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): StreamingQuery = {
-    val centroids = graft.similarity.IVF.loadIndex(spark, indexPath).centroids
+    // centroids ONLY — the corpus-sized assignment table is of no use to
+    // an encode stream and must not even be listed at stream start
+    val centroids = graft.similarity.IVF.loadCentroids(spark, indexPath)
     spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .parquet(inputDir)

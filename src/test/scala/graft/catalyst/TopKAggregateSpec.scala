@@ -202,6 +202,40 @@ class TopKAggregateSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("payload path preserves the extra columns' nullability in the output schema") {
+    // the window path kept the input schema's non-null flags; the payload
+    // aggregate must too (its payload struct field mirrors the payload
+    // expression's nullability), or downstream required-field sinks break
+    val extra = candidates
+      .withColumn("tag", concat(lit("t"), col("neighbor_id"))) // non-nullable
+    val out = Similarity.topKPerQuery(extra, "dot", 3)
+    val viaWindow = Similarity.topKPerQuery(extra, "dot", 3, forceWindow = true)
+    assert(out.schema("tag").nullable == viaWindow.schema("tag").nullable,
+      s"payload path loosened nullability: ${out.schema("tag")} vs window ${viaWindow.schema("tag")}")
+  }
+
+  test("bare and payload buffers keep identical (score, id) sets on any stream") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the two buffers deliberately keep separate sift loops (the bare one
+    // is primitive-only); this pins them to the shared TopKOrdering so
+    // the loops cannot drift apart silently
+    val genRows = Gen.listOf(for {
+      s <- Gen.choose(-5L, 5L)
+      i <- Gen.choose(0L, 60L)
+    } yield (s, i)).map(_.distinct)
+    val prop = Prop.forAll(genRows, Gen.choose(1, 6)) { (rows, k) =>
+      val bare = new TopKBuffer(k)
+      val pay = new TopKPayloadBuffer(k)
+      rows.foreach { case (s, i) => bare.insert(s, i); pay.insert(s, i, null) }
+      def kept(ad: org.apache.spark.sql.catalyst.util.GenericArrayData) =
+        ad.array.toSeq.map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+          .map(r => (r.getLong(0), r.getLong(1)))
+      kept(bare.toSortedArrayData) == kept(pay.toSortedArrayData)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("payload buffer equals sort-take with payload integrity, any inserts/k/merge split") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genRows = Gen.listOf(for {
