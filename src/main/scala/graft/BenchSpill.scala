@@ -37,13 +37,38 @@ object BenchSpill {
     val diskSpilled = new AtomicLong(0L)
     val peakTask = new AtomicLong(0L)
     val tasks = new AtomicLong(0L)
+    /** stageId -> (memSpilled, stage name) — attributes a run's spill to
+      * the physical stages producing it, so a spilling family points at
+      * its plan fragment instead of needing the (disabled) UI. */
+    val stageSpill = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
         memSpilled.addAndGet(m.memoryBytesSpilled)
         diskSpilled.addAndGet(m.diskBytesSpilled)
         peakTask.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        if (m.memoryBytesSpilled > 0)
+          stageSpill.merge(te.stageId, m.memoryBytesSpilled, Long.box(_) + _)
         tasks.incrementAndGet()
+      }
+    }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      // RDD operation scopes name the physical operators in the stage
+      // (WholeStageCodegen(n)/Exchange/ObjectHashAggregate...), which is
+      // what identifies a spiller; the stage's call-site name is usually
+      // an AQE thread-pool lambda
+      val scopes = sc.stageInfo.rddInfos
+        .flatMap(_.scope).map(_.name).distinct.mkString(", ")
+      stageNames.put(sc.stageInfo.stageId,
+        if (scopes.nonEmpty) scopes else sc.stageInfo.name)
+    }
+    /** Top spilling stages as "stageId name: MiB" lines. */
+    def topSpillStages(n: Int): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      stageSpill.asScala.toSeq.sortBy(-_._2).take(n).map { case (sid, b) =>
+        f"stage $sid (${stageNames.getOrDefault(sid, "?")}): ${b / 1048576}%d MiB"
       }
     }
     /** Wait for the async listener bus to quiesce: task count unchanged
@@ -99,6 +124,7 @@ object BenchSpill {
       val wall = (System.nanoTime() - t0) / 1e9
       acc.settle()
       spark.sparkContext.removeSparkListener(acc)
+      acc.topSpillStages(3).foreach(s => println(s"[spill-stage] $name $s"))
       (name, wall, acc.tasks.get(), acc.memSpilled.get(), acc.diskSpilled.get(),
         acc.peakTask.get())
     }

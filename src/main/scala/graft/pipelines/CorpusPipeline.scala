@@ -150,7 +150,11 @@ object CorpusPipeline {
     val drop = ConnectedComponents.run(pairs, "id_1", "id_2")
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
-    df.join(drop, Seq(idCol), "left_anti")
+    // shuffle-hash, never sort-merge: the probe side carries full document
+    // text (sorting it is corpus-scale spill), the build side is bounded
+    // by the duplicate-cluster membership; AQE upgrades to broadcast when
+    // the membership is small enough
+    df.join(drop.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** The quality-ensemble score (same formula as the `quality_ensemble`
@@ -188,14 +192,27 @@ object CorpusPipeline {
     val pairs = nearPairs(df, idCol, textCol, cfg)
     val comp = ConnectedComponents.run(pairs, "id_1", "id_2")
       .select(col("node").as(idCol), col("component"))
-    val members = df.join(comp, Seq(idCol)).select(col(idCol), col("component"), col(textCol))
-    val scored = members.join(ensembleScore(members, idCol, textCol), Seq(idCol))
+    // members is the bounded cluster-mass sliver, but its LINEAGE is the
+    // whole upstream pipeline (corpus scan + cleanup + quality gates) and
+    // it is consumed twice (the scalar-gate leg and ensembleScore's
+    // token-explode rep leg) on top of the final anti-join's own corpus
+    // pass — without truncation the corpus chain executes 3-4x
+    // CONCURRENTLY in one stage, and the squeezed execution-memory shares
+    // turned into 2.1 GiB of aggregate spill at the 100x rehearsal.
+    // localCheckpoint (a KB-MB sliver) runs the chain once for both
+    // member consumers; text-carrying joins stay sort-free shuffle-hash
+    // probes (AQE upgrades to broadcast when sizes allow).
+    val members = df.join(comp.hint("shuffle_hash"), Seq(idCol))
+      .select(col(idCol), col("component"), col(textCol))
+      .localCheckpoint()
+    val scored = members
+      .join(ensembleScore(members, idCol, textCol).hint("shuffle_hash"), Seq(idCol))
     val w = Window.partitionBy(col("component"))
       .orderBy(col("__score").desc, col(idCol).asc)
     val drop = scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") =!= 1)
       .select(col(idCol))
-    df.join(drop, Seq(idCol), "left_anti")
+    df.join(drop.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** Deterministic split column from the shared integer hash. */
