@@ -65,9 +65,15 @@ object Sessions {
     * term now that the PSL rules live in a kernel instead of ~200 KB of
     * InSet literals (graft.catalyst.PslKernels). Measured: BenchOne
     * rep-1 on url_dedup drops from ~5 s toward its warm steady state.
-    * Cost: well under a second, once per session build, never on
-    * executors (they compile lazily per task anyway). */
-  private def warmCodegen(spark: SparkSession): Unit =
+    * Cost: well under a second, ONCE PER JVM (the codegen caches being
+    * warmed are process-global, so re-running on every build() — e.g.
+    * when getOrCreate() returns an already-warm session — buys
+    * nothing), never on executors (they compile lazily per task
+    * anyway). */
+  private val warmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def warmCodegen(spark: SparkSession): Unit = {
+    if (!warmed.compareAndSet(false, true)) return
     try {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
@@ -102,22 +108,27 @@ object Sessions {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       val warmDir = java.nio.file.Files.createTempDirectory("graft-warm").toString
-      spark.createDataFrame(
-          java.util.Arrays.asList(Row(0L)),
-          StructType(Seq(StructField("doc_id", LongType))))
-        .write.mode("overwrite").parquet(s"$warmDir/documents.parquet")
-      spark.createDataFrame(
-          java.util.Arrays.asList(Row(0L, Seq.fill(64)(0.01f))),
-          StructType(Seq(StructField("vec_id", LongType),
-            StructField("embedding", ArrayType(FloatType)))))
-        .write.mode("overwrite").parquet(s"$warmDir/embeddings.parquet")
-      Queries.urlDedup(spark, warmDir).write.format("noop").mode("overwrite").save()
-      Queries.bqTopK(spark, warmDir).write.format("noop").mode("overwrite").save()
-      // the twins exist only to populate the codegen cache — remove them
-      // so repeated session builds don't accumulate temp directories
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(warmDir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      try {
+        spark.createDataFrame(
+            java.util.Arrays.asList(Row(0L)),
+            StructType(Seq(StructField("doc_id", LongType))))
+          .write.mode("overwrite").parquet(s"$warmDir/documents.parquet")
+        spark.createDataFrame(
+            java.util.Arrays.asList(Row(0L, Seq.fill(64)(0.01f))),
+            StructType(Seq(StructField("vec_id", LongType),
+              StructField("embedding", ArrayType(FloatType)))))
+          .write.mode("overwrite").parquet(s"$warmDir/embeddings.parquet")
+        Queries.urlDedup(spark, warmDir).write.format("noop").mode("overwrite").save()
+        Queries.bqTopK(spark, warmDir).write.format("noop").mode("overwrite").save()
+      } finally {
+        // the twins exist only to populate the codegen cache — remove
+        // them (in a finally, so a failed warm-up query can't leak the
+        // directory) so session builds never accumulate temp dirs
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(warmDir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
 }

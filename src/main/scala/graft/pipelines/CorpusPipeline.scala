@@ -35,8 +35,27 @@ object CorpusPipeline {
       keepBestInCluster: Boolean = false, // near-dup keeps max-quality, not min-id
       spanDedupGrams: Option[Int] = None, // position-level span dedup anchor width
       urlCol: Option[String] = None, // canonical-URL keep-min pre-dedup column
+      checkpointDir: Option[String] = None, // reliable-checkpoint dir for cluster runs (None = localCheckpoint)
       trainPct: Int = 80,
       valPct: Int = 10)
+
+  /** Lineage truncation for the bounded slivers the pipeline re-consumes
+    * (the near-dup cluster membership): `localCheckpoint` by default —
+    * right for local mode and single-JVM services, where its
+    * executor-pinned, NON-replicated blocks are the same process — or a
+    * reliable `checkpoint` into `cfg.checkpointDir` for cluster runs,
+    * where losing an executor holding localCheckpoint blocks would fail
+    * the job because lineage was truncated. Both are LAZY (`eager =
+    * false`): building the curate plan must not execute the upstream
+    * pipeline at DataFrame-construction time; the sliver materializes on
+    * its first consumer and is reused by the rest. */
+  private def truncateLineage(df: DataFrame, cfg: Config): DataFrame =
+    cfg.checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case None => df.localCheckpoint(eager = false)
+    }
 
   /** Optional stage 0 — URL-level dedup BEFORE any content work (the
     * order a crawl pipeline runs: the same page fetched under different
@@ -199,12 +218,15 @@ object CorpusPipeline {
     // pass — without truncation the corpus chain executes 3-4x
     // CONCURRENTLY in one stage, and the squeezed execution-memory shares
     // turned into 2.1 GiB of aggregate spill at the 100x rehearsal.
-    // localCheckpoint (a KB-MB sliver) runs the chain once for both
+    // truncating lineage (a KB-MB sliver) runs the chain once for both
     // member consumers; text-carrying joins stay sort-free shuffle-hash
-    // probes (AQE upgrades to broadcast when sizes allow).
-    val members = df.join(comp.hint("shuffle_hash"), Seq(idCol))
-      .select(col(idCol), col("component"), col(textCol))
-      .localCheckpoint()
+    // probes (AQE upgrades to broadcast when sizes allow). Local mode
+    // uses localCheckpoint; cluster runs set cfg.checkpointDir for a
+    // reliable checkpoint instead (see truncateLineage).
+    val members = truncateLineage(
+      df.join(comp.hint("shuffle_hash"), Seq(idCol))
+        .select(col(idCol), col("component"), col(textCol)),
+      cfg)
     val scored = members
       .join(ensembleScore(members, idCol, textCol).hint("shuffle_hash"), Seq(idCol))
     val w = Window.partitionBy(col("component"))

@@ -88,6 +88,13 @@ object Similarity {
       idCol: String = "neighbor_id",
       forceWindow: Boolean = false): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
+    // a pre-existing rank column would ride the aggregate path as a
+    // payload extra and come back ALONGSIDE the appended rank (two
+    // identically-named columns), while the window path's withColumn
+    // would silently replace it — reject up front so both paths keep
+    // the same output schema contract
+    require(!scored.columns.contains(rankCol),
+      s"input already has a '$rankCol' column; pass rankCol = a fresh name")
     val longKeyed =
       scored.schema(scoreCol).dataType == LongType &&
         scored.schema(idCol).dataType == LongType

@@ -361,7 +361,7 @@ object Streaming {
 
   /** Streaming IVF index maintenance — [[pqEncodeStream]]'s sibling for
     * the coarse-quantizer rung: arriving vectors are assigned to the
-    * PERSISTED centroids ([[graft.similarity.IVF.loadIndex]] once at
+    * PERSISTED centroids ([[graft.similarity.IVF.loadCentroids]] once at
     * stream start — nlist x dim longs, KBs; clustering is the offline
     * step) and written as `batch=N` partitions of (__id, __v, __list)
     * rows. Stateless codegen'd projection per batch; exactly-once via

@@ -88,6 +88,30 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode (cluster-safe) matches localCheckpoint output") {
+    val cfg = CorpusPipeline.Config(
+      minTokens = 5L, maxTopTokenBp = 5000L, nearDupMinBp = 8000L,
+      keepBestInCluster = true) // the branch that truncates lineage
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    try {
+      val local = CorpusPipeline.curate(docs, "doc_id", "text", cfg)
+        .orderBy("doc_id").collect().toSeq
+      val reliable = CorpusPipeline.curate(docs, "doc_id", "text",
+          cfg.copy(checkpointDir = Some(ckDir)))
+        .orderBy("doc_id").collect().toSeq
+      assert(local == reliable)
+      // the reliable mode really wrote checkpoint data where it was told
+      import scala.jdk.CollectionConverters._
+      assert(java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .iterator().asScala.count(java.nio.file.Files.isRegularFile(_)) > 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("exact dedup keeps the smallest id of identical cleaned text") {
     val d = Seq((10L, "same words here"), (7L, "same words here"), (8L, "other words here"))
       .toDF("doc_id", "text")
