@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the set-identity collapse ([[graft.dedup.Jaccard
+  * .collapse]]): plant TEMPLATE FAMILIES — m byte-identical copies of
+  * every document, the shape template pages / boilerplate docs /
+  * mirrored dumps produce in real crawls — and run exact prefix-filtered
+  * Jaccard with the collapse ON vs OFF under the BenchSpill task-metric
+  * listener.
+  *
+  * Without the collapse, every m-family turns into C(m,2) candidate
+  * pairs whose verification joins carry two full shingle arrays each
+  * (the round-12 salt-collision pathology, now planted deliberately);
+  * with it, candidate generation and verification see ONE rep per
+  * family and the sibling pairs are emitted by membership expansion
+  * without touching a set. Both plans must return the same pair count —
+  * the equality is asserted, not assumed.
+  *
+  * Usage: runMain graft.TemplateRehearsal [srcSfDir] [copies] [minBp]
+  * (defaults /root/testdata/sf0.1, 20 copies, 8000 bp).
+  */
+object TemplateRehearsal {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args(1).toInt else 20
+    val minBp = if (args.length > 2) args(2).toLong else 8000L
+    require(copies >= 2, "copies must be >= 2")
+    val spark = Sessions.build("graft-template-rehearsal")
+
+    val idStride = 1000000L
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < idStride, s"doc_id $maxId >= stride $idStride")
+    val corpus = (0 until copies)
+      .map(k => docs.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft-template").toString
+    corpus.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = planted.count()
+    println(s"[template] corpus: $nDocs docs ($copies identical copies each)")
+
+    def run(label: String, collapse: Boolean): Long = {
+      BenchSpill.drainBus(spark.sparkContext)
+      val acc = new BenchSpill.TaskMetricsAcc
+      spark.sparkContext.addSparkListener(acc)
+      val t0 = System.nanoTime()
+      val n = graft.dedup.Jaccard.pairs(planted, "doc_id", "text", minBp,
+        native = true, maxDf = Long.MaxValue, collapseSiblings = collapse).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      acc.settle()
+      spark.sparkContext.removeSparkListener(acc)
+      acc.topSpillStages(3).foreach(s => println(s"[spill-stage] $label $s"))
+      println(f"[template] $label%-14s pairs=$n%d wall=$wall%.1fs " +
+        f"memSpill=${acc.memSpilled.get() / 1048576}%d MiB " +
+        f"diskSpill=${acc.diskSpilled.get() / 1048576}%d MiB " +
+        f"peakTask=${acc.peakTask.get() / 1048576}%d MiB")
+      n
+    }
+
+    // collapse first (cheap), then the pre-collapse plan (the blowup)
+    val withCollapse = run("collapse=on", collapse = true)
+    val without = run("collapse=off", collapse = false)
+    require(withCollapse == without,
+      s"pair counts diverge: collapse=$withCollapse direct=$without")
+    println(s"[template] identical pair sets: $withCollapse pairs either way")
+
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    spark.stop()
+  }
+}

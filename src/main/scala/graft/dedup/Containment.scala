@@ -68,9 +68,14 @@ object Containment {
       textCol: String,
       minBp: Long,
       native: Boolean = false,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      collapseSiblings: Boolean = true): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val sets = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    val capped = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    val (sets, membership) =
+      if (collapseSiblings) {
+        val (r, m) = Jaccard.collapse(capped); (r, Some(m))
+      } else (capped, None)
     val (exploded, prefix) = explodedAndPrefix(sets, minBp)
     // probe = the (size, id)-smaller side of each pair: min(|A|,|B|) is its
     // size, so its prefix is the one the pigeonhole argument covers
@@ -83,9 +88,11 @@ object Containment {
         least(col("a.__id"), col("b.__id")).as("id_1"),
         greatest(col("a.__id"), col("b.__id")).as("id_2"))
       .distinct()
-    cand
-      .join(sets.as("sa"), col("id_1") === col("sa.__id"))
-      .join(sets.as("sb"), col("id_2") === col("sb.__id"))
+    // shuffle-hash verification for the same reason as [[Jaccard.pairs]]:
+    // never sort probe rows carrying full shingle arrays
+    val repPairs = cand
+      .join(sets.as("sa").hint("shuffle_hash"), col("id_1") === col("sa.__id"))
+      .join(sets.as("sb").hint("shuffle_hash"), col("id_2") === col("sb.__id"))
       .select(
         col("id_1"), col("id_2"),
         size(array_intersect(col("sa.__set"), col("sb.__set"))).cast(LongType).as("inter"),
@@ -93,6 +100,29 @@ object Containment {
       .withColumn("containment_bp", expr("inter * 10000 div min_n"))
       .filter(col("containment_bp") >= minBp)
       .select("id_1", "id_2", "inter", "min_n", "containment_bp")
+    membership match {
+      case None => repPairs
+      case Some(mem) =>
+        // set-identical sibling expansion ([[Jaccard.collapse]]): within a
+        // group inter = min_n = |set| and containment = 10000 bp by
+        // construction; across groups the rep-level row applies to every
+        // member pair (inter/min_n depend only on the two sets)
+        val multi = mem.filter(col("__m") > 1)
+        val within = multi.as("ma")
+          .join(multi.as("mb"),
+            col("ma.__rep") === col("mb.__rep") && col("ma.__id") < col("mb.__id"))
+          .select(col("ma.__id").as("id_1"), col("mb.__id").as("id_2"),
+            col("ma.__n").as("inter"), col("ma.__n").as("min_n"),
+            lit(10000L).as("containment_bp"))
+        val cross = repPairs
+          .join(mem.as("m1"), col("id_1") === col("m1.__rep"))
+          .join(mem.as("m2"), col("id_2") === col("m2.__rep"))
+          .select(
+            least(col("m1.__id"), col("m2.__id")).as("id_1"),
+            greatest(col("m1.__id"), col("m2.__id")).as("id_2"),
+            col("inter"), col("min_n"), col("containment_bp"))
+        cross.unionAll(within)
+    }
   }
 
   /** Directional near-subset pruning: docs whose df-capped shingle set is
@@ -108,30 +138,65 @@ object Containment {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val sets = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    val (sets, membership) =
+      Jaccard.collapse(Jaccard.cappedSets(df, idCol, textCol, native, maxDf))
     val (exploded, prefix) = explodedAndPrefix(sets, minBp)
-    // the LATER doc's set is the denominator, so its prefix is the probe;
-    // earlier docs are matched against their full token lists
-    val cand = prefix.as("b")
-      .join(exploded.as("a"),
-        col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_1"), col("b.__id").as("id_2"))
+    // Rep-level candidates use the MIN-denominator prefix filter (the
+    // [[pairs]] orientation), a superset of the later-denominator
+    // qualifiers: inter >= ceil(t*n_later) implies
+    // inter >= ceil(t*min(n_1, n_2)) since n_later >= min. The
+    // directional probe can't run at rep level — a group's members span
+    // arbitrary ids, so either member of a pair may be the later doc.
+    val cand = prefix.as("a")
+      .join(exploded.as("b"),
+        col("a.__x") === col("b.__x") &&
+          (col("a.__n") < col("b.__n") ||
+            (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))))
+      .select(
+        least(col("a.__id"), col("b.__id")).as("id_1"),
+        greatest(col("a.__id"), col("b.__id")).as("id_2"))
       .distinct()
-    cand
-      .join(sets.as("sa"), col("id_1") === col("sa.__id"))
-      .join(sets.as("sb"), col("id_2") === col("sb.__id"))
+    val repCand = cand
+      .join(sets.as("sa").hint("shuffle_hash"), col("id_1") === col("sa.__id"))
+      .join(sets.as("sb").hint("shuffle_hash"), col("id_2") === col("sb.__id"))
       .select(
         col("id_1"), col("id_2"),
         size(array_intersect(col("sa.__set"), col("sb.__set"))).cast(LongType).as("inter"),
+        size(col("sa.__set")).cast(LongType).as("__n1"),
         size(col("sb.__set")).cast(LongType).as("__n2"))
+      .filter(col("inter") * 10000 >= least(col("__n1"), col("__n2")) * minBp)
+    // Per-direction expansion keeps ONLY the candidate that can win per
+    // (doc, container group): all members of a container group tie on
+    // cont_bp (identical sets), ties break to the smallest container id,
+    // and the group's minimum id IS its rep — so the rep is the sole
+    // potential winner whenever it precedes the doc, and emission is
+    // O(contained-group members), never members x members.
+    val dirA = repCand
       .withColumn("cont_bp", expr("inter * 10000 div __n2"))
       .filter(col("cont_bp") >= minBp)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("id_2"))
-          .orderBy(col("cont_bp").desc, col("id_1").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("id_2").as("doc_id"), col("id_1").as("contained_in"),
+      .join(membership.as("m"), col("id_2") === col("m.__rep"))
+      .filter(col("m.__id") > col("id_1"))
+      .select(col("m.__id").as("doc_id"), col("id_1").as("contained_in"),
         col("inter"), col("cont_bp"))
+    val dirB = repCand
+      .withColumn("cont_bp", expr("inter * 10000 div __n1"))
+      .filter(col("cont_bp") >= minBp)
+      .join(membership.as("m"), col("id_1") === col("m.__rep"))
+      .filter(col("m.__id") > col("id_2"))
+      .select(col("m.__id").as("doc_id"), col("id_2").as("contained_in"),
+        col("inter"), col("cont_bp"))
+    // within a group, every non-rep member is 10000-bp contained in the
+    // rep (identical sets, rep = smallest id = best possible container
+    // from the group)
+    val within = membership.filter(col("__id") =!= col("__rep"))
+      .select(col("__id").as("doc_id"), col("__rep").as("contained_in"),
+        col("__n").as("inter"), lit(10000L).as("cont_bp"))
+    dirA.unionAll(dirB).unionAll(within)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("cont_bp").desc, col("contained_in").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("contained_in"), col("inter"), col("cont_bp"))
   }
 
   /** Direct co-occurrence formulation of [[pairs]] — result-identical,

@@ -84,15 +84,69 @@ object Jaccard {
     }
   }
 
+  /** Collapse set-identical documents before candidate generation:
+    * (reps, membership), where `reps` holds ONE row per distinct capped
+    * shingle set — (__id, __set), keyed by the group's smallest member id
+    * — and `membership` maps every input doc to its group:
+    * (__rep, __id, __m, __n) with __m the group size and __n the set
+    * size.
+    *
+    * Why: PPJoin's candidate pruning is powerless against documents whose
+    * capped sets are IDENTICAL (template pages, boilerplate-only docs,
+    * mirrored dumps): every member of an m-sibling group shares its whole
+    * prefix, so candidate generation emits C(m,2) pairs and verification
+    * intersects the full sets C(m,2) times — the round-12 100x rehearsal
+    * hit exactly this shape when a salt collision made ~90-sibling
+    * identical-set clusters (~20M manufactured pairs), and real template
+    * families reproduce it legitimately. Running the join over one
+    * representative per distinct set makes the candidate mass a function
+    * of DISTINCT content; identical-set pairs are known without
+    * verification (Jaccard/containment = 10000 bp by construction) and
+    * cross-group pairs expand by membership with the rep-level score
+    * (set-identical docs have identical scores against any other set).
+    * Measured: TemplateRehearsal (BENCHSCALE.md round 14) on planted
+    * identical-set families.
+    *
+    * Exactness: grouping compares the FULL sorted set (the xxhash64
+    * fingerprint only leads the sort so group boundaries resolve on a
+    * long, not an array compare) — no fingerprint-collision exposure.
+    * Both outputs ride one window over (__fp, __set): sort-based, so it
+    * spills gracefully instead of holding per-set aggregate state (the
+    * object-hash fallback hazard this module was rebuilt around). */
+  private[dedup] def collapse(sets: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("__fp"), col("__set"))
+    val tagged = sets
+      .withColumn("__fp", xxhash64(col("__set")))
+      .withColumn("__rep", min(col("__id")).over(w))
+      .withColumn("__m", count(lit(1)).over(w))
+    val reps = tagged.filter(col("__id") === col("__rep"))
+      .select(col("__id"), col("__set"))
+    val membership = tagged.select(
+      col("__rep"), col("__id"), col("__m"),
+      size(col("__set")).cast(LongType).as("__n"))
+    (reps, membership)
+  }
+
+  /** `collapseSiblings = false` skips the set-identity collapse (and its
+    * one extra corpus window + the membership expansion joins) — for
+    * corpora KNOWN to carry no set-identical documents, where the
+    * collapse is pure overhead. Results are identical either way
+    * (spec-pinned); the default keeps the collapse on because template
+    * families are the norm, not the exception, in crawl corpora. */
   def pairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minBp: Long,
       native: Boolean = false,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      collapseSiblings: Boolean = true): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val sets = cappedSets(df, idCol, textCol, native, maxDf)
+    val capped = cappedSets(df, idCol, textCol, native, maxDf)
+    val (sets, membership) =
+      if (collapseSiblings) {
+        val (r, m) = collapse(capped); (r, Some(m))
+      } else (capped, None)
     val exploded = sets
       .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
       .repartition(col("__x"))
@@ -112,9 +166,14 @@ object Jaccard {
       .join(prefix.as("b"), col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_1"), col("b.__id").as("id_2"))
       .distinct()
-    cand
-      .join(sets.as("sa"), col("id_1") === col("sa.__id"))
-      .join(sets.as("sb"), col("id_2") === col("sb.__id"))
+    // verification: shuffle-hash, never sort-merge — the probe side is
+    // candidate pairs carrying a full shingle array after the first
+    // attach, and SMJ would externally sort that mass (measured 133 GiB
+    // of sort spill at the 100x sibling-heavy rehearsal); SHJ builds on
+    // the bounded sets partition and STREAMS the wide probe rows
+    val repPairs = cand
+      .join(sets.as("sa").hint("shuffle_hash"), col("id_1") === col("sa.__id"))
+      .join(sets.as("sb").hint("shuffle_hash"), col("id_2") === col("sb.__id"))
       .select(
         col("id_1"), col("id_2"),
         size(array_intersect(col("sa.__set"), col("sb.__set"))).cast(LongType).as("inter"),
@@ -124,6 +183,28 @@ object Jaccard {
           (col("szsum") - col("inter")).cast(DoubleType)).cast(LongType))
       .filter(col("jaccard_bp") >= minBp)
       .select("id_1", "id_2", "jaccard_bp")
+    membership match {
+      case None => repPairs
+      case Some(mem) =>
+        // expand rep-level pairs by group membership. Within a group every
+        // unordered member pair is Jaccard = 10000 bp by construction (>= any
+        // legal minBp) — emitted directly, no verification; across groups the
+        // rep-level score applies verbatim to every member pair.
+        val multi = mem.filter(col("__m") > 1)
+        val within = multi.as("ma")
+          .join(multi.as("mb"),
+            col("ma.__rep") === col("mb.__rep") && col("ma.__id") < col("mb.__id"))
+          .select(col("ma.__id").as("id_1"), col("mb.__id").as("id_2"),
+            lit(10000L).as("jaccard_bp"))
+        val cross = repPairs
+          .join(mem.as("m1"), col("id_1") === col("m1.__rep"))
+          .join(mem.as("m2"), col("id_2") === col("m2.__rep"))
+          .select(
+            least(col("m1.__id"), col("m2.__id")).as("id_1"),
+            greatest(col("m1.__id"), col("m2.__id")).as("id_2"),
+            col("jaccard_bp"))
+        cross.unionAll(within)
+    }
   }
 
   /** The direct exploded self-join formulation — the result-identical twin
