@@ -79,7 +79,10 @@ object EtlBench {
       stateFile = s"$dir/state/offsets.json",
       minimumFileAgeMs = 0L,
       faultTolerance = sys.env.get("GRAFT_ETL_TOLERANT").forall(_ == "1"),
-      dedupDefault = DedupConfig(enable = true))
+      dedupDefault = DedupConfig(enable = true),
+      // GRAFT_ETL_MAX_PER_FILE caps records per output file (file rolling
+      // inside hot bins — the production knob for splittable output)
+      maxRecordsPerFile = sys.env.get("GRAFT_ETL_MAX_PER_FILE").map(_.toLong))
     val job = new Restructure(spark, cfg)
     // task-level memory/spill stats ride the measured pass — the 10x/
     // scale rehearsal question is whether the dynamic-partition write

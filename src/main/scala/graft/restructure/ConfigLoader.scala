@@ -75,6 +75,7 @@ object ConfigLoader {
       maxFilesPerTopic = opt("maxFilesPerTopic").map(_.toInt),
       minimumFileAgeMs = opt("minimumFileAgeMs").map(_.toLong).getOrElse(60000L),
       dedup = perTopic,
-      dedupDefault = defaultDedup)
+      dedupDefault = defaultDedup,
+      maxRecordsPerFile = opt("maxRecordsPerFile").map(_.toLong))
   }
 }

@@ -63,7 +63,14 @@ final case class RestructureConfig(
     // has no tag surface, so the carrier is a `<file>.meta` properties
     // sidecar — the shape tag-less stores expose cheaply; filename parse
     // stays the fallback.
-    endOffsetFromMetadata: Boolean = false)
+    endOffsetFromMetadata: Boolean = false,
+    // cap records per output file within each (project, user, bin) dir:
+    // at production volumes a hot bin otherwise becomes one giant
+    // csv.gz/json.gz that downstream consumers cannot split (gzip is not
+    // splittable) — the writer rolls to part-...-c001 etc. at the cap.
+    // None = Spark's session default (spark.sql.files.maxRecordsPerFile,
+    // 0 = unlimited).
+    maxRecordsPerFile: Option[Long] = None)
 
 /** One source file of one topic: a contiguous offset range of a
   * topic-partition, metadata parsed from the filename
@@ -300,12 +307,14 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     // files and an open-file explosion (measured 8x slower at 200k
     // records / 1440 bins). The AQE rebalance hint both co-locates each
     // dir into one task and splits skewed bins.
-    val writer = out
+    val writer0 = out
       .drop("_offset", "_partition", "_mtime")
       .hint("rebalance", col("_project"), col("_user"), col("_bin"))
       .write
       .partitionBy("_project", "_user", "_bin")
       .mode(SaveMode.Append)
+    val writer = config.maxRecordsPerFile
+      .fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
     val withCompression = config.compression match {
       case Some(c) => writer.option("compression", c)
       case None    => writer

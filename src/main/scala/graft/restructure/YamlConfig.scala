@@ -167,7 +167,8 @@ object YamlConfig {
         .map(p => tgtUri(s"${output.stripSuffix("/")}/_locks/${p.stripSuffix("/")}")),
       endOffsetFromMetadata = endOffsetsMeta,
       // reference --timer flag as a config section
-      enableTimers = root.child("timer").bool("enable").getOrElse(false))
+      enableTimers = root.child("timer").bool("enable").getOrElse(false),
+      maxRecordsPerFile = worker.int("maxRecordsPerFile").map(_.toLong))
 
     AppConfig(
       restructure = restructure,

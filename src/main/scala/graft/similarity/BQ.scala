@@ -88,21 +88,16 @@ object BQ {
       vecCol: String,
       k: Int,
       shortlist: Int,
-      shards: Int = 32): DataFrame = {
+      shards: Int = 32,
+      maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame = {
     val short = search(codes, queries, idCol, vecCol, shortlist, shards)
       .select(col("query_id"), col("neighbor_id"))
     val qv = quantize(queries, idCol, vecCol)
       .select(col("__id").as("query_id"), col("__v").as("__qv"))
     val cv = quantize(corpus, idCol, vecCol)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
-    // two SEPARATE broadcasts — the (query_id, neighbor_id) id sliver and
-    // the |Q|-row query-vector table — so the driver never materializes
-    // the |Q| x shortlist x dim product (shortlist ids are 16 B/row; the
-    // vectors fan out to shortlist copies only inside each task's join)
-    val rer = cv.join(broadcast(short), "neighbor_id")
-      .join(broadcast(qv), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        call_function("graft_qdot", col("__qv"), col("__cv")).as("dot"))
-    Similarity.topKPerQuery(rer, "dot", k, shards = shards)
+    // shared rerank tail: sliver + qv broadcast up to maxBroadcastQueries
+    // queries, shuffle_hash above ([[Similarity.rerankExact]])
+    Similarity.rerankExact(cv, short, qv, k, shards, maxBroadcastQueries)
   }
 }

@@ -145,7 +145,8 @@ object IVFPQ {
       k: Int,
       nprobe: Int,
       shortlist: Int,
-      shards: Int = 32): DataFrame = {
+      shards: Int = 32,
+      maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame = {
     val cb = index.cb
     val cents = centMatrixLit(index.centroids)
     val q = queries.select(col(idCol).as("query_id"),
@@ -175,16 +176,12 @@ object IVFPQ {
     val short = Similarity
       .topKPerQuery(cand, "adot", shortlist, rankCol = "__rk", shards = shards)
       .select(col("query_id"), col("neighbor_id"))
-    // exact rerank: |Q| x shortlist full-vector dots, broadcast-joined
+    // exact rerank: |Q| x shortlist full-vector dots through the shared
+    // tail — sliver + qv broadcast up to maxBroadcastQueries queries,
+    // shuffle_hash above ([[Similarity.rerankExact]])
     val qv = q.select(col("query_id"), col("__qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       call_function("graft_quantize", col(vecCol)).as("__cv"))
-    // two SEPARATE broadcasts (id sliver + |Q|-row vector table) so the
-    // |Q| x shortlist x dim product never materializes driver-side
-    val rer = cv.join(broadcast(short), "neighbor_id")
-      .join(broadcast(qv), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        call_function("graft_qdot", col("__qv"), col("__cv")).as("dot"))
-    Similarity.topKPerQuery(rer, "dot", k, shards = shards)
+    Similarity.rerankExact(cv, short, qv, k, shards, maxBroadcastQueries)
   }
 }

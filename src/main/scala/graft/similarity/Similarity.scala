@@ -145,6 +145,45 @@ object Similarity {
     }
   }
 
+  /** Query-count threshold above which the exact-rerank joins stop
+    * BROADCASTING the shortlist sliver and the query-vector table and
+    * degrade to shuffle_hash joins on their keys. The sliver is
+    * |Q| x shortlist 16-byte id pairs and the vector table |Q| x dim
+    * longs — at the default (100k queries, shortlist <= 100, dim <= 64)
+    * that is <= ~160 MiB + ~64 MiB, comfortably broadcastable; a
+    * production batch of millions of queries would exceed executor
+    * broadcast budgets (and eventually Spark's 8 GiB hard cap), where
+    * shuffling the corpus side by neighbor_id/query_id is the correct
+    * shape anyway (the corpus-side join input dwarfs the exchange of
+    * the sliver itself). */
+  val RerankBroadcastMaxQueries: Long = 100000L
+
+  /** The shared exact-rerank tail of BQ/PQ/IVFPQ `searchRerank`: attach
+    * full (quantized) vectors to the |Q| x shortlist id sliver, score
+    * the exact integer dot, keep top-k. `cv` = (neighbor_id, __cv) over
+    * the corpus, `short` = (query_id, neighbor_id), `qv` = (query_id,
+    * __qv). Two SEPARATE small-side joins so the |Q| x shortlist x dim
+    * product never materializes driver-side; the small sides broadcast
+    * up to `maxBroadcastQueries` queries (counted on `qv` — one cheap
+    * pass over the query table) and ride shuffle_hash above it. */
+  private[similarity] def rerankExact(
+      cv: DataFrame,
+      short: DataFrame,
+      qv: DataFrame,
+      k: Int,
+      shards: Int,
+      maxBroadcastQueries: Long = RerankBroadcastMaxQueries): DataFrame = {
+    val joined =
+      if (qv.count() <= maxBroadcastQueries)
+        cv.join(broadcast(short), "neighbor_id").join(broadcast(qv), "query_id")
+      else
+        cv.join(short.hint("shuffle_hash"), "neighbor_id")
+          .join(qv.hint("shuffle_hash"), "query_id")
+    val rer = joined.select(col("query_id"), col("neighbor_id"),
+      call_function("graft_qdot", col("__qv"), col("__cv")).as("dot"))
+    topKPerQuery(rer, "dot", k, shards = shards)
+  }
+
   /** Per-group bottom-k IDS under (hashCol ASC, idCol ASC): one
     * `graft_topk` bounded aggregate on the NEGATED hash — bottom-k is
     * top-k of -h, and every caller's hash lives in [0, 2^31) (HLL.mix /

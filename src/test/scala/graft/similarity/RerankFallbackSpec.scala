@@ -1,0 +1,67 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The exact-rerank tail's |Q| bound (round 14): above
+  * `maxBroadcastQueries` the shortlist sliver and the query-vector
+  * table stop broadcasting and the rerank joins ride shuffle_hash on
+  * their keys. Forcing the threshold to 0 must change ONLY the join
+  * strategy — every family's ranked output is pinned identical, and
+  * the physical plans are asserted to actually use the strategies the
+  * bound selects (a silently-ignored hint would leave both paths
+  * broadcasting and the bound would be decorative).
+  */
+class RerankFallbackSpec extends SparkSpec {
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def collectRanked(df: DataFrame): Seq[Seq[Any]] = df
+    .select("query_id", "neighbor_id", "dot", "rank")
+    .orderBy("query_id", "rank")
+    .collect().map(_.toSeq).toSeq
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("BQ rerank: shuffle_hash fallback result == broadcast result") {
+    val corpus = emb.limit(64)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val codes = BQ.encode(corpus, "vec_id", "embedding")
+    val bcast = BQ.searchRerank(codes, corpus, queries, "vec_id", "embedding",
+      k = 5, shortlist = 16)
+    val fall = BQ.searchRerank(codes, corpus, queries, "vec_id", "embedding",
+      k = 5, shortlist = 16, maxBroadcastQueries = 0L)
+    assert(collectRanked(bcast) == collectRanked(fall))
+    assert(plan(bcast).contains("BroadcastHashJoin"))
+    assert(plan(fall).contains("ShuffledHashJoin"))
+  }
+
+  test("PQ rerank: shuffle_hash fallback result == broadcast result") {
+    val corpus = emb.limit(64)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val cb = PQ.train(corpus, "vec_id", "embedding", m = 8, ksub = 16)
+    val codes = PQ.encode(cb, corpus, "vec_id", "embedding")
+    val bcast = PQ.searchRerank(cb, codes, corpus, queries, "vec_id", "embedding",
+      k = 5, shortlist = 16)
+    val fall = PQ.searchRerank(cb, codes, corpus, queries, "vec_id", "embedding",
+      k = 5, shortlist = 16, maxBroadcastQueries = 0L)
+    assert(collectRanked(bcast) == collectRanked(fall))
+    assert(plan(fall).contains("ShuffledHashJoin"))
+  }
+
+  test("IVFPQ rerank: shuffle_hash fallback result == broadcast result") {
+    val corpus = emb.limit(64)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val index = IVFPQ.build(corpus, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16)
+    val bcast = IVFPQ.search(index, corpus, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4, shortlist = 16)
+    val fall = IVFPQ.search(index, corpus, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4, shortlist = 16, maxBroadcastQueries = 0L)
+    assert(collectRanked(bcast) == collectRanked(fall))
+    assert(plan(fall).contains("ShuffledHashJoin"))
+  }
+}
