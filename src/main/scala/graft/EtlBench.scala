@@ -63,7 +63,15 @@ object EtlBench {
         k.put("userId", s"user${(f * perFile + i) % nUsers}")
         k.put("sourceId", s"src${f % 5}")
         val v = new GenericData.Record(schema.getField("value").schema())
-        val t = t0 + ((f * perFile + i) % 86400) // spread over 24 hour bins
+        // spread over 24 hour bins, but keep every record globally UNIQUE:
+        // a micro-offset per 86400-record wrap. Without it, scale-up runs
+        // wrap the (time, light) value space and files lcm(3,5,86400/
+        // gcd(perFile,86400)) apart become byte-identical — at 100M
+        // records that manufactured a 46% duplicate corpus and measured
+        // the dedup aggregate digesting artifacts instead of the
+        // pipeline (the ScaleBlowup salt-collision lesson, again).
+        val idx = f.toLong * perFile + i
+        val t = t0 + (idx % 86400) + (idx / 86400) * 1e-6
         v.put("time", t); v.put("timeReceived", t + 1.0); v.put("light", i.toFloat)
         val r = new GenericData.Record(schema)
         r.put("key", k); r.put("value", v)
@@ -104,7 +112,12 @@ object EtlBench {
         s""""peakTaskMemMB":${acc.peakTask.get() / 1048576}}""")
 
     // phase breakdown on a SECOND identical dataset (fresh topic name so
-    // state/output are cold), to attribute the pipeline's cost
+    // state/output are cold), to attribute the pipeline's cost.
+    // GRAFT_ETL_SKIP_PHASES=1 stops after the headline row — for A/B
+    // config sweeps (e.g. maxRecordsPerFile) where only it matters.
+    if (sys.env.get("GRAFT_ETL_SKIP_PHASES").contains("1")) {
+      spark.stop(); return
+    }
     val dir2 = new File(dir, "in2")
     dir2.mkdirs()
     require(new File(dir, "in/sensor_topic").renameTo(new File(dir2, "sensor_topic")),

@@ -176,4 +176,44 @@ class PlanMarkersSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "sort-merge would sort the full gram-occurrence table")
   }
+
+  test("span_dedup: excise aggregates redundant STARTS, rebuilds by projection") {
+    // the round-13 rewrite: the only reassembly aggregate is collect_set
+    // of redundant gram starts (O(excised spans) state); the deduped text
+    // comes back as an array_except projection over the original tokens.
+    // A collect_list of token structs would mean the per-document
+    // whole-token-list aggregate state that OOMed the 100x rehearsal.
+    val p = plan("span_dedup")
+    assert(!p.contains("collect_list(struct"),
+      "no aggregate may hold a document's full token-struct list")
+    assert(p.contains("array_except"),
+      "kept positions must rebuild via array_except over the original tokens")
+  }
+
+  test("jaccard_ppjoin: df-cap aggregates HEAVY members only; verification is shuffle-hash") {
+    val p = plan("jaccard_ppjoin")
+    // the round-13 cappedSets rewrite: collect only each doc's
+    // over-the-cap shingles (inner join with the heavy side) and rebuild
+    // the capped set via array_except. The former shape — anti-join the
+    // occurrence stream, re-collect every doc's WHOLE set — held full
+    // documents as aggregate state; its plan signature was a LeftAnti
+    // join feeding the collect.
+    assert(p.contains("array_except"),
+      "capped sets must rebuild via array_except of the heavy members")
+    assert(!p.contains("LeftAnti"),
+      "an anti-join feeding the re-collect means whole-set aggregate state")
+    // round-14: verification attaches full shingle arrays via
+    // shuffle-hash builds on the sets side — SMJ would externally sort
+    // the array-carrying candidate stream (the 133 GiB 100x spill)
+    assert(p.contains("ShuffledHashJoin"),
+      "set verification must build shuffle-hash on the sets side")
+  }
+
+  test("corpus_curate_best: text-carrying joins are shuffle-hash, never sort-merge") {
+    val p = plan("corpus_curate_best")
+    assert(p.contains("ShuffledHashJoin"),
+      "member/score/anti joins must build shuffle-hash on the bounded side")
+    assert(!p.contains("SortMergeJoin"),
+      "sort-merge would sort corpus text against the membership slivers")
+  }
 }
