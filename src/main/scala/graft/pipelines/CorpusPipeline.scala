@@ -191,7 +191,9 @@ object CorpusPipeline {
         Text.tokenCount(col(textCol)).cast(LongType).as("__nt"),
         Text.stopRatioBp(col(textCol), graft.Queries.Stopwords).as("__sr"),
         Text.meanTokenLenBp(col(textCol)).as("__ml"))
-      .join(rep, Seq(idCol))
+      // shuffle-hash like every other curate join: both sides are the
+      // bounded member sliver, and SMJ would sort each for no benefit
+      .join(rep.hint("shuffle_hash"), Seq(idCol))
       .select(col(idCol),
         (least(col("__nt"), lit(100L)) * 10
           + when(col("__sr").between(100, 4000), 1000L).otherwise(0L)
