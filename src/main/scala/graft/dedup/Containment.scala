@@ -170,20 +170,25 @@ object Containment {
     // cont_bp (identical sets), ties break to the smallest container id,
     // and the group's minimum id IS its rep — so the rep is the sole
     // potential winner whenever it precedes the doc, and emission is
-    // O(contained-group members), never members x members.
-    val dirA = repCand
-      .withColumn("cont_bp", expr("inter * 10000 div __n2"))
+    // O(contained-group members), never members x members. Both
+    // directions ride ONE pass over repCand (an explode, then a single
+    // membership join) — two direction branches would re-execute the
+    // whole candidate+verification chain once each (measured 3x wall on
+    // the catalog entry).
+    val directed = repCand
+      .select(explode(array(
+        struct(col("id_1").as("__container"), col("id_2").as("__crep"),
+          col("inter"), expr("inter * 10000 div __n2").as("cont_bp")),
+        struct(col("id_2").as("__container"), col("id_1").as("__crep"),
+          col("inter"), expr("inter * 10000 div __n1").as("cont_bp")))).as("__d"))
+      .select(col("__d.__container").as("__container"),
+        col("__d.__crep").as("__crep"),
+        col("__d.inter").as("inter"), col("__d.cont_bp").as("cont_bp"))
       .filter(col("cont_bp") >= minBp)
-      .join(membership.as("m"), col("id_2") === col("m.__rep"))
-      .filter(col("m.__id") > col("id_1"))
-      .select(col("m.__id").as("doc_id"), col("id_1").as("contained_in"),
-        col("inter"), col("cont_bp"))
-    val dirB = repCand
-      .withColumn("cont_bp", expr("inter * 10000 div __n1"))
-      .filter(col("cont_bp") >= minBp)
-      .join(membership.as("m"), col("id_1") === col("m.__rep"))
-      .filter(col("m.__id") > col("id_2"))
-      .select(col("m.__id").as("doc_id"), col("id_2").as("contained_in"),
+    val cross = directed
+      .join(membership.as("m"), col("__crep") === col("m.__rep"))
+      .filter(col("m.__id") > col("__container"))
+      .select(col("m.__id").as("doc_id"), col("__container").as("contained_in"),
         col("inter"), col("cont_bp"))
     // within a group, every non-rep member is 10000-bp contained in the
     // rep (identical sets, rep = smallest id = best possible container
@@ -191,7 +196,7 @@ object Containment {
     val within = membership.filter(col("__id") =!= col("__rep"))
       .select(col("__id").as("doc_id"), col("__rep").as("contained_in"),
         col("__n").as("inter"), lit(10000L).as("cont_bp"))
-    dirA.unionAll(dirB).unionAll(within)
+    cross.unionAll(within)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("cont_bp").desc, col("contained_in").asc)))
