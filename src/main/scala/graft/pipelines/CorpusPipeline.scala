@@ -45,16 +45,24 @@ object CorpusPipeline {
     * executor-pinned, NON-replicated blocks are the same process — or a
     * reliable `checkpoint` into `cfg.checkpointDir` for cluster runs,
     * where losing an executor holding localCheckpoint blocks would fail
-    * the job because lineage was truncated. Both are LAZY (`eager =
-    * false`): building the curate plan must not execute the upstream
-    * pipeline at DataFrame-construction time; the sliver materializes on
-    * its first consumer and is reused by the rest. */
+    * the job because lineage was truncated.
+    *
+    * Both are EAGER deliberately, and that eagerness is load-bearing:
+    * the sliver must be MATERIALIZED before the downstream job runs,
+    * because its consumers (the scalar-gate leg, ensembleScore's
+    * token-explode leg, the final anti-join) execute concurrently in one
+    * job — a lazy checkpoint lets each concurrently re-run the full
+    * corpus lineage, which is the 2.1 GiB-spill shape the truncation
+    * exists to prevent (re-measured: lazy cost +34% warm wall on
+    * corpus_curate_best even at sf0.1). The cost is that BUILDING the
+    * curate plan executes the upstream pipeline once at
+    * DataFrame-construction time. */
   private def truncateLineage(df: DataFrame, cfg: Config): DataFrame =
     cfg.checkpointDir match {
       case Some(dir) =>
         df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = false)
-      case None => df.localCheckpoint(eager = false)
+        df.checkpoint()
+      case None => df.localCheckpoint()
     }
 
   /** Optional stage 0 — URL-level dedup BEFORE any content work (the
