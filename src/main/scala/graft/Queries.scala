@@ -2439,8 +2439,10 @@ object Queries {
       minBp = 9000L, native = true, maxDf = NgramMaxDf)
       .orderBy(col("id_1"), col("id_2"))
 
-  /** Prefix-filtered formulation of subset_docs (the later doc's prefix
-    * probes earlier docs' full token lists) — same oracle as subset_docs. */
+  /** Prefix-filtered formulation of subset_docs (min-denominator prefix
+    * candidates over set representatives, per-direction thresholds at
+    * membership expansion — see [[graft.dedup.Containment.subsets]]) —
+    * same oracle as subset_docs. */
   def subsetPpjoin(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Containment.subsets(t(s, dir, "documents"), "doc_id", "text",
       minBp = 9000L, native = true, maxDf = NgramMaxDf)

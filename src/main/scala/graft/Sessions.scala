@@ -73,6 +73,10 @@ object Sessions {
   private val warmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def warmCodegen(spark: SparkSession): Unit = {
+    // CAS first so concurrent builds never double-run; reset on failure
+    // so a TRANSIENT warm-up error (full /tmp, interrupted write) is
+    // retried by the next build instead of silently skipping the warm-up
+    // for the JVM's lifetime
     if (!warmed.compareAndSet(false, true)) return
     try {
       import spark.implicits._
@@ -129,6 +133,6 @@ object Sessions {
           .sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => warmed.set(false) }
   }
 }

@@ -37,40 +37,45 @@ object TemplateRehearsal {
       .map(k => docs.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
       .reduce(_ unionByName _)
     val dir = java.nio.file.Files.createTempDirectory("graft-template").toString
-    corpus.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val planted = spark.read.parquet(s"$dir/documents.parquet")
-    val nDocs = planted.count()
-    println(s"[template] corpus: $nDocs docs ($copies identical copies each)")
+    try {
+      corpus.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val planted = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = planted.count()
+      println(s"[template] corpus: $nDocs docs ($copies identical copies each)")
 
-    def run(label: String, collapse: Boolean): Long = {
-      BenchSpill.drainBus(spark.sparkContext)
-      val acc = new BenchSpill.TaskMetricsAcc
-      spark.sparkContext.addSparkListener(acc)
-      val t0 = System.nanoTime()
-      val n = graft.dedup.Jaccard.pairs(planted, "doc_id", "text", minBp,
-        native = true, maxDf = Long.MaxValue, collapseSiblings = collapse).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      acc.settle()
-      spark.sparkContext.removeSparkListener(acc)
-      acc.topSpillStages(3).foreach(s => println(s"[spill-stage] $label $s"))
-      println(f"[template] $label%-14s pairs=$n%d wall=$wall%.1fs " +
-        f"memSpill=${acc.memSpilled.get() / 1048576}%d MiB " +
-        f"diskSpill=${acc.diskSpilled.get() / 1048576}%d MiB " +
-        f"peakTask=${acc.peakTask.get() / 1048576}%d MiB")
-      n
+      def run(label: String, collapse: Boolean): Long = {
+        BenchSpill.drainBus(spark.sparkContext)
+        val acc = new BenchSpill.TaskMetricsAcc
+        spark.sparkContext.addSparkListener(acc)
+        val t0 = System.nanoTime()
+        val n = graft.dedup.Jaccard.pairs(planted, "doc_id", "text", minBp,
+          native = true, maxDf = Long.MaxValue, collapseSiblings = collapse).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        acc.settle()
+        spark.sparkContext.removeSparkListener(acc)
+        acc.topSpillStages(3).foreach(s => println(s"[spill-stage] $label $s"))
+        println(f"[template] $label%-14s pairs=$n%d wall=$wall%.1fs " +
+          f"memSpill=${acc.memSpilled.get() / 1048576}%d MiB " +
+          f"diskSpill=${acc.diskSpilled.get() / 1048576}%d MiB " +
+          f"peakTask=${acc.peakTask.get() / 1048576}%d MiB")
+        n
+      }
+
+      // collapse first (cheap), then the pre-collapse plan (the blowup)
+      val withCollapse = run("collapse=on", collapse = true)
+      val without = run("collapse=off", collapse = false)
+      require(withCollapse == without,
+        s"pair counts diverge: collapse=$withCollapse direct=$without")
+      println(s"[template] identical pair sets: $withCollapse pairs either way")
+    } finally {
+      // cleanup + session stop even when a run throws or the count
+      // equality require fails — the planted corpus is multiple GB and
+      // repeated failed rehearsals must not fill the shared bench box
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      spark.stop()
     }
-
-    // collapse first (cheap), then the pre-collapse plan (the blowup)
-    val withCollapse = run("collapse=on", collapse = true)
-    val without = run("collapse=off", collapse = false)
-    require(withCollapse == without,
-      s"pair counts diverge: collapse=$withCollapse direct=$without")
-    println(s"[template] identical pair sets: $withCollapse pairs either way")
-
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    spark.stop()
   }
 }

@@ -26,9 +26,14 @@ import org.apache.spark.sql.types._
   *   - [[pairs]] (min-denominator containment): the SMALLER set is the
   *     denominator, so orient each unordered pair by (set size, id) and
   *     probe with the smaller side's prefix.
-  *   - [[subsets]] (directional, later-doc denominator): the LATER doc is
-  *     the denominator regardless of size, so its prefix probes the full
-  *     exploded rows of earlier docs.
+  *   - [[subsets]] (directional, later-doc denominator): the LATER doc's
+  *     set is the denominator regardless of size. Since round 14 the
+  *     candidate join still uses the MIN-denominator orientation above —
+  *     a superset of the later-denominator qualifiers (see the
+  *     in-function proof) — because the sibling collapse runs the join
+  *     over set REPRESENTATIVES, whose ids say nothing about their
+  *     members' earlier/later order; each direction's threshold applies
+  *     during membership expansion instead.
   *
   * Verification is exact in both: candidates re-join the full (df-capped)
   * sets and compute the true intersection with array_intersect, so the
@@ -58,6 +63,22 @@ object Containment {
     (exploded, prefix)
   }
 
+  /** Min-denominator candidate generation shared by [[pairs]] and
+    * [[subsets]]: probe = the (size, id)-smaller side of each unordered
+    * pair — min(|A|,|B|) is its size, so its prefix is the one the
+    * pigeonhole argument covers. Output (id_1, id_2) distinct, id_1 <
+    * id_2. */
+  private def minSideCandidates(exploded: DataFrame, prefix: DataFrame): DataFrame =
+    prefix.as("a")
+      .join(exploded.as("b"),
+        col("a.__x") === col("b.__x") &&
+          (col("a.__n") < col("b.__n") ||
+            (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))))
+      .select(
+        least(col("a.__id"), col("b.__id")).as("id_1"),
+        greatest(col("a.__id"), col("b.__id")).as("id_2"))
+      .distinct()
+
   /** All pairs with floor(10000*|A∩B| / min(|A|,|B|)) >= minBp over
     * df-capped 3-gram shingle sets. Output (id_1, id_2, inter, min_n,
     * containment_bp), id_1 < id_2 — same result as the direct
@@ -77,17 +98,7 @@ object Containment {
         val (r, m) = Jaccard.collapse(capped); (r, Some(m))
       } else (capped, None)
     val (exploded, prefix) = explodedAndPrefix(sets, minBp)
-    // probe = the (size, id)-smaller side of each pair: min(|A|,|B|) is its
-    // size, so its prefix is the one the pigeonhole argument covers
-    val cand = prefix.as("a")
-      .join(exploded.as("b"),
-        col("a.__x") === col("b.__x") &&
-          (col("a.__n") < col("b.__n") ||
-            (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))))
-      .select(
-        least(col("a.__id"), col("b.__id")).as("id_1"),
-        greatest(col("a.__id"), col("b.__id")).as("id_2"))
-      .distinct()
+    val cand = minSideCandidates(exploded, prefix)
     // shuffle-hash verification for the same reason as [[Jaccard.pairs]]:
     // never sort probe rows carrying full shingle arrays
     val repPairs = cand
@@ -103,25 +114,12 @@ object Containment {
     membership match {
       case None => repPairs
       case Some(mem) =>
-        // set-identical sibling expansion ([[Jaccard.collapse]]): within a
-        // group inter = min_n = |set| and containment = 10000 bp by
-        // construction; across groups the rep-level row applies to every
-        // member pair (inter/min_n depend only on the two sets)
-        val multi = mem.filter(col("__m") > 1)
-        val within = multi.as("ma")
-          .join(multi.as("mb"),
-            col("ma.__rep") === col("mb.__rep") && col("ma.__id") < col("mb.__id"))
-          .select(col("ma.__id").as("id_1"), col("mb.__id").as("id_2"),
-            col("ma.__n").as("inter"), col("ma.__n").as("min_n"),
-            lit(10000L).as("containment_bp"))
-        val cross = repPairs
-          .join(mem.as("m1"), col("id_1") === col("m1.__rep"))
-          .join(mem.as("m2"), col("id_2") === col("m2.__rep"))
-          .select(
-            least(col("m1.__id"), col("m2.__id")).as("id_1"),
-            greatest(col("m1.__id"), col("m2.__id")).as("id_2"),
-            col("inter"), col("min_n"), col("containment_bp"))
-        cross.unionAll(within)
+        // within a group inter = min_n = |set| and containment = 10000 bp
+        // by construction ([[Jaccard.expandByMembership]])
+        Jaccard.expandByMembership(repPairs, mem,
+          payload = Seq("inter", "min_n", "containment_bp"),
+          withinPayload = Seq(col("ma.__n").as("inter"),
+            col("ma.__n").as("min_n"), lit(10000L).as("containment_bp")))
     }
   }
 
@@ -147,15 +145,7 @@ object Containment {
     // inter >= ceil(t*min(n_1, n_2)) since n_later >= min. The
     // directional probe can't run at rep level — a group's members span
     // arbitrary ids, so either member of a pair may be the later doc.
-    val cand = prefix.as("a")
-      .join(exploded.as("b"),
-        col("a.__x") === col("b.__x") &&
-          (col("a.__n") < col("b.__n") ||
-            (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))))
-      .select(
-        least(col("a.__id"), col("b.__id")).as("id_1"),
-        greatest(col("a.__id"), col("b.__id")).as("id_2"))
-      .distinct()
+    val cand = minSideCandidates(exploded, prefix)
     val repCand = cand
       .join(sets.as("sa").hint("shuffle_hash"), col("id_1") === col("sa.__id"))
       .join(sets.as("sb").hint("shuffle_hash"), col("id_2") === col("sb.__id"))

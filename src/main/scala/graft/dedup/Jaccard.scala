@@ -133,6 +133,35 @@ object Jaccard {
     * collapse is pure overhead. Results are identical either way
     * (spec-pinned); the default keeps the collapse on because template
     * families are the norm, not the exception, in crawl corpora. */
+  /** Expand rep-level pairs by group membership — the shared tail of the
+    * collapsed pair joins ([[pairs]], [[Containment.pairs]]). Within a
+    * group every unordered member pair is emitted directly with
+    * `withinPayload` (identical sets — Jaccard/containment = 10000 bp by
+    * construction, no verification); across groups each rep pair's
+    * `payload` columns apply verbatim to every member pair (set-identical
+    * docs score identically against any other set). `withinPayload` may
+    * reference the group's set size as `ma.__n`. */
+  private[dedup] def expandByMembership(
+      repPairs: DataFrame,
+      membership: DataFrame,
+      payload: Seq[String],
+      withinPayload: Seq[Column]): DataFrame = {
+    val multi = membership.filter(col("__m") > 1)
+    val within = multi.as("ma")
+      .join(multi.as("mb"),
+        col("ma.__rep") === col("mb.__rep") && col("ma.__id") < col("mb.__id"))
+      .select(Seq(col("ma.__id").as("id_1"), col("mb.__id").as("id_2")) ++
+        withinPayload: _*)
+    val cross = repPairs
+      .join(membership.as("m1"), col("id_1") === col("m1.__rep"))
+      .join(membership.as("m2"), col("id_2") === col("m2.__rep"))
+      .select(Seq(
+        least(col("m1.__id"), col("m2.__id")).as("id_1"),
+        greatest(col("m1.__id"), col("m2.__id")).as("id_2")) ++
+        payload.map(col): _*)
+    cross.unionAll(within)
+  }
+
   def pairs(
       df: DataFrame,
       idCol: String,
@@ -186,24 +215,8 @@ object Jaccard {
     membership match {
       case None => repPairs
       case Some(mem) =>
-        // expand rep-level pairs by group membership. Within a group every
-        // unordered member pair is Jaccard = 10000 bp by construction (>= any
-        // legal minBp) — emitted directly, no verification; across groups the
-        // rep-level score applies verbatim to every member pair.
-        val multi = mem.filter(col("__m") > 1)
-        val within = multi.as("ma")
-          .join(multi.as("mb"),
-            col("ma.__rep") === col("mb.__rep") && col("ma.__id") < col("mb.__id"))
-          .select(col("ma.__id").as("id_1"), col("mb.__id").as("id_2"),
-            lit(10000L).as("jaccard_bp"))
-        val cross = repPairs
-          .join(mem.as("m1"), col("id_1") === col("m1.__rep"))
-          .join(mem.as("m2"), col("id_2") === col("m2.__rep"))
-          .select(
-            least(col("m1.__id"), col("m2.__id")).as("id_1"),
-            greatest(col("m1.__id"), col("m2.__id")).as("id_2"),
-            col("jaccard_bp"))
-        cross.unionAll(within)
+        expandByMembership(repPairs, mem, payload = Seq("jaccard_bp"),
+          withinPayload = Seq(lit(10000L).as("jaccard_bp")))
     }
   }
 

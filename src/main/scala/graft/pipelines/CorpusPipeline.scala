@@ -57,10 +57,21 @@ object CorpusPipeline {
     * corpus_curate_best even at sf0.1). The cost is that BUILDING the
     * curate plan executes the upstream pipeline once at
     * DataFrame-construction time. */
+  /** Reliable-mode operational notes: (1) Spark deletes non-streaming
+    * checkpoint data on context cleanup ONLY when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    * default, must be set at session build) — a long-lived service that
+    * curates batch after batch without it should periodically clean
+    * `cfg.checkpointDir` itself or the rdd-N directories accumulate.
+    * (2) `setCheckpointDir` creates a fresh UUID subdirectory per call
+    * and mutates SparkContext-global state, so it is invoked only when
+    * no checkpoint dir is set yet; an operator who already configured
+    * one keeps theirs. */
   private def truncateLineage(df: DataFrame, cfg: Config): DataFrame =
     cfg.checkpointDir match {
       case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

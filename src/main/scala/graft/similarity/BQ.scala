@@ -58,13 +58,29 @@ object BQ {
       idCol: String,
       vecCol: String,
       k: Int,
-      shards: Int = 32): DataFrame = {
+      shards: Int = 32,
+      maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame =
+    searchImpl(codes, queries, idCol, vecCol, k, shards,
+      Similarity.broadcastableQueries(queries, maxBroadcastQueries))
+
+  private def searchImpl(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shards: Int,
+      broadcastSmall: Boolean): DataFrame = {
     val qc = encode(queries, idCol, vecCol)
       .select(col("__id").as("query_id"), col("__code").as("__qcode"))
     // topKPerQuery ranks DESCENDING; negate so smaller Hamming wins. The
     // frame stays exactly (query, id, score) so ranking rides the
-    // graft_topk bounded aggregate; hamming is recovered by un-negating
-    val cand = codes.crossJoin(broadcast(qc))
+    // graft_topk bounded aggregate; hamming is recovered by un-negating.
+    // Above the broadcast bound the query codes ride a partitioned
+    // cartesian instead — a |Q| in the millions exceeds broadcast
+    // budgets, and the full |corpus| x |Q| scan is the declared cost of
+    // exhaustive Hamming search at any join strategy
+    val cand = codes.crossJoin(if (broadcastSmall) broadcast(qc) else qc)
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
         (-call_function("graft_hamming", col("__code"), col("__qcode")))
@@ -90,14 +106,15 @@ object BQ {
       shortlist: Int,
       shards: Int = 32,
       maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame = {
-    val short = search(codes, queries, idCol, vecCol, shortlist, shards)
+    // ONE broadcastability decision for the whole plan — the shortlist
+    // stage's query codes AND the rerank tail's sliver/vector joins
+    val bcast = Similarity.broadcastableQueries(queries, maxBroadcastQueries)
+    val short = searchImpl(codes, queries, idCol, vecCol, shortlist, shards, bcast)
       .select(col("query_id"), col("neighbor_id"))
     val qv = quantize(queries, idCol, vecCol)
       .select(col("__id").as("query_id"), col("__v").as("__qv"))
     val cv = quantize(corpus, idCol, vecCol)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
-    // shared rerank tail: sliver + qv broadcast up to maxBroadcastQueries
-    // queries, shuffle_hash above ([[Similarity.rerankExact]])
-    Similarity.rerankExact(cv, short, qv, k, shards, maxBroadcastQueries)
+    Similarity.rerankExact(cv, short, qv, k, shards, bcast)
   }
 }

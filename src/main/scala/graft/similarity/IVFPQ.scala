@@ -147,6 +147,10 @@ object IVFPQ {
       shortlist: Int,
       shards: Int = 32,
       maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame = {
+    // ONE broadcastability decision for the whole plan — the probed
+    // (query, list, LUT) table of the shortlist stage AND the rerank
+    // tail's sliver/vector joins
+    val bcast = Similarity.broadcastableQueries(queries, maxBroadcastQueries)
     val cb = index.cb
     val cents = centMatrixLit(index.centroids)
     val q = queries.select(col(idCol).as("query_id"),
@@ -166,8 +170,11 @@ object IVFPQ {
         col("__pr.l").as("__list"), col("__pr.s").as("__centdot"),
         call_function("graft_pq_lut", col("__qv"), cb.flatLit,
           lit(cb.m), lit(cb.ksub)).as("__lut"))
+    // probed is |Q| x nprobe rows each carrying an m x ksub LUT — above
+    // the broadcast bound it joins shuffle_hash on __list (each list
+    // partition builds only its own queries' LUTs)
     val cand = index.codes
-      .join(broadcast(probed), "__list")
+      .join(if (bcast) broadcast(probed) else probed.hint("shuffle_hash"), "__list")
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
         (col("__centdot") +
@@ -177,11 +184,10 @@ object IVFPQ {
       .topKPerQuery(cand, "adot", shortlist, rankCol = "__rk", shards = shards)
       .select(col("query_id"), col("neighbor_id"))
     // exact rerank: |Q| x shortlist full-vector dots through the shared
-    // tail — sliver + qv broadcast up to maxBroadcastQueries queries,
-    // shuffle_hash above ([[Similarity.rerankExact]])
+    // tail ([[Similarity.rerankExact]]), reusing the same decision
     val qv = q.select(col("query_id"), col("__qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       call_function("graft_quantize", col(vecCol)).as("__cv"))
-    Similarity.rerankExact(cv, short, qv, k, shards, maxBroadcastQueries)
+    Similarity.rerankExact(cv, short, qv, k, shards, bcast)
   }
 }

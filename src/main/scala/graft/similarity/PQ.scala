@@ -161,12 +161,29 @@ object PQ {
       idCol: String,
       vecCol: String,
       k: Int,
-      shards: Int = 32): DataFrame = {
+      shards: Int = 32,
+      maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame =
+    searchImpl(cb, codes, queries, idCol, vecCol, k, shards,
+      Similarity.broadcastableQueries(queries, maxBroadcastQueries))
+
+  private def searchImpl(
+      cb: Codebooks,
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shards: Int,
+      broadcastSmall: Boolean): DataFrame = {
     val luts = quantize(queries, idCol, vecCol)
       .select(col("__id").as("query_id"),
         call_function("graft_pq_lut", col("__v"), cb.flatLit, lit(cb.m), lit(cb.ksub))
           .as("__lut"))
-    val cand = codes.crossJoin(broadcast(luts))
+    // LUTs are ~m x ksub longs PER QUERY: above the broadcast bound they
+    // ride a partitioned cartesian instead of an 8 GiB-capped broadcast
+    // (the |corpus| x |Q| ADC scan is exhaustive search's declared cost
+    // under any join strategy)
+    val cand = codes.crossJoin(if (broadcastSmall) broadcast(luts) else luts)
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
         call_function("graft_pq_adc", col("__codes"), col("__lut"), lit(cb.ksub))
@@ -198,14 +215,15 @@ object PQ {
       shortlist: Int,
       shards: Int = 32,
       maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame = {
-    val short = search(cb, codes, queries, idCol, vecCol, shortlist, shards)
+    // ONE broadcastability decision for the whole plan — the shortlist
+    // stage's LUT table AND the rerank tail's sliver/vector joins
+    val bcast = Similarity.broadcastableQueries(queries, maxBroadcastQueries)
+    val short = searchImpl(cb, codes, queries, idCol, vecCol, shortlist, shards, bcast)
       .select(col("query_id"), col("neighbor_id"))
     val qv = quantize(queries, idCol, vecCol)
       .select(col("__id").as("query_id"), col("__v").as("__qv"))
     val cv = quantize(corpus, idCol, vecCol)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
-    // shared rerank tail: sliver + qv broadcast up to maxBroadcastQueries
-    // queries, shuffle_hash above ([[Similarity.rerankExact]])
-    Similarity.rerankExact(cv, short, qv, k, shards, maxBroadcastQueries)
+    Similarity.rerankExact(cv, short, qv, k, shards, bcast)
   }
 }

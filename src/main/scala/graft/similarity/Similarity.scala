@@ -158,23 +158,33 @@ object Similarity {
     * the sliver itself). */
   val RerankBroadcastMaxQueries: Long = 100000L
 
+  /** One decision per search call: is the query batch small enough for
+    * its |Q|-proportional tables (LUTs/codes in the shortlist stage, the
+    * shortlist sliver and query vectors in the rerank tail) to
+    * broadcast? Counts the query table ONCE unless the bound makes the
+    * answer free: 0 = never broadcast (no count — the forced-fallback
+    * path), Long.MaxValue = always (no count — callers that know their
+    * batch fits and want zero extra jobs). */
+  private[similarity] def broadcastableQueries(queries: DataFrame, bound: Long): Boolean =
+    bound == Long.MaxValue || (bound > 0L && queries.count() <= bound)
+
   /** The shared exact-rerank tail of BQ/PQ/IVFPQ `searchRerank`: attach
     * full (quantized) vectors to the |Q| x shortlist id sliver, score
     * the exact integer dot, keep top-k. `cv` = (neighbor_id, __cv) over
     * the corpus, `short` = (query_id, neighbor_id), `qv` = (query_id,
     * __qv). Two SEPARATE small-side joins so the |Q| x shortlist x dim
-    * product never materializes driver-side; the small sides broadcast
-    * up to `maxBroadcastQueries` queries (counted on `qv` — one cheap
-    * pass over the query table) and ride shuffle_hash above it. */
+    * product never materializes driver-side; `broadcastSmall` (the
+    * caller's ONE [[broadcastableQueries]] decision, shared with its
+    * shortlist stage) picks broadcast vs shuffle_hash for both. */
   private[similarity] def rerankExact(
       cv: DataFrame,
       short: DataFrame,
       qv: DataFrame,
       k: Int,
       shards: Int,
-      maxBroadcastQueries: Long = RerankBroadcastMaxQueries): DataFrame = {
+      broadcastSmall: Boolean): DataFrame = {
     val joined =
-      if (qv.count() <= maxBroadcastQueries)
+      if (broadcastSmall)
         cv.join(broadcast(short), "neighbor_id").join(broadcast(qv), "query_id")
       else
         cv.join(short.hint("shuffle_hash"), "neighbor_id")
