@@ -66,12 +66,22 @@ object CorpusPipeline {
     * (2) `setCheckpointDir` creates a fresh UUID subdirectory per call
     * and mutates SparkContext-global state, so it is invoked only when
     * no checkpoint dir is set yet; an operator who already configured
-    * one keeps theirs. */
+    * one keeps theirs — loudly (warning log), because checkpoint data
+    * then lands somewhere other than `cfg.checkpointDir` and a janitor
+    * watching the configured dir would never see it. */
   private def truncateLineage(df: DataFrame, cfg: Config): DataFrame =
     cfg.checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          case Some(existing) if !existing.contains(dir.stripSuffix("/")) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"checkpointDir already set to $existing; " +
+                s"ignoring cfg.checkpointDir=$dir — checkpoint data lands " +
+                "in the existing location")
+          case _ => ()
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -168,7 +168,9 @@ object YamlConfig {
       endOffsetFromMetadata = endOffsetsMeta,
       // reference --timer flag as a config section
       enableTimers = root.child("timer").bool("enable").getOrElse(false),
-      maxRecordsPerFile = worker.int("maxRecordsPerFile").map(_.toLong))
+      // long, not int: ConfigLoader parses the same knob with _.toLong, and
+      // the two entry points must accept the identical value range
+      maxRecordsPerFile = worker.long("maxRecordsPerFile"))
 
     AppConfig(
       restructure = restructure,
@@ -202,6 +204,7 @@ object YamlConfig {
       map.get(key).filter(_ != null).map(String.valueOf).map(_.trim).filter(_.nonEmpty)
     def bool(key: String): Option[Boolean] = str(key).map(_.toBoolean)
     def int(key: String): Option[Int] = str(key).flatMap(_.toIntOption)
+    def long(key: String): Option[Long] = str(key).flatMap(_.toLongOption)
     def strList(key: String): Seq[String] = map.get(key) match {
       case Some(l: java.util.List[_]) => l.asScala.map(String.valueOf).toSeq
       case Some(s: String) if s.nonEmpty => Seq(s)

@@ -172,7 +172,15 @@ object IVFPQ {
           lit(cb.m), lit(cb.ksub)).as("__lut"))
     // probed is |Q| x nprobe rows each carrying an m x ksub LUT — above
     // the broadcast bound it joins shuffle_hash on __list (each list
-    // partition builds only its own queries' LUTs)
+    // partition builds only its own queries' LUTs). Parallelism bound:
+    // __list has only nlist distinct values, so the fallback exchange
+    // runs at most nlist active partitions and each build side holds all
+    // |Q|*nprobe/nlist LUTs for its list — size nlist for the corpus
+    // (the usual sqrt(N) sizing gives parallelism far beyond any
+    // executor count), not for the query batch; a deliberately tiny
+    // nlist under a huge |Q| concentrates the build side, and the right
+    // move there is a query-hash salt on the join key (replicate each
+    // code row per salt bucket) before reaching for this fallback
     val cand = index.codes
       .join(if (bcast) broadcast(probed) else probed.hint("shuffle_hash"), "__list")
       .filter(col("__id") =!= col("query_id"))

@@ -155,7 +155,17 @@ object Similarity {
     * broadcast budgets (and eventually Spark's 8 GiB hard cap), where
     * shuffling the corpus side by neighbor_id/query_id is the correct
     * shape anyway (the corpus-side join input dwarfs the exchange of
-    * the sliver itself). */
+    * the sliver itself).
+    *
+    * Deciding costs a job: every BQ/PQ/IVFPQ search that takes a
+    * `maxBroadcastQueries` in (0, Long.MaxValue) runs ONE eager
+    * `queries.count()` at plan-construction time, so the query lineage
+    * executes once for the decision and again in the real plan — cache
+    * (or localCheckpoint) an expensive or NONDETERMINISTIC queries frame
+    * before calling, both to avoid the double traversal and so the
+    * decision is made over the same rows the plan executes (divergence is
+    * plan-choice only — results are identical either way). Pass 0 (never
+    * broadcast) or Long.MaxValue (always) to skip the count entirely. */
   val RerankBroadcastMaxQueries: Long = 100000L
 
   /** One decision per search call: is the query batch small enough for

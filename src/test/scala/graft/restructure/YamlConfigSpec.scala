@@ -154,6 +154,18 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(c.restructure.minimumFileAgeMs == 60000L)
   }
 
+  test("maxRecordsPerFile accepts the full long range (parity with ConfigLoader)") {
+    val y =
+      """worker:
+        |  maxRecordsPerFile: 3000000000
+        |paths:
+        |  inputs: [/in]
+        |  output: /out
+        |""".stripMargin
+    assert(YamlConfig.fromString(y).restructure.maxRecordsPerFile
+      .contains(3000000000L)) // > Int.MaxValue — toIntOption would drop it
+  }
+
   test("empty document yields defaults with local paths") {
     val c = YamlConfig.fromString("")
     assert(c.restructure.inputDir == "/")
