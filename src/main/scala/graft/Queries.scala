@@ -2439,13 +2439,21 @@ object Queries {
       minBp = 9000L, native = true, maxDf = NgramMaxDf)
       .orderBy(col("id_1"), col("id_2"))
 
-  /** Prefix-filtered formulation of subset_docs (min-denominator prefix
-    * candidates over set representatives, per-direction thresholds at
-    * membership expansion — see [[graft.dedup.Containment.subsets]]) —
-    * same oracle as subset_docs. */
+  /** Prefix-filtered formulation of subset_docs — same oracle as
+    * subset_docs. Runs the PLAIN direction-aware plan
+    * (`collapseSiblings = false`): the test corpora carry no
+    * set-identical documents, so the later-doc prefix probes earlier
+    * docs directly with no collapse window and no membership expansion
+    * (the r14 collapse cost +41% warm here as pure insurance). Template-
+    * heavy corpora use [[graft.dedup.Containment.subsetsAuto]], whose
+    * distinct-set probe buys the collapsed plan exactly when siblings
+    * exist — the probe itself re-runs the shingling lineage, which at
+    * THIS scale costs more than the whole query (measured: plain 1.8 s,
+    * auto 3.8 s warm), while at blowup scale it is linear noise against
+    * the C(m,2) hazard it prevents (TemplateRehearsal measures both). */
   def subsetPpjoin(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Containment.subsets(t(s, dir, "documents"), "doc_id", "text",
-      minBp = 9000L, native = true, maxDf = NgramMaxDf)
+      minBp = 9000L, native = true, maxDf = NgramMaxDf, collapseSiblings = false)
       .orderBy(col("doc_id"))
 
   /** IVF ANN top-k at nprobe < nlist — the list-partitioned scale path for

@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   * the equality is asserted, not assumed.
   *
   * Usage: runMain graft.TemplateRehearsal [srcSfDir] [copies] [minBp]
-  * (defaults /root/testdata/sf0.1, 20 copies, 8000 bp).
+  * [family] (defaults /root/testdata/sf0.1, 20 copies, 8000 bp,
+  * family = jaccard; family = subsets runs [[graft.dedup.Containment
+  * .subsetsAuto]] against both fixed-knob plans instead — proving the
+  * distinct-set probe picks the collapsed plan under the template
+  * hazard and that its probe cost is linear noise at this scale).
   */
 object TemplateRehearsal {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 1) args(1).toInt else 20
     val minBp = if (args.length > 2) args(2).toLong else 8000L
+    val family = if (args.length > 3) args(3) else "jaccard"
     require(copies >= 2, "copies must be >= 2")
     val spark = Sessions.build("graft-template-rehearsal")
 
@@ -43,30 +48,49 @@ object TemplateRehearsal {
       val nDocs = planted.count()
       println(s"[template] corpus: $nDocs docs ($copies identical copies each)")
 
-      def run(label: String, collapse: Boolean): Long = {
+      def run(label: String)(query: => org.apache.spark.sql.DataFrame): Long = {
         BenchSpill.drainBus(spark.sparkContext)
         val acc = new BenchSpill.TaskMetricsAcc
         spark.sparkContext.addSparkListener(acc)
         val t0 = System.nanoTime()
-        val n = graft.dedup.Jaccard.pairs(planted, "doc_id", "text", minBp,
-          native = true, maxDf = Long.MaxValue, collapseSiblings = collapse).count()
+        val n = query.count()
         val wall = (System.nanoTime() - t0) / 1e9
         acc.settle()
         spark.sparkContext.removeSparkListener(acc)
         acc.topSpillStages(3).foreach(s => println(s"[spill-stage] $label $s"))
-        println(f"[template] $label%-14s pairs=$n%d wall=$wall%.1fs " +
+        println(f"[template] $label%-14s rows=$n%d wall=$wall%.1fs " +
           f"memSpill=${acc.memSpilled.get() / 1048576}%d MiB " +
           f"diskSpill=${acc.diskSpilled.get() / 1048576}%d MiB " +
           f"peakTask=${acc.peakTask.get() / 1048576}%d MiB")
         n
       }
 
-      // collapse first (cheap), then the pre-collapse plan (the blowup)
-      val withCollapse = run("collapse=on", collapse = true)
-      val without = run("collapse=off", collapse = false)
-      require(withCollapse == without,
-        s"pair counts diverge: collapse=$withCollapse direct=$without")
-      println(s"[template] identical pair sets: $withCollapse pairs either way")
+      if (family == "subsets") {
+        // auto first (the production entry — its probe must pick the
+        // collapsed plan here), then the fixed knobs; the knob-off leg is
+        // the documented blowup and runs last
+        val auto = run("auto")(graft.dedup.Containment.subsetsAuto(
+          planted, "doc_id", "text", minBp, native = true))
+        val on = run("collapse=on")(graft.dedup.Containment.subsets(
+          planted, "doc_id", "text", minBp, native = true))
+        val off = run("collapse=off")(graft.dedup.Containment.subsets(
+          planted, "doc_id", "text", minBp, native = true,
+          maxDf = Long.MaxValue, collapseSiblings = false))
+        require(auto == on && on == off,
+          s"flag counts diverge: auto=$auto on=$on off=$off")
+        println(s"[template] identical flag sets: $auto flags all three ways")
+      } else {
+        // collapse first (cheap), then the pre-collapse plan (the blowup)
+        val withCollapse = run("collapse=on")(graft.dedup.Jaccard.pairs(
+          planted, "doc_id", "text", minBp,
+          native = true, maxDf = Long.MaxValue, collapseSiblings = true))
+        val without = run("collapse=off")(graft.dedup.Jaccard.pairs(
+          planted, "doc_id", "text", minBp,
+          native = true, maxDf = Long.MaxValue, collapseSiblings = false))
+        require(withCollapse == without,
+          s"pair counts diverge: collapse=$withCollapse direct=$without")
+        println(s"[template] identical pair sets: $withCollapse pairs either way")
+      }
     } finally {
       // cleanup + session stop even when a run throws or the count
       // equality require fails — the planted corpus is multiple GB and

@@ -42,11 +42,17 @@ import org.apache.spark.sql.types._
   */
 object Containment {
 
-  /** (exploded full rows with sizes, rarity-ordered prefix rows). Shared
-    * candidate-generation scaffolding: explode the capped sets once,
-    * repartition on the shingle so the frequency aggregate, the probe join
-    * build, and the prefix ranking all reuse one exchange. */
-  private def explodedAndPrefix(sets: DataFrame, minBp: Long): (DataFrame, DataFrame) = {
+  /** (exploded rows, position-ranked rows, rarity-ordered prefix rows).
+    * Shared candidate-generation scaffolding: explode the capped sets
+    * once, repartition on the shingle so the frequency aggregate, the
+    * probe join build, and the prefix ranking all reuse one exchange.
+    * `ranked` and `prefix` carry each shingle's per-set POSITION `__rn`
+    * under the global (frequency, value) order — the positional filter's
+    * input. A positional probe target uses `ranked` (one extra window
+    * execution over a reused exchange); a membership-only probe target
+    * uses the cheaper `exploded`. */
+  private def explodedAndPrefix(
+      sets: DataFrame, minBp: Long): (DataFrame, DataFrame, DataFrame) = {
     val exploded = sets
       .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
       .repartition(col("__x"))
@@ -55,29 +61,50 @@ object Containment {
       .join(freq, "__x")
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("__id")).orderBy(col("__f"), col("__x"))))
+      .select(col("__id"), col("__n").cast(LongType).as("__n"), col("__x"),
+        col("__rn").cast(LongType).as("__rn"))
     // prefix length n - ceil(t*n) + 1, exact in integer arithmetic:
     // ceil(minBp*n/10000) = floor((minBp*n + 9999)/10000)
     val prefix = ranked
       .filter(col("__rn") <= col("__n") - floor((col("__n") * minBp + 9999) / 10000) + 1)
-      .select(col("__id"), col("__n"), col("__x"))
-    (exploded, prefix)
+    (exploded, ranked, prefix)
   }
 
   /** Min-denominator candidate generation shared by [[pairs]] and
     * [[subsets]]: probe = the (size, id)-smaller side of each unordered
     * pair — min(|A|,|B|) is its size, so its prefix is the one the
     * pigeonhole argument covers. Output (id_1, id_2) distinct, id_1 <
-    * id_2. */
-  private def minSideCandidates(exploded: DataFrame, prefix: DataFrame): DataFrame =
+    * id_2.
+    *
+    * With `positional = true` (`full` must then be the ranked frame) the
+    * join also applies PPJoin's POSITIONAL filter: a qualifying pair's
+    * globally-smallest common shingle is in the probe's prefix
+    * (pigeonhole on its suffix) and the full side matches every shingle,
+    * so that first-match row exists and bounds the overlap by
+    * 1 + min(|A|-i, |B|-j); the min-denominator threshold needs
+    * overlap >= ceil(t*|A|) (|A| = the probe's, smaller, set) —
+    * cross-multiplied to stay integral. Later-match rows may fail the
+    * bound spuriously; the distinct only needs the first-match row. The
+    * filter's price is ranking the FULL side (a second window execution),
+    * which only pays when candidate mass dominates — the callers choose. */
+  private def minSideCandidates(
+      full: DataFrame, prefix: DataFrame, minBp: Long, positional: Boolean): DataFrame = {
+    val sizeOrder =
+      col("a.__n") < col("b.__n") ||
+        (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))
+    val cond =
+      if (positional)
+        col("a.__x") === col("b.__x") && sizeOrder &&
+          (lit(1L) + least(col("a.__n") - col("a.__rn"), col("b.__n") - col("b.__rn"))) *
+            10000L >= col("a.__n") * minBp
+      else col("a.__x") === col("b.__x") && sizeOrder
     prefix.as("a")
-      .join(exploded.as("b"),
-        col("a.__x") === col("b.__x") &&
-          (col("a.__n") < col("b.__n") ||
-            (col("a.__n") === col("b.__n") && col("a.__id") < col("b.__id"))))
+      .join(full.as("b"), cond)
       .select(
         least(col("a.__id"), col("b.__id")).as("id_1"),
         greatest(col("a.__id"), col("b.__id")).as("id_2"))
       .distinct()
+  }
 
   /** All pairs with floor(10000*|A∩B| / min(|A|,|B|)) >= minBp over
     * df-capped 3-gram shingle sets. Output (id_1, id_2, inter, min_n,
@@ -90,15 +117,17 @@ object Containment {
       minBp: Long,
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
-      collapseSiblings: Boolean = true): DataFrame = {
+      collapseSiblings: Boolean = true,
+      positionalFilter: Boolean = true): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
     val capped = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
     val (sets, membership) =
       if (collapseSiblings) {
         val (r, m) = Jaccard.collapse(capped); (r, Some(m))
       } else (capped, None)
-    val (exploded, prefix) = explodedAndPrefix(sets, minBp)
-    val cand = minSideCandidates(exploded, prefix)
+    val (exploded, ranked, prefix) = explodedAndPrefix(sets, minBp)
+    val cand = minSideCandidates(
+      if (positionalFilter) ranked else exploded, prefix, minBp, positionalFilter)
     // shuffle-hash verification for the same reason as [[Jaccard.pairs]]:
     // never sort probe rows carrying full shingle arrays
     val repPairs = cand
@@ -127,25 +156,86 @@ object Containment {
     * >= minBp contained in an EARLIER doc, flagged with their best
     * container (highest containment, ties to the smallest id). Output
     * (doc_id, contained_in, inter, cont_bp) — same result as the direct
-    * plan behind subset_docs. */
+    * plan behind subset_docs.
+    *
+    * `collapseSiblings = false` skips the set-identity collapse (its
+    * corpus-wide window + the membership expansion join) — for corpora
+    * KNOWN to be free of set-identical documents, where the collapse is
+    * pure insurance overhead (measured +41% warm on the sf0.1 catalog
+    * entry, which has no identical sets). On template-family corpora the
+    * default MUST stay on: without it the directional join inherits the
+    * C(m,2) sibling blowup ([[Jaccard.collapse]]). [[subsetsAuto]]
+    * measures which corpus it has and dispatches. Results are identical
+    * either way (CollapseSpec pins knob-off == knob-on). */
   def subsets(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minBp: Long,
       native: Boolean = false,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      collapseSiblings: Boolean = true,
+      positionalFilter: Boolean = false): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val (sets, membership) =
-      Jaccard.collapse(Jaccard.cappedSets(df, idCol, textCol, native, maxDf))
-    val (exploded, prefix) = explodedAndPrefix(sets, minBp)
+    val capped = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    if (collapseSiblings) subsetsCollapsed(capped, minBp, positionalFilter)
+    else subsetsPlain(capped, minBp, positionalFilter)
+  }
+
+  /** Knob-off body of [[subsets]]: with no collapse, every candidate's
+    * LATER side is known at candidate time, so the pigeonhole prefix sits
+    * directly on the denominator (the later doc's set) and each pair is
+    * generated, verified, and scored ONCE in its only qualifying
+    * direction — no both-direction explode, no membership join. This is
+    * the lean plan for sibling-free corpora; on template corpora it
+    * inherits the C(m,2) blowup the collapse exists to kill. */
+  private def subsetsPlain(
+      capped: DataFrame, minBp: Long, positionalFilter: Boolean): DataFrame = {
+    val (exploded, ranked, prefix) = explodedAndPrefix(capped, minBp)
+    // direction-aware probe: the LATER doc (a) is the constrained side,
+    // its prefix joins every EARLIER doc's full token list; the optional
+    // positional bound mirrors [[minSideCandidates]] with the later doc's
+    // set as the denominator
+    val base = col("a.__x") === col("b.__x") && col("a.__id") > col("b.__id")
+    val cond =
+      if (positionalFilter)
+        base &&
+          (lit(1L) + least(col("a.__n") - col("a.__rn"), col("b.__n") - col("b.__rn"))) *
+            10000L >= col("a.__n") * minBp
+      else base
+    val cand = prefix.as("a")
+      .join((if (positionalFilter) ranked else exploded).as("b"), cond)
+      .select(col("a.__id").as("doc_id"), col("b.__id").as("contained_in"))
+      .distinct()
+    val flagged = cand
+      .join(capped.as("sa").hint("shuffle_hash"), col("doc_id") === col("sa.__id"))
+      .join(capped.as("sb").hint("shuffle_hash"), col("contained_in") === col("sb.__id"))
+      .select(
+        col("doc_id"), col("contained_in"),
+        size(array_intersect(col("sa.__set"), col("sb.__set"))).cast(LongType).as("inter"),
+        size(col("sa.__set")).cast(LongType).as("__n"))
+      .withColumn("cont_bp", expr("inter * 10000 div __n"))
+      .filter(col("cont_bp") >= minBp)
+      .select(col("doc_id"), col("contained_in"), col("inter"), col("cont_bp"))
+    bestContainer(flagged)
+  }
+
+  /** Collapsed body of [[subsets]] — the shared chain [[subsetsAuto]]
+    * runs off one cached sets frame when the corpus carries siblings. */
+  private def subsetsCollapsed(
+      capped: DataFrame,
+      minBp: Long,
+      positionalFilter: Boolean): DataFrame = {
+    val (sets, membership) = Jaccard.collapse(capped)
+    val (exploded, ranked, prefix) = explodedAndPrefix(sets, minBp)
     // Rep-level candidates use the MIN-denominator prefix filter (the
     // [[pairs]] orientation), a superset of the later-denominator
     // qualifiers: inter >= ceil(t*n_later) implies
     // inter >= ceil(t*min(n_1, n_2)) since n_later >= min. The
     // directional probe can't run at rep level — a group's members span
     // arbitrary ids, so either member of a pair may be the later doc.
-    val cand = minSideCandidates(exploded, prefix)
+    val cand = minSideCandidates(
+      if (positionalFilter) ranked else exploded, prefix, minBp, positionalFilter)
     val repCand = cand
       .join(sets.as("sa").hint("shuffle_hash"), col("id_1") === col("sa.__id"))
       .join(sets.as("sb").hint("shuffle_hash"), col("id_2") === col("sb.__id"))
@@ -180,18 +270,59 @@ object Containment {
       .filter(col("m.__id") > col("__container"))
       .select(col("m.__id").as("doc_id"), col("__container").as("contained_in"),
         col("inter"), col("cont_bp"))
-    // within a group, every non-rep member is 10000-bp contained in the
-    // rep (identical sets, rep = smallest id = best possible container
-    // from the group)
+    // within a group, every non-rep member is 10000-bp contained in
+    // the rep (identical sets, rep = smallest id = best possible
+    // container from the group)
     val within = membership.filter(col("__id") =!= col("__rep"))
       .select(col("__id").as("doc_id"), col("__rep").as("contained_in"),
         col("__n").as("inter"), lit(10000L).as("cont_bp"))
-    cross.unionAll(within)
+    bestContainer(cross.unionAll(within))
+  }
+
+  /** Shared finisher of the [[subsets]] bodies: keep each doc's best
+    * container (highest containment, ties to the smallest id). */
+  private def bestContainer(flagged: DataFrame): DataFrame =
+    flagged
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("cont_bp").desc, col("contained_in").asc)))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("contained_in"), col("inter"), col("cont_bp"))
+
+  /** [[subsets]] with the collapse decided by measurement: ONE cheap
+    * aggregate over the cached sets frame (count vs distinct set-hash
+    * count) detects whether the corpus carries set-identical documents at
+    * all — if not, the collapse window and membership expansion are pure
+    * overhead and the plain directional plan runs; if yes (or on a hash
+    * collision, which only errs toward collapsing), the sibling-proof
+    * plan runs. The sets frame is persisted so the probe and the chosen
+    * plan traverse the shingling lineage once, and released before
+    * returning (same materialize-then-unpersist discipline as
+    * [[Jaccard.pairsAuto]]); `materialize = false` skips persist and
+    * checkpoint and probes the raw lineage. */
+  def subsetsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBp: Long,
+      native: Boolean = false,
+      maxDf: Long = Long.MaxValue,
+      materialize: Boolean = true): DataFrame = {
+    require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
+    def hasSiblings(sets: DataFrame): Boolean = {
+      val r = sets.agg(count(lit(1)), countDistinct(xxhash64(col("__set")))).head()
+      r.getLong(1) < r.getLong(0)
+    }
+    val capped = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    def run(sets: DataFrame): DataFrame =
+      if (hasSiblings(sets)) subsetsCollapsed(sets, minBp, positionalFilter = false)
+      else subsetsPlain(sets, minBp, positionalFilter = false)
+    if (!materialize) run(capped)
+    else {
+      val cached = capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try run(cached).localCheckpoint()
+      finally cached.unpersist(blocking = false)
+    }
   }
 
   /** Direct co-occurrence formulation of [[pairs]] — result-identical,

@@ -190,9 +190,30 @@ object Jaccard {
     // ceil(minBp*n/10000) = floor((minBp*n + 9999)/10000)
     val prefix = ranked
       .filter(col("__rn") <= col("__n") - floor((col("__n") * minBp + 9999) / 10000) + 1)
-      .select(col("__id"), col("__x"))
+      .select(col("__id"), col("__n").cast(LongType).as("__n"), col("__x"),
+        col("__rn").cast(LongType).as("__rn"))
+    // Candidate pruning beyond prefix membership — both PPJoin filters,
+    // evaluated inside the join so pruned pairs never reach the distinct:
+    //  - LENGTH: J >= t forces |A∩B| >= t*max(|A|,|B|) and |A∩B| <=
+    //    min(|A|,|B|), so min*10000 >= minBp*max or the pair can't
+    //    qualify.
+    //  - POSITIONAL: a qualifying pair's globally-smallest common shingle
+    //    sits in BOTH prefixes (the prefix-filter completeness argument),
+    //    so the join matches it; at that row every other common shingle
+    //    lies after position i in A and after j in B (per-set lists share
+    //    the one global order), bounding the overlap by
+    //    1 + min(|A|-i, |B|-j). J >= t needs overlap >=
+    //    ceil(t*(|A|+|B|)/(1+t)) — cross-multiplied by (10000+minBp) to
+    //    stay in exact integer arithmetic. Rows for LATER shared prefix
+    //    shingles may fail the bound spuriously, but completeness only
+    //    needs the first-match row to survive into the distinct.
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id"))
+      .join(prefix.as("b"),
+        col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id") &&
+          least(col("a.__n"), col("b.__n")) * 10000L >=
+            greatest(col("a.__n"), col("b.__n")) * minBp &&
+          (lit(1L) + least(col("a.__n") - col("a.__rn"), col("b.__n") - col("b.__rn"))) *
+            (10000L + minBp) >= (col("a.__n") + col("b.__n")) * minBp)
       .select(col("a.__id").as("id_1"), col("b.__id").as("id_2"))
       .distinct()
     // verification: shuffle-hash, never sort-merge — the probe side is

@@ -105,6 +105,32 @@ class CollapseSpec extends SparkSpec {
     assert(cOn == cOff)
   }
 
+  test("subsets collapseSiblings = false produces identical flags (knob is plan-only)") {
+    val df = corpus(9, nGroups = 3, mPerGroup = 5, nLoners = 10)
+    for (minBp <- Seq(8000L, 9500L)) {
+      val on = collect4(Containment.subsets(df, "doc_id", "text", minBp))
+      val off = collect4(Containment.subsets(df, "doc_id", "text", minBp,
+        native = false, maxDf = Long.MaxValue, collapseSiblings = false))
+      assert(on == off, s"minBp=$minBp")
+    }
+  }
+
+  test("subsetsAuto matches subsets on sibling-heavy AND sibling-free corpora") {
+    // sibling-heavy: the probe must pick the collapsed plan and still
+    // emit every within-group flag
+    val heavy = corpus(11, nGroups = 3, mPerGroup = 5, nLoners = 8)
+    assert(collect4(Containment.subsetsAuto(heavy, "doc_id", "text", 9000L))
+      == collect4(Containment.subsets(heavy, "doc_id", "text", 9000L)))
+    // sibling-free (loners only): the probe picks the plain plan
+    val free = corpus(12, nGroups = 0, mPerGroup = 0, nLoners = 25)
+    assert(collect4(Containment.subsetsAuto(free, "doc_id", "text", 8000L))
+      == collect4(Containment.subsets(free, "doc_id", "text", 8000L)))
+    // materialize = false probes the raw lineage, same answer
+    assert(collect4(Containment.subsetsAuto(heavy, "doc_id", "text", 9000L,
+      native = false, maxDf = Long.MaxValue, materialize = false))
+      == collect4(Containment.subsets(heavy, "doc_id", "text", 9000L)))
+  }
+
   test("collapse emits one rep per distinct set and a full membership map") {
     val df = corpus(7, nGroups = 3, mPerGroup = 4, nLoners = 5)
     val (reps, membership) =
