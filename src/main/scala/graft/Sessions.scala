@@ -45,6 +45,16 @@ object Sessions {
       // should lower this bound or raise task memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1048576")
+      // reliable-checkpoint janitor: when a graft-owned session runs the
+      // curate pipeline in checkpointDir mode (CorpusPipeline
+      // .truncateLineage), the ContextCleaner deletes a checkpoint's
+      // rdd-N directory once its RDD is garbage-collected — off by
+      // default in Spark, which silently accumulates checkpoint data
+      // batch after batch in a long-lived service. GC-driven cleanup is
+      // asynchronous; CorpusPipeline.purgeCheckpoints is the
+      // deterministic complement for operators who want the data gone
+      // at a known point.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no native
       // nanos type — read as long, Tables.load converts to micros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -131,4 +131,37 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Corpus-size threshold above which [[pairsAuto]] stops honoring an
+    * uncapped/inert df gate — same crossover scale as
+    * [[Jaccard.DirectMaxDocs]] (where quadratic formulations stop being
+    * affordable on this workload's document sizes). */
+  val UncappedMaxDocs = 20000L
+
+  /** [[pairs]] with the df cap made scale-safe by measurement: up to
+    * `uncappedMaxDocs` input documents the caller's `maxDf` runs
+    * verbatim (including an inert cap — exact full output); above it the
+    * cap is CLAMPED to min(maxDf, max(64, ceil(sqrt(n)))), bounding any
+    * one fingerprint's pair fanout at ~n and the total hot-key join mass
+    * at corpus-linear. Winnowing minima skew toward globally small hash
+    * values, so on sibling-heavy corpora an inert gate's quadratic pair
+    * mass IS the output (measured 269 GiB of graceful-but-pointless
+    * spill at the 100x rehearsal) — a pipeline that genuinely wants
+    * every uncapped pair at scale opts in by calling [[pairs]] directly.
+    * Runs one `count()` on the input to decide — cache `docs` upstream
+    * when its lineage is expensive. */
+  def pairsAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxDf: Long = 2000L,
+      uncappedMaxDocs: Long = UncappedMaxDocs): DataFrame = {
+    val n = docs.count()
+    val eff =
+      if (n <= uncappedMaxDocs) maxDf
+      else math.min(maxDf, math.max(64L, math.ceil(math.sqrt(n.toDouble)).toLong))
+    pairs(docs, idCol, textCol, w, minShared, eff)
+  }
 }

@@ -86,6 +86,29 @@ object CorpusPipeline {
       case None => df.localCheckpoint()
     }
 
+  /** Deterministic reliable-checkpoint janitor for service loops: deletes
+    * everything under the session's current checkpoint location (the UUID
+    * subdirectory `setCheckpointDir` created). A long-lived service that
+    * calls [[curate]] batch after batch in `cfg.checkpointDir` mode
+    * accumulates one rdd-N directory per batch; the GC-driven cleanup
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`, set by
+    * graft's `Sessions.build`) removes them only when the JVM happens to
+    * collect the RDD, so an operator with a known batch boundary calls
+    * this instead.
+    *
+    * ONLY safe once every DataFrame produced by [[curate]] since the
+    * last purge is fully materialized (written out / collected) or
+    * abandoned — the checkpoint files ARE those frames' truncated
+    * lineage, and a later action on a live frame would fail to find
+    * them. Subsequent curate calls recreate the directory on first
+    * checkpoint (the checkpoint writer mkdirs its rdd-N path). */
+  def purgeCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getCheckpointDir.foreach { dir =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+
   /** Optional stage 0 — URL-level dedup BEFORE any content work (the
     * order a crawl pipeline runs: the same page fetched under different
     * raw spellings never reaches cleanup, quality, or content dedup).

@@ -127,6 +127,34 @@ class WinnowSpec extends SparkSpec {
       "boilerplate-carried pairs must be present uncapped and dropped capped")
   }
 
+  test("pairsAuto honors the caller's cap below the threshold, clamps above") {
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = (1L to 40L).map(i =>
+      (i, s"${uniqueTokens(s"u$i", 20)} $run ${uniqueTokens(s"v$i", 20)}"))
+      .toDF("doc_id", "text")
+    // below the threshold: identical to pairs at the same (inert) cap —
+    // the shared run makes every pair, all kept
+    val inert = Winnow.pairs(docs, "doc_id", "text", w = 4, minShared = 1L,
+      maxDf = Long.MaxValue).collect().toSet
+    val autoSmall = Winnow.pairsAuto(docs, "doc_id", "text", w = 4, minShared = 1L,
+      maxDf = Long.MaxValue).collect().toSet
+    assert(autoSmall == inert && inert.size == 40 * 39 / 2)
+    // above the threshold: the cap clamps to max(64, ceil(sqrt(40))) = 64,
+    // still above every fingerprint's df here (40) — output unchanged,
+    // and equal to pairs at the clamped cap
+    val autoBig = Winnow.pairsAuto(docs, "doc_id", "text", w = 4, minShared = 1L,
+      maxDf = Long.MaxValue, uncappedMaxDocs = 10L).collect().toSet
+    assert(autoBig == Winnow.pairs(docs, "doc_id", "text", w = 4, minShared = 1L,
+      maxDf = 64L).collect().toSet)
+    // and a clamp that bites (every doc shares the run-minted hot
+    // fingerprints, df = 40 > clamp) removes only hot-fp-supported pairs
+    val autoTight = Winnow.pairsAuto(docs, "doc_id", "text", w = 4, minShared = 1L,
+      maxDf = 39L, uncappedMaxDocs = 10L)
+    assert(autoTight.collect().toSet ==
+      Winnow.pairs(docs, "doc_id", "text", w = 4, minShared = 1L, maxDf = 39L)
+        .collect().toSet)
+  }
+
   test("docs under 3 tokens are excluded, short docs keep their global min") {
     val docs = Seq((1L, "a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val fps = Winnow.fingerprints(docs, "doc_id", "text", w = 4)

@@ -112,6 +112,40 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("purgeCheckpoints bounds checkpoint accumulation across curate batches") {
+    val cfg = CorpusPipeline.Config(
+      minTokens = 5L, maxTopTokenBp = 5000L, nearDupMinBp = 8000L,
+      keepBestInCluster = true,
+      checkpointDir = Some(
+        java.nio.file.Files.createTempDirectory("graft-ck-janitor").toString))
+    def rddDirs(): Seq[java.nio.file.Path] = {
+      // the EFFECTIVE location: setCheckpointDir appends a UUID subdir,
+      // and an earlier test (or suite) may already own the session's dir
+      val eff = spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(eff))) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(eff))
+          .iterator().asScala.toSeq
+      }
+    }
+    def batch(): Unit =
+      assert(CorpusPipeline.curate(docs, "doc_id", "text", cfg).count() == 2)
+    batch()
+    val afterOne = rddDirs().size
+    assert(afterOne > 0, "reliable mode must have checkpointed the sliver")
+    batch()
+    assert(rddDirs().size > afterOne, "each batch adds rdd-N dirs without a janitor")
+    // batches materialized -> the janitor may reclaim everything
+    CorpusPipeline.purgeCheckpoints(spark)
+    assert(rddDirs().isEmpty, "purge must empty the checkpoint location")
+    // and the next batch still works, recreating the directory
+    batch()
+    assert(rddDirs().nonEmpty)
+    CorpusPipeline.purgeCheckpoints(spark)
+  }
+
   test("exact dedup keeps the smallest id of identical cleaned text") {
     val d = Seq((10L, "same words here"), (7L, "same words here"), (8L, "other words here"))
       .toDF("doc_id", "text")
