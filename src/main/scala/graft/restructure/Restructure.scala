@@ -70,7 +70,16 @@ final case class RestructureConfig(
     // splittable) — the writer rolls to part-...-c001 etc. at the cap.
     // None = Spark's session default (spark.sql.files.maxRecordsPerFile,
     // 0 = unlimited).
-    maxRecordsPerFile: Option[Long] = None)
+    maxRecordsPerFile: Option[Long] = None,
+    // keep-last dedup strategy: false (default) = one exchange on the key
+    // columns + per-partition sort (window row_number) — spills the sort
+    // gracefully when a task's groups exceed memory; true = two-phase
+    // max_by aggregation (Dedup.keepLastSalted) — map-side partial
+    // combine, no full sort, the right shape when batches carry REAL
+    // duplicate mass to combine away early. Results are identical
+    // (DedupSpec pins it); see BENCHSCALE.md's 100M-record A/B for why
+    // the sort stays the default on all-unique batches.
+    dedupSalted: Boolean = false)
 
 /** One source file of one topic: a contiguous offset range of a
   * topic-partition, metadata parsed from the filename
@@ -262,11 +271,15 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     * ordered by offset. */
   def dedup(topic: String, df: DataFrame): DataFrame = {
     val cfg = config.dedup.getOrElse(topic, config.dedupDefault)
+    def last(keys: Seq[String]): DataFrame =
+      if (config.dedupSalted) Dedup.keepLastSalted(df, keys, "_offset")
+      else Dedup.keepLast(df, keys, "_offset")
+    def ignoring(ignore: Seq[String]): Seq[String] =
+      df.columns.filterNot(c => ignore.contains(c) || c == "_offset").toSeq
     if (!cfg.enable) df
-    else if (cfg.distinctFields.nonEmpty) Dedup.keepLast(df, cfg.distinctFields, "_offset")
-    else if (cfg.ignoreFields.nonEmpty)
-      Dedup.keepLastIgnoring(df, cfg.ignoreFields ++ metaCols, "_offset")
-    else Dedup.keepLastIgnoring(df, metaCols, "_offset")
+    else if (cfg.distinctFields.nonEmpty) last(cfg.distinctFields)
+    else if (cfg.ignoreFields.nonEmpty) last(ignoring(cfg.ignoreFields ++ metaCols))
+    else last(ignoring(metaCols))
   }
 
   private val metaCols = Seq(

@@ -296,6 +296,21 @@ class RestructureSpec extends SparkSpec {
     assert(rolled == want)
   }
 
+  test("dedupSalted strategy writes the identical output (plan-only knob)") {
+    // the fixture carries a real duplicate (two CONNECTED records at t1),
+    // so the salted path's combine has actual work to do
+    val (_, cfgW) = setup()
+    new Restructure(spark, cfgW).run()
+    val windowed = new Restructure(spark, cfgW).readOutput("application_server_status")
+      .orderBy("`value.time`", "`value.serverStatus`").collect().map(_.toSeq).toSeq
+    val (_, cfg0) = setup()
+    val cfgS = cfg0.copy(dedupSalted = true)
+    new Restructure(spark, cfgS).run()
+    val salted = new Restructure(spark, cfgS).readOutput("application_server_status")
+      .orderBy("`value.time`", "`value.serverStatus`").collect().map(_.toSeq).toSeq
+    assert(salted == windowed && windowed.size == 3)
+  }
+
   test("restructure: parquet sink keeps the flattened layout and round-trips") {
     val (_, base) = setup()
     val cfg = base.copy(format = "parquet")
