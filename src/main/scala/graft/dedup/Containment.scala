@@ -27,13 +27,15 @@ import org.apache.spark.sql.types._
   *     denominator, so orient each unordered pair by (set size, id) and
   *     probe with the smaller side's prefix.
   *   - [[subsets]] (directional, later-doc denominator): the LATER doc's
-  *     set is the denominator regardless of size. Since round 14 the
-  *     candidate join still uses the MIN-denominator orientation above —
-  *     a superset of the later-denominator qualifiers (see the
-  *     in-function proof) — because the sibling collapse runs the join
-  *     over set REPRESENTATIVES, whose ids say nothing about their
-  *     members' earlier/later order; each direction's threshold applies
-  *     during membership expansion instead.
+  *     set is the denominator regardless of size. With the sibling
+  *     collapse ON the candidate join runs over set REPRESENTATIVES,
+  *     whose ids say nothing about their members' earlier/later order,
+  *     so it uses the MIN-denominator orientation above — a superset of
+  *     the later-denominator qualifiers (see the in-function proof) —
+  *     and each direction's threshold applies during membership
+  *     expansion. With the collapse OFF the direction is known at
+  *     candidate time and the lean plan probes with the LATER doc's
+  *     prefix directly ([[subsetsPlain]]).
   *
   * Verification is exact in both: candidates re-join the full (df-capped)
   * sets and compute the true intersection with array_intersect, so the
@@ -158,15 +160,19 @@ object Containment {
     * (doc_id, contained_in, inter, cont_bp) — same result as the direct
     * plan behind subset_docs.
     *
-    * `collapseSiblings = false` skips the set-identity collapse (its
-    * corpus-wide window + the membership expansion join) — for corpora
-    * KNOWN to be free of set-identical documents, where the collapse is
-    * pure insurance overhead (measured +41% warm on the sf0.1 catalog
-    * entry, which has no identical sets). On template-family corpora the
-    * default MUST stay on: without it the directional join inherits the
-    * C(m,2) sibling blowup ([[Jaccard.collapse]]). [[subsetsAuto]]
-    * measures which corpus it has and dispatches. Results are identical
-    * either way (CollapseSpec pins knob-off == knob-on). */
+    * `collapseSiblings = false` runs the lean direction-aware plan
+    * ([[subsetsPlain]]) — for corpora KNOWN to be free of set-identical
+    * documents, where the collapse window plus both-direction expansion
+    * is pure insurance overhead (the r14 always-collapse form cost +41%
+    * warm on the sibling-free sf0.1 catalog entry). On template-family
+    * corpora the default MUST stay on: without it the directional join
+    * inherits the C(m,2) sibling blowup ([[Jaccard.collapse]]).
+    * [[subsetsAuto]] measures which corpus it has and dispatches.
+    * `positionalFilter = true` adds the positional candidate prune at
+    * the cost of ranking the full probe side (100x blowup: -13% wall,
+    * -31% spill; sf0.1 warm: ~+0.7 s — off by default here, unlike
+    * [[pairs]]). Results are identical under every knob combination
+    * (CollapseSpec pins them). */
   def subsets(
       df: DataFrame,
       idCol: String,

@@ -115,6 +115,25 @@ class CollapseSpec extends SparkSpec {
     }
   }
 
+  test("positionalFilter is plan-only for every knob combination") {
+    val df = corpus(10, nGroups = 3, mPerGroup = 4, nLoners = 12)
+    for (minBp <- Seq(8000L, 9500L); collapse <- Seq(true, false)) {
+      val want = collect4(Containment.subsets(df, "doc_id", "text", minBp,
+        native = false, maxDf = Long.MaxValue, collapseSiblings = collapse))
+      val pos = collect4(Containment.subsets(df, "doc_id", "text", minBp,
+        native = false, maxDf = Long.MaxValue, collapseSiblings = collapse,
+        positionalFilter = true))
+      assert(pos == want, s"subsets minBp=$minBp collapse=$collapse")
+    }
+    for (minBp <- Seq(8000L, 9500L)) {
+      val want = collect5(Containment.pairs(df, "doc_id", "text", minBp))
+      val noPos = collect5(Containment.pairs(df, "doc_id", "text", minBp,
+        native = false, maxDf = Long.MaxValue, collapseSiblings = true,
+        positionalFilter = false))
+      assert(noPos == want, s"pairs minBp=$minBp")
+    }
+  }
+
   test("subsetsAuto matches subsets on sibling-heavy AND sibling-free corpora") {
     // sibling-heavy: the probe must pick the collapsed plan and still
     // emit every within-group flag
