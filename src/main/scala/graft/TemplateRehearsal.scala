@@ -30,6 +30,8 @@ object TemplateRehearsal {
     val copies = if (args.length > 1) args(1).toInt else 20
     val minBp = if (args.length > 2) args(2).toLong else 8000L
     val family = if (args.length > 3) args(3) else "jaccard"
+    require(family == "jaccard" || family == "subsets",
+      s"family must be jaccard or subsets, got '$family'")
     require(copies >= 2, "copies must be >= 2")
     val spark = Sessions.build("graft-template-rehearsal")
 
@@ -48,12 +50,20 @@ object TemplateRehearsal {
       val nDocs = planted.count()
       println(s"[template] corpus: $nDocs docs ($copies identical copies each)")
 
-      def run(label: String)(query: => org.apache.spark.sql.DataFrame): Long = {
+      // (row count, order-independent xor of whole-row hashes) in ONE
+      // job — the checksum makes the cross-plan equality gate bind on
+      // row CONTENT, not just cardinality (for the per-doc best-container
+      // output a count alone cannot see a wrong-container divergence)
+      def run(label: String)(query: => org.apache.spark.sql.DataFrame): (Long, Long) = {
         BenchSpill.drainBus(spark.sparkContext)
         val acc = new BenchSpill.TaskMetricsAcc
         spark.sparkContext.addSparkListener(acc)
         val t0 = System.nanoTime()
-        val n = query.count()
+        val q = query
+        val row = q.select(xxhash64(struct(q.columns.map(col): _*)).as("__h"))
+          .agg(count(lit(1)), expr("bit_xor(__h)")).head()
+        val n = row.getLong(0)
+        val chk = if (row.isNullAt(1)) 0L else row.getLong(1)
         val wall = (System.nanoTime() - t0) / 1e9
         acc.settle()
         spark.sparkContext.removeSparkListener(acc)
@@ -62,7 +72,7 @@ object TemplateRehearsal {
           f"memSpill=${acc.memSpilled.get() / 1048576}%d MiB " +
           f"diskSpill=${acc.diskSpilled.get() / 1048576}%d MiB " +
           f"peakTask=${acc.peakTask.get() / 1048576}%d MiB")
-        n
+        (n, chk)
       }
 
       if (family == "subsets") {
@@ -77,8 +87,8 @@ object TemplateRehearsal {
           planted, "doc_id", "text", minBp, native = true,
           maxDf = Long.MaxValue, collapseSiblings = false))
         require(auto == on && on == off,
-          s"flag counts diverge: auto=$auto on=$on off=$off")
-        println(s"[template] identical flag sets: $auto flags all three ways")
+          s"flag sets diverge (rows, checksum): auto=$auto on=$on off=$off")
+        println(s"[template] identical flag sets: ${auto._1} flags all three ways")
       } else {
         // collapse first (cheap), then the pre-collapse plan (the blowup)
         val withCollapse = run("collapse=on")(graft.dedup.Jaccard.pairs(
@@ -88,8 +98,8 @@ object TemplateRehearsal {
           planted, "doc_id", "text", minBp,
           native = true, maxDf = Long.MaxValue, collapseSiblings = false))
         require(withCollapse == without,
-          s"pair counts diverge: collapse=$withCollapse direct=$without")
-        println(s"[template] identical pair sets: $withCollapse pairs either way")
+          s"pair sets diverge (rows, checksum): collapse=$withCollapse direct=$without")
+        println(s"[template] identical pair sets: ${withCollapse._1} pairs either way")
       }
     } finally {
       // cleanup + session stop even when a run throws or the count

@@ -162,6 +162,14 @@ object Winnow {
     val eff =
       if (n <= uncappedMaxDocs) maxDf
       else math.min(maxDf, math.max(64L, math.ceil(math.sqrt(n.toDouble)).toLong))
+    // unlike the prefix joins' plan-only auto dispatches, a biting clamp
+    // CHANGES the result set (over-df fingerprints' pairs are dropped) —
+    // say so where an operator will see it
+    if (eff < maxDf)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"winnow pairsAuto clamped maxDf $maxDf -> $eff at $n docs: " +
+          "pairs supported only by fingerprints above the clamp are dropped; " +
+          "call pairs() directly for the uncapped result")
     pairs(docs, idCol, textCol, w, minShared, eff)
   }
 }

@@ -28,11 +28,18 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** The ONE owner of `ignoreFields` key derivation: all columns minus the
+    * ignored ones minus the order column — shared by [[keepLastIgnoring]]
+    * and the restructure job's strategy dispatch so the windowed and
+    * salted paths can never drift. */
+  def keysIgnoring(df: DataFrame, ignore: Seq[String], orderCol: String): Seq[String] =
+    df.columns.filterNot(c => ignore.contains(c) || c == orderCol).toSeq
+
   /** D1 with `ignoreFields` semantics: key = all columns minus the ignored
     * ones (reference: format/CsvAvroConverterFactory.kt:158-171 —
     * `distinctFields` wins over `ignoreFields` when both are set). */
   def keepLastIgnoring(df: DataFrame, ignore: Seq[String], orderCol: String): DataFrame =
-    keepLast(df, df.columns.filterNot(c => ignore.contains(c) || c == orderCol).toSeq, orderCol)
+    keepLast(df, keysIgnoring(df, ignore, orderCol), orderCol)
 
   /** D2 — keep-FIRST whole-row distinct, preserving first-occurrence order
     * (reference: format/RecordConverterFactory.kt:62-84; JSON format).
@@ -73,12 +80,21 @@ object Dedup {
       saltBuckets: Int = 64): DataFrame = {
     val all = df.columns.toSeq
     val rowStruct = struct(all.map(col): _*)
-    val salted = df.withColumn("__salt", pmod(col(orderCol), lit(saltBuckets)))
+    // hash-based salt so orderCol may be ANY orderable type (e.g. a
+    // (offset, partition) struct), not just numeric; pmod keeps the
+    // bucket non-negative for negative hashes. Plan-only — the salt only
+    // spreads phase-1 groups, winners are still decided by orderCol.
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(orderCol)), lit(saltBuckets.toLong)))
+    // keys may be NESTED field references (e.g. value.time): phase 1's
+    // groupBy output would auto-alias them to the bare leaf name, which
+    // phase 2 could not resolve — pin stable aliases instead
+    val keyAliases = keys.indices.map(i => s"__k$i")
     val phase1 = salted
-      .groupBy((keys :+ "__salt").map(col): _*)
+      .groupBy(keys.zip(keyAliases).map { case (k, a) => col(k).as(a) } :+ col("__salt"): _*)
       .agg(max_by(rowStruct, col(orderCol)).as("__row"))
     val phase2 = phase1
-      .groupBy(keys.map(col): _*)
+      .groupBy(keyAliases.map(col): _*)
       .agg(max_by(col("__row"), col(s"__row.$orderCol")).as("__row"))
     phase2.select(all.map(c => col(s"__row.$c").as(c)): _*)
   }

@@ -75,12 +75,18 @@ object CorpusPipeline {
         val sc = df.sparkSession.sparkContext
         sc.getCheckpointDir match {
           case None => sc.setCheckpointDir(dir)
-          case Some(existing) if !existing.contains(dir.stripSuffix("/")) =>
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"checkpointDir already set to $existing; " +
-                s"ignoring cfg.checkpointDir=$dir — checkpoint data lands " +
-                "in the existing location")
-          case _ => ()
+          case Some(existing) =>
+            // the effective dir is setCheckpointDir's UUID subdirectory:
+            // ours iff its PARENT's path equals cfg.checkpointDir
+            // (path-component comparison — scheme/authority spelling must
+            // not fake a divergence, substrings must not hide one)
+            val parent = new org.apache.hadoop.fs.Path(existing).getParent
+            val wanted = new org.apache.hadoop.fs.Path(dir)
+            if (parent == null || parent.toUri.getPath != wanted.toUri.getPath)
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"checkpointDir already set to $existing; " +
+                  s"ignoring cfg.checkpointDir=$dir — checkpoint data lands " +
+                  "in the existing location")
         }
         df.checkpoint()
       case None => df.localCheckpoint()
@@ -96,12 +102,15 @@ object CorpusPipeline {
     * collect the RDD, so an operator with a known batch boundary calls
     * this instead.
     *
-    * ONLY safe once every DataFrame produced by [[curate]] since the
-    * last purge is fully materialized (written out / collected) or
-    * abandoned — the checkpoint files ARE those frames' truncated
-    * lineage, and a later action on a live frame would fail to find
-    * them. Subsequent curate calls recreate the directory on first
-    * checkpoint (the checkpoint writer mkdirs its rdd-N path). */
+    * The checkpoint location is SPARKCONTEXT-GLOBAL, so the blast radius
+    * is every reliably-checkpointed frame in the session, not just
+    * curate's: ONLY safe once every such DataFrame since the last purge —
+    * curate outputs AND anything another component checkpointed into the
+    * shared location — is fully materialized (written out / collected)
+    * or abandoned. The checkpoint files ARE those frames' truncated
+    * lineage; a later action on a live frame would fail to find them.
+    * Subsequent checkpoints recreate the directory (the checkpoint
+    * writer mkdirs its rdd-N path). */
   def purgeCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.getCheckpointDir.foreach { dir =>
       val path = new org.apache.hadoop.fs.Path(dir)

@@ -271,11 +271,18 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     * ordered by offset. */
   def dedup(topic: String, df: DataFrame): DataFrame = {
     val cfg = config.dedup.getOrElse(topic, config.dedupDefault)
+    // keep-last needs a TOTAL order unique per record: _offset alone is
+    // only unique within a Kafka partition, so equal-key records at the
+    // same offset of different partitions would tie and the surviving
+    // row would be strategy/partitioning-dependent. (_offset, _partition)
+    // is globally unique — both strategies order by the struct and pick
+    // the same winner deterministically.
+    val ordered = df.withColumn("__ord", struct(col("_offset"), col("_partition")))
     def last(keys: Seq[String]): DataFrame =
-      if (config.dedupSalted) Dedup.keepLastSalted(df, keys, "_offset")
-      else Dedup.keepLast(df, keys, "_offset")
+      (if (config.dedupSalted) Dedup.keepLastSalted(ordered, keys, "__ord")
+       else Dedup.keepLast(ordered, keys, "__ord")).drop("__ord")
     def ignoring(ignore: Seq[String]): Seq[String] =
-      df.columns.filterNot(c => ignore.contains(c) || c == "_offset").toSeq
+      Dedup.keysIgnoring(ordered, ignore :+ "__ord", "__ord")
     if (!cfg.enable) df
     else if (cfg.distinctFields.nonEmpty) last(cfg.distinctFields)
     else if (cfg.ignoreFields.nonEmpty) last(ignoring(cfg.ignoreFields ++ metaCols))

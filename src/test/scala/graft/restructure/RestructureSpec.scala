@@ -296,6 +296,35 @@ class RestructureSpec extends SparkSpec {
     assert(rolled == want)
   }
 
+  test("cross-partition keep-last ties break deterministically, same row both strategies") {
+    // equal dedup key (value.time) at the SAME offset in two partitions:
+    // _offset alone cannot order them — the (offset, partition) struct
+    // must pick the partition-1 row under BOTH strategies
+    def mk(salted: Boolean) = {
+      val dir = Files.createTempDirectory("graft-tie").toFile
+      writeAvro(
+        new File(dir, "in/application_server_status/partition=0/application_server_status+0+0000000005.avro"),
+        Seq(record(t1, "FROM_P0")))
+      writeAvro(
+        new File(dir, "in/application_server_status/partition=1/application_server_status+1+0000000005.avro"),
+        Seq(record(t1, "FROM_P1")))
+      val cfg = RestructureConfig(
+        inputDir = new File(dir, "in").toString,
+        outputDir = new File(dir, "out").toString,
+        stateFile = new File(dir, "state/offsets.json").toString,
+        compression = None,
+        minimumFileAgeMs = 0L,
+        dedupDefault = DedupConfig(enable = true, distinctFields = Seq("value.time")),
+        dedupSalted = salted)
+      val job = new Restructure(spark, cfg)
+      job.run()
+      job.readOutput("application_server_status")
+        .select("`value.serverStatus`").collect().map(_.getString(0)).toSeq
+    }
+    assert(mk(salted = false) == Seq("FROM_P1"))
+    assert(mk(salted = true) == Seq("FROM_P1"))
+  }
+
   test("dedupSalted strategy writes the identical output (plan-only knob)") {
     // the fixture carries a real duplicate (two CONNECTED records at t1),
     // so the salted path's combine has actual work to do
