@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Containment
+
+/** Dev utility: same-session A/B of the prefix-join knobs
+  * (`positionalFilter`, `collapseSiblings`) on [[Containment.pairs]] /
+  * [[Containment.subsets]] at a chosen corpus — the warm-time counterpart
+  * of the 100x BenchSpill A/Bs, for attributing a BENCHMED movement to a
+  * knob instead of re-running the whole catalog.
+  *
+  * Usage: runMain graft.PrefixKnobRehearsal [sfDir] [reps]
+  */
+object PrefixKnobRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = Sessions.build("graft-prefix-knob")
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prefix-knob] $label%-42s min=${times.min}%6.2f " +
+        s"reps=${times.map(t => f"$t%.2f").mkString(", ")}")
+    }
+
+    time("pairs positional=on  collapse=on (catalog)") {
+      Containment.pairs(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf)
+    }
+    time("pairs positional=off collapse=on") {
+      Containment.pairs(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf, positionalFilter = false)
+    }
+    time("pairs positional=off collapse=off") {
+      Containment.pairs(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf,
+        collapseSiblings = false, positionalFilter = false)
+    }
+    time("subsets plain positional=off (catalog)") {
+      Containment.subsets(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf, collapseSiblings = false)
+    }
+    time("subsets plain positional=on") {
+      Containment.subsets(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf,
+        collapseSiblings = false, positionalFilter = true)
+    }
+    spark.stop()
+  }
+}

@@ -135,7 +135,21 @@ object IVFPQ {
 
   /** ADC-shortlist-then-exact-rerank top-k within the nprobe nearest lists.
     * Output: (query_id, neighbor_id, dot, rank) — same shape as
-    * [[Similarity.bruteForceTopK]] and [[PQ.searchRerank]]. */
+    * [[Similarity.bruteForceTopK]] and [[PQ.searchRerank]].
+    *
+    * `saltBuckets` (default 1 = off) applies only to the non-broadcast
+    * shortlist fallback, whose exchange is keyed on `__list` alone: with
+    * a deliberately tiny nlist under a huge query batch the join runs at
+    * most nlist active partitions and each build side holds ALL of its
+    * list's |Q|*nprobe/nlist LUTs. Salting splits every (list) bucket
+    * into `saltBuckets` (list, salt) buckets by query hash — each probed
+    * row lands in exactly one, each code row is replicated across all of
+    * them — multiplying fallback parallelism and dividing per-partition
+    * build memory by the bucket count at the price of scanning the
+    * (compact) codes projection `saltBuckets` times. Results are
+    * identical for any value (RerankFallbackSpec pins it); leave at 1
+    * when nlist already exceeds cluster parallelism (the usual
+    * sqrt(N)-sized index). */
   def search(
       index: Index,
       corpus: DataFrame,
@@ -146,7 +160,9 @@ object IVFPQ {
       nprobe: Int,
       shortlist: Int,
       shards: Int = 32,
-      maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame = {
+      maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries,
+      saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     // ONE broadcastability decision for the whole plan — the probed
     // (query, list, LUT) table of the shortlist stage AND the rerank
     // tail's sliver/vector joins
@@ -178,11 +194,19 @@ object IVFPQ {
     // |Q|*nprobe/nlist LUTs for its list — size nlist for the corpus
     // (the usual sqrt(N) sizing gives parallelism far beyond any
     // executor count), not for the query batch; a deliberately tiny
-    // nlist under a huge |Q| concentrates the build side, and the right
-    // move there is a query-hash salt on the join key (replicate each
-    // code row per salt bucket) before reaching for this fallback
-    val cand = index.codes
-      .join(if (bcast) broadcast(probed) else probed.hint("shuffle_hash"), "__list")
+    // nlist under a huge |Q| concentrates the build side, which is what
+    // `saltBuckets` splits (see the search scaladoc)
+    val joined =
+      if (bcast) index.codes.join(broadcast(probed), "__list")
+      else if (saltBuckets == 1) index.codes.join(probed.hint("shuffle_hash"), "__list")
+      else {
+        val saltedProbed = probed
+          .withColumn("__salt", pmod(hash(col("query_id")), lit(saltBuckets)))
+        index.codes
+          .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+          .join(saltedProbed.hint("shuffle_hash"), Seq("__list", "__salt"))
+      }
+    val cand = joined
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
         (col("__centdot") +

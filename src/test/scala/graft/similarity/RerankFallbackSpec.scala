@@ -64,4 +64,27 @@ class RerankFallbackSpec extends SparkSpec {
     assert(collectRanked(bcast) == collectRanked(fall))
     assert(plan(fall).contains("ShuffledHashJoin"))
   }
+
+  test("IVFPQ salted fallback: result identical, salt key actually joins") {
+    val corpus = emb.limit(64)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val index = IVFPQ.build(corpus, "vec_id", "embedding",
+      nlist = 2, m = 8, ksub = 16)
+    val plain = IVFPQ.search(index, corpus, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, shortlist = 16, maxBroadcastQueries = 0L)
+    val salted = IVFPQ.search(index, corpus, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, shortlist = 16, maxBroadcastQueries = 0L,
+      saltBuckets = 4)
+    assert(collectRanked(plain) == collectRanked(salted))
+    // the salt must reach the physical shortlist join: its equi-key list
+    // carries __salt (a dropped/pruned salt would silently restore the
+    // nlist-bounded exchange this knob exists to split)
+    assert(plan(salted).contains("__salt"))
+    assert(plan(salted).contains("ShuffledHashJoin"))
+    // salting the broadcast path is a no-op by construction
+    val bsalt = IVFPQ.search(index, corpus, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, shortlist = 16, saltBuckets = 4)
+    assert(collectRanked(plain) == collectRanked(bsalt))
+    assert(!plan(bsalt).contains("__salt"))
+  }
 }
