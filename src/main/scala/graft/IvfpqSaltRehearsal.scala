@@ -46,6 +46,7 @@ object IvfpqSaltRehearsal {
     // across the id space, no limit()-order dependence
     val queries = emb.filter(col("vec_id") % 1000000L < perCopy).cache()
     val nQ = queries.count()
+    require(nQ > 0, s"query slice is empty: no vec_id % 1e6 < $perCopy in $sfDir")
     println(s"[salt-rehearsal] corpus=$n vectors, nlist=$nlist, |Q|=$nQ (forced fallback)")
     val index = IVFPQ.build(emb, "vec_id", "embedding", nlist = nlist, m = 8, ksub = 16)
     val codes = index.codes.cache()
@@ -65,11 +66,13 @@ object IvfpqSaltRehearsal {
       val wall = (System.nanoTime() - t0) / 1e9
       acc.settle()
       spark.sparkContext.removeSparkListener(acc)
-      // order-independent content fingerprint, one job
+      // order-independent content fingerprint, one job (xor coalesced:
+      // bit_xor over zero rows is null, and an empty result should read
+      // as (0, 0), not NPE)
       val fp = run()
         .agg(count(lit(1)).as("n"),
-          bit_xor(xxhash64(col("query_id"), col("neighbor_id"), col("dot"),
-            col("rank"))).as("x"))
+          coalesce(bit_xor(xxhash64(col("query_id"), col("neighbor_id"),
+            col("dot"), col("rank"))), lit(0L)).as("x"))
         .head()
       println(f"[salt-rehearsal] salt=$s%-3d wall=$wall%8.1fs " +
         f"memSpill=${acc.memSpilled.get() / 1048576}%6d MiB " +

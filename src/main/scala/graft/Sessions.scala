@@ -9,15 +9,23 @@ object Sessions {
   /** Cores to use in local mode (the driver harness machine has 32). */
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  def build(appName: String): SparkSession = {
+  def build(appName: String): SparkSession = build(appName, cpus)
+
+  /** `build` with the core count pinned by the CALLER instead of the
+    * environment — for mains whose OUTPUT is a committed artifact that
+    * must not vary with the box it was produced on (Plans: partition
+    * counts and Range splits appear in every dumped plan, so an
+    * env-driven core count rewrites all 5,000+ lines on regen from a
+    * differently-sized machine and buries real plan regressions). */
+  def build(appName: String, pinnedCpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cpus]")
+      .master(s"local[$pinnedCpus]")
       // native codegen'd text-hash expressions (graft_minhash_sig, ...)
       .withExtensions(new graft.catalyst.GraftExtensions)
       // one shuffle partition per core in local mode; a real cluster would
       // size this to 2-3x total cores (or lean on AQE coalescing)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", pinnedCpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

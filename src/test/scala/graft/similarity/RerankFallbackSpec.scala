@@ -76,11 +76,15 @@ class RerankFallbackSpec extends SparkSpec {
       k = 5, nprobe = 2, shortlist = 16, maxBroadcastQueries = 0L,
       saltBuckets = 4)
     assert(collectRanked(plain) == collectRanked(salted))
-    // the salt must reach the physical shortlist join: its equi-key list
-    // carries __salt (a dropped/pruned salt would silently restore the
-    // nlist-bounded exchange this knob exists to split)
-    assert(plan(salted).contains("__salt"))
-    assert(plan(salted).contains("ShuffledHashJoin"))
+    // the salt must reach the physical shortlist join's EQUI-KEY list (a
+    // salt column that survives only in a Project/Exchange would leave
+    // "__salt" in the plan text while the exchange silently collapses
+    // back to the nlist-bounded shape this knob exists to split)
+    val shjKeyLines = plan(salted).linesIterator
+      .filter(l => l.contains("ShuffledHashJoin") && l.contains("__list"))
+      .toSeq
+    assert(shjKeyLines.nonEmpty && shjKeyLines.forall(_.contains("__salt")),
+      s"shortlist SHJ keys missing __salt:\n${shjKeyLines.mkString("\n")}")
     // salting the broadcast path is a no-op by construction
     val bsalt = IVFPQ.search(index, corpus, queries, "vec_id", "embedding",
       k = 5, nprobe = 2, shortlist = 16, saltBuckets = 4)
