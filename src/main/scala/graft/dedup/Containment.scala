@@ -122,7 +122,18 @@ object Containment {
       collapseSiblings: Boolean = true,
       positionalFilter: Boolean = true): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val capped = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    pairsFromSets(Jaccard.cappedSets(df, idCol, textCol, native, maxDf),
+      minBp, collapseSiblings, positionalFilter)
+  }
+
+  /** [[pairs]] body over a pre-built capped sets frame — the seam
+    * [[pairsAuto]] shares with its sibling probe (see
+    * [[Jaccard.pairsFromSets]]). */
+  private[dedup] def pairsFromSets(
+      capped: DataFrame,
+      minBp: Long,
+      collapseSiblings: Boolean,
+      positionalFilter: Boolean = true): DataFrame = {
     val (sets, membership) =
       if (collapseSiblings) {
         val (r, m) = Jaccard.collapse(capped); (r, Some(m))
@@ -315,13 +326,9 @@ object Containment {
       maxDf: Long = Long.MaxValue,
       materialize: Boolean = true): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    def hasSiblings(sets: DataFrame): Boolean = {
-      val r = sets.agg(count(lit(1)), countDistinct(xxhash64(col("__set")))).head()
-      r.getLong(1) < r.getLong(0)
-    }
     val capped = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
     def run(sets: DataFrame): DataFrame =
-      if (hasSiblings(sets)) subsetsCollapsed(sets, minBp, positionalFilter = false)
+      if (Jaccard.hasSiblings(sets)) subsetsCollapsed(sets, minBp, positionalFilter = false)
       else subsetsPlain(sets, minBp, positionalFilter = false)
     if (!materialize) run(capped)
     else {
@@ -360,8 +367,10 @@ object Containment {
   }
 
   /** Size-dispatched containment pairs: [[pairsDirect]] up to
-    * `directMaxDocs` input documents, prefix-filtered [[pairs]] above —
-    * the same crossover logic (and default) as [[Jaccard.pairsAuto]]. */
+    * `directMaxDocs` input documents, prefix-filtered [[pairs]] above,
+    * with the collapse decided by the sibling probe over the shared sets
+    * frame — the same dispatch (and defaults, and cache discipline) as
+    * [[Jaccard.pairsAuto]], through the same [[Jaccard.autoDispatch]]. */
   def pairsAuto(
       df: DataFrame,
       idCol: String,
@@ -370,31 +379,9 @@ object Containment {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
       directMaxDocs: Long = Jaccard.DirectMaxDocs,
-      materialize: Boolean = true): DataFrame = {
-    // same persist-before-dispatch as Jaccard.pairsAuto (count + pairs
-    // must not traverse an expensive lineage twice), with the same
-    // materialize-then-unpersist discipline so the corpus-sized cache
-    // never outlives the call; `materialize = false` keeps the lazy plan,
-    // and a caller-persisted input is reused as-is, never unpersisted
-    if (!materialize) {
-      if (df.count() <= directMaxDocs)
-        pairsDirect(df, idCol, textCol, minBp, native, maxDf)
-      else pairs(df, idCol, textCol, minBp, native, maxDf)
-    } else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
-      val out =
-        if (df.count() <= directMaxDocs)
-          pairsDirect(df, idCol, textCol, minBp, native, maxDf)
-        else pairs(df, idCol, textCol, minBp, native, maxDf)
-      out.localCheckpoint()
-    } else {
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val out =
-          if (cached.count() <= directMaxDocs)
-            pairsDirect(cached, idCol, textCol, minBp, native, maxDf)
-          else pairs(cached, idCol, textCol, minBp, native, maxDf)
-        out.localCheckpoint()
-      } finally cached.unpersist(blocking = false)
-    }
-  }
+      materialize: Boolean = true): DataFrame =
+    Jaccard.autoDispatch(df, directMaxDocs, materialize)(
+      direct = input => pairsDirect(input, idCol, textCol, minBp, native, maxDf),
+      mkSets = input => Jaccard.cappedSets(input, idCol, textCol, native, maxDf),
+      fromSets = (sets, collapse) => pairsFromSets(sets, minBp, collapse))
 }

@@ -171,7 +171,28 @@ object Jaccard {
       maxDf: Long = Long.MaxValue,
       collapseSiblings: Boolean = true): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val capped = cappedSets(df, idCol, textCol, native, maxDf)
+    pairsFromSets(cappedSets(df, idCol, textCol, native, maxDf),
+      minBp, collapseSiblings)
+  }
+
+  /** Does the corpus carry ANY set-identical documents? ONE cheap
+    * aggregate (count vs distinct set-hash count) over a sets frame —
+    * the sibling probe behind the auto dispatches ([[pairsAuto]],
+    * [[Containment.pairsAuto]], [[Containment.subsetsAuto]]). A hash
+    * collision only errs toward collapsing (the safe side). */
+  private[dedup] def hasSiblings(sets: DataFrame): Boolean = {
+    val r = sets.agg(count(lit(1)), countDistinct(xxhash64(col("__set")))).head()
+    r.getLong(1) < r.getLong(0)
+  }
+
+  /** [[pairs]] body over a pre-built capped sets frame — the seam the
+    * auto dispatches share with their sibling probe, so probing and the
+    * chosen plan traverse ONE shingling lineage (persisted by the
+    * caller), never two. */
+  private[dedup] def pairsFromSets(
+      capped: DataFrame,
+      minBp: Long,
+      collapseSiblings: Boolean): DataFrame = {
     val (sets, membership) =
       if (collapseSiblings) {
         val (r, m) = collapse(capped); (r, Some(m))
@@ -282,11 +303,18 @@ object Jaccard {
 
   /** Size-dispatched exact pair search: [[pairsDirect]] for corpora up to
     * `directMaxDocs` input documents, [[pairs]] (prefix-filtered PPJoin)
-    * above. Both formulations pass the identical oracle; the dispatch
-    * trades PPJoin's fixed cost (frequency aggregate + rarity ranking
-    * window) against the direct join's quadratic hot-shingle exposure.
-    * Runs one `count()` on the input to decide — cache `df` upstream when
-    * its lineage is expensive. */
+    * above — where the SIBLING PROBE ([[hasSiblings]], one aggregate over
+    * the shared sets frame) additionally decides the set-identity
+    * collapse: on for corpora that carry set-identical documents (the
+    * template-family C(m,2) hazard), off when none exist (the collapse
+    * window + membership expansion are pure overhead there — measured
+    * 2.20 vs 1.45 s warm on the sibling-free sf0.1 containment twin). At
+    * prefix scale the probe is linear noise; below `directMaxDocs` it
+    * never runs. Every combination passes the identical oracle; the
+    * dispatch trades PPJoin's fixed cost (frequency aggregate + rarity
+    * ranking window) against the direct join's quadratic hot-shingle
+    * exposure. Runs one `count()` on the input to decide — cache `df`
+    * upstream when its lineage is expensive. */
   def pairsAuto(
       df: DataFrame,
       idCol: String,
@@ -305,29 +333,54 @@ object Jaccard {
     // session (streaming service, repeated curate runs) the corpus-sized
     // blocks never accumulate and never LRU-evict hotter caches.
     // `materialize = false` skips both the persist and the checkpoint —
-    // for callers that manage their own caching or want the lazy plan.
+    // for callers that manage their own caching or want the lazy plan
+    // (the sibling probe then traverses the raw lineage once more, the
+    // same contract as [[Containment.subsetsAuto]]).
     // A caller-persisted input (storageLevel != NONE) is caller-managed:
     // reuse it as-is and NEVER unpersist — persist/unpersist act on the
     // shared plan's cache entry, so dropping it here would silently evict
     // a cache the caller still holds across calls.
+    autoDispatch(df, directMaxDocs, materialize)(
+      direct = input => pairsDirect(input, idCol, textCol, minBp, native, maxDf),
+      mkSets = input => cappedSets(input, idCol, textCol, native, maxDf),
+      fromSets = (sets, collapse) => pairsFromSets(sets, minBp, collapse))
+  }
+
+  /** Shared size + sibling dispatch of [[pairsAuto]] and
+    * [[Containment.pairsAuto]]: count the input (direct plan at or below
+    * the bound), else build the capped sets frame ONCE — persisted in
+    * materialize mode so the sibling probe and the prefix plan share one
+    * shingling pass — probe for set-identical docs, and run the prefix
+    * body with the collapse the probe chose. Cache discipline matches the
+    * scaladoc above: every persist this function takes is released before
+    * returning, caller-persisted inputs are never touched. */
+  private[dedup] def autoDispatch(
+      df: DataFrame,
+      directMaxDocs: Long,
+      materialize: Boolean)(
+      direct: DataFrame => DataFrame,
+      mkSets: DataFrame => DataFrame,
+      fromSets: (DataFrame, Boolean) => DataFrame): DataFrame = {
+    def prefixPlan(input: DataFrame): DataFrame =
+      if (!materialize) {
+        val sets = mkSets(input)
+        fromSets(sets, hasSiblings(sets))
+      } else {
+        val sets = mkSets(input)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try fromSets(sets, hasSiblings(sets)).localCheckpoint()
+        finally sets.unpersist(blocking = false)
+      }
     if (!materialize) {
-      if (df.count() <= directMaxDocs)
-        pairsDirect(df, idCol, textCol, minBp, native, maxDf)
-      else pairs(df, idCol, textCol, minBp, native, maxDf)
+      if (df.count() <= directMaxDocs) direct(df) else prefixPlan(df)
     } else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
-      val out =
-        if (df.count() <= directMaxDocs)
-          pairsDirect(df, idCol, textCol, minBp, native, maxDf)
-        else pairs(df, idCol, textCol, minBp, native, maxDf)
-      out.localCheckpoint()
+      if (df.count() <= directMaxDocs) direct(df).localCheckpoint()
+      else prefixPlan(df)
     } else {
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val out =
-          if (cached.count() <= directMaxDocs)
-            pairsDirect(cached, idCol, textCol, minBp, native, maxDf)
-          else pairs(cached, idCol, textCol, minBp, native, maxDf)
-        out.localCheckpoint()
+        if (cached.count() <= directMaxDocs) direct(cached).localCheckpoint()
+        else prefixPlan(cached)
       } finally cached.unpersist(blocking = false)
     }
   }

@@ -150,6 +150,27 @@ class CollapseSpec extends SparkSpec {
       == collect4(Containment.subsets(heavy, "doc_id", "text", 9000L)))
   }
 
+  test("pairsAuto sibling probe matches pairs on both corpus shapes (both modules)") {
+    // directMaxDocs = 0 forces the prefix branch, where the probe decides
+    // the collapse; either choice must be result-identical to the
+    // always-collapsed pairs form
+    val heavy = corpus(13, nGroups = 3, mPerGroup = 5, nLoners = 8)
+    val free = corpus(14, nGroups = 0, mPerGroup = 0, nLoners = 25)
+    for (df <- Seq(heavy, free)) {
+      assert(collect3(Jaccard.pairsAuto(df, "doc_id", "text", 8000L,
+        native = false, maxDf = Long.MaxValue, directMaxDocs = 0L))
+        == collect3(Jaccard.pairs(df, "doc_id", "text", 8000L)))
+      assert(collect5(Containment.pairsAuto(df, "doc_id", "text", 9000L,
+        native = false, maxDf = Long.MaxValue, directMaxDocs = 0L))
+        == collect5(Containment.pairs(df, "doc_id", "text", 9000L)))
+    }
+    // materialize = false probes the raw lineage, same answer
+    assert(collect3(Jaccard.pairsAuto(heavy, "doc_id", "text", 8000L,
+      native = false, maxDf = Long.MaxValue, directMaxDocs = 0L,
+      materialize = false))
+      == collect3(Jaccard.pairs(heavy, "doc_id", "text", 8000L)))
+  }
+
   test("collapse emits one rep per distinct set and a full membership map") {
     val df = corpus(7, nGroups = 3, mPerGroup = 4, nLoners = 5)
     val (reps, membership) =
