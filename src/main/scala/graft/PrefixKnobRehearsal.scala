@@ -10,18 +10,22 @@ import graft.dedup.Containment
   * of the 100x BenchSpill A/Bs, for attributing a BENCHMED movement to a
   * knob instead of re-running the whole catalog.
   *
-  * Usage: runMain graft.PrefixKnobRehearsal [sfDir] [reps]
+  * Usage: runMain graft.PrefixKnobRehearsal [sfDir] [reps] [labelFilter]
+  * (labelFilter: only time blocks whose label contains it — e.g.
+  * "jaccard" to A/B one family at an expensive corpus)
   */
 object PrefixKnobRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 3
+    val labelFilter = if (args.length > 2) args(2) else ""
     val spark = Sessions.build("graft-prefix-knob")
     // every timed block reads only the documents table — warm just it
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count()
 
     def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      if (!label.contains(labelFilter)) return
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
@@ -31,6 +35,14 @@ object PrefixKnobRehearsal {
         s"reps=${times.map(t => f"$t%.2f").mkString(", ")}")
     }
 
+    time("jaccard positional=on collapse=on (catalog)") {
+      graft.dedup.Jaccard.pairs(docs, "doc_id", "text", minBp = 8000L,
+        native = true, maxDf = Queries.NgramMaxDf)
+    }
+    time("jaccard positional=on collapse=off") {
+      graft.dedup.Jaccard.pairs(docs, "doc_id", "text", minBp = 8000L,
+        native = true, maxDf = Queries.NgramMaxDf, collapseSiblings = false)
+    }
     time("pairs positional=on  collapse=on (catalog)") {
       Containment.pairs(docs, "doc_id", "text", minBp = 9000L,
         native = true, maxDf = Queries.NgramMaxDf)
