@@ -43,6 +43,15 @@ object PrefixKnobRehearsal {
       graft.dedup.Jaccard.pairs(docs, "doc_id", "text", minBp = 8000L,
         native = true, maxDf = Queries.NgramMaxDf, collapseSiblings = false)
     }
+    time("jaccard pairsAuto (sibling probe + persist)") {
+      graft.dedup.Jaccard.pairsAuto(docs, "doc_id", "text", minBp = 8000L,
+        native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L)
+    }
+    time("jaccard pairsAuto materialize=false (lazy)") {
+      graft.dedup.Jaccard.pairsAuto(docs, "doc_id", "text", minBp = 8000L,
+        native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L,
+        materialize = false)
+    }
     time("pairs positional=on  collapse=on (catalog)") {
       Containment.pairs(docs, "doc_id", "text", minBp = 9000L,
         native = true, maxDf = Queries.NgramMaxDf)

@@ -314,7 +314,18 @@ object Jaccard {
     * dispatch trades PPJoin's fixed cost (frequency aggregate + rarity
     * ranking window) against the direct join's quadratic hot-shingle
     * exposure. Runs one `count()` on the input to decide — cache `df`
-    * upstream when its lineage is expensive. */
+    * upstream when its lineage is expensive.
+    *
+    * Cost of the convenience, measured at the 100x corpus (BENCHSCALE
+    * round 15): the default materialize mode adds ~45% over a direct
+    * `pairs` call on a CHEAP lineage (raw parquet scan) — the input/sets
+    * persists and the output checkpoint cost more than recomputation
+    * there; `materialize = false` adds ~17% (the probe plus one extra
+    * raw traversal). The discipline pays on the expensive-upstream
+    * callers it was built for (the curate pipeline's cleaned/gated
+    * frame); callers reading straight off storage should pass
+    * `materialize = false`, and callers who KNOW their corpus shape
+    * should call [[pairs]] with the collapse knob directly. */
   def pairsAuto(
       df: DataFrame,
       idCol: String,
