@@ -44,33 +44,14 @@ import org.apache.spark.sql.types._
   */
 object Containment {
 
-  /** (exploded rows, position-ranked rows, rarity-ordered prefix rows).
-    * Shared candidate-generation scaffolding: explode the capped sets
-    * once, repartition on the shingle so the frequency aggregate, the
-    * probe join build, and the prefix ranking all reuse one exchange.
-    * `ranked` and `prefix` carry each shingle's per-set POSITION `__rn`
-    * under the global (frequency, value) order — the positional filter's
-    * input. A positional probe target uses `ranked` (one extra window
-    * execution over a reused exchange); a membership-only probe target
-    * uses the cheaper `exploded`. */
+  /** Shared candidate-generation scaffolding — ONE owner for the
+    * completeness-critical prefix-length formula and rarity order:
+    * [[Jaccard.explodedAndPrefix]]. A positional probe target uses
+    * `ranked` (one extra window execution over a reused exchange); a
+    * membership-only probe target uses the cheaper `exploded`. */
   private def explodedAndPrefix(
-      sets: DataFrame, minBp: Long): (DataFrame, DataFrame, DataFrame) = {
-    val exploded = sets
-      .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
-      .repartition(col("__x"))
-    val freq = exploded.groupBy(col("__x")).agg(count(lit(1)).as("__f"))
-    val ranked = exploded
-      .join(freq, "__x")
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("__id")).orderBy(col("__f"), col("__x"))))
-      .select(col("__id"), col("__n").cast(LongType).as("__n"), col("__x"),
-        col("__rn").cast(LongType).as("__rn"))
-    // prefix length n - ceil(t*n) + 1, exact in integer arithmetic:
-    // ceil(minBp*n/10000) = floor((minBp*n + 9999)/10000)
-    val prefix = ranked
-      .filter(col("__rn") <= col("__n") - floor((col("__n") * minBp + 9999) / 10000) + 1)
-    (exploded, ranked, prefix)
-  }
+      sets: DataFrame, minBp: Long): (DataFrame, DataFrame, DataFrame) =
+    Jaccard.explodedAndPrefix(sets, minBp)
 
   /** Min-denominator candidate generation shared by [[pairs]] and
     * [[subsets]]: probe = the (size, id)-smaller side of each unordered
@@ -97,8 +78,7 @@ object Containment {
     val cond =
       if (positional)
         col("a.__x") === col("b.__x") && sizeOrder &&
-          (lit(1L) + least(col("a.__n") - col("a.__rn"), col("b.__n") - col("b.__rn"))) *
-            10000L >= col("a.__n") * minBp
+          Jaccard.positionalOverlapBound * 10000L >= col("a.__n") * minBp
       else col("a.__x") === col("b.__x") && sizeOrder
     prefix.as("a")
       .join(full.as("b"), cond)
@@ -216,9 +196,7 @@ object Containment {
     val base = col("a.__x") === col("b.__x") && col("a.__id") > col("b.__id")
     val cond =
       if (positionalFilter)
-        base &&
-          (lit(1L) + least(col("a.__n") - col("a.__rn"), col("b.__n") - col("b.__rn"))) *
-            10000L >= col("a.__n") * minBp
+        base && Jaccard.positionalOverlapBound * 10000L >= col("a.__n") * minBp
       else base
     val cand = prefix.as("a")
       .join((if (positionalFilter) ranked else exploded).as("b"), cond)

@@ -185,6 +185,45 @@ object Jaccard {
     r.getLong(1) < r.getLong(0)
   }
 
+  /** Shared candidate-generation scaffolding of every prefix-filtered
+    * join ([[pairsFromSets]], [[Containment]]'s three bodies):
+    * (exploded rows, position-ranked rows, rarity-ordered prefix rows)
+    * over one reused exchange on the shingle. `ranked` and `prefix`
+    * carry each shingle's per-set POSITION `__rn` under the global
+    * (corpus frequency asc, value asc) order — the positional filter's
+    * input. The prefix length `n - ceil(t*n) + 1` is exact in integer
+    * arithmetic: ceil(minBp*n/10000) = floor((minBp*n + 9999)/10000).
+    * This formula and the order are completeness-critical and live ONLY
+    * here. */
+  private[dedup] def explodedAndPrefix(
+      sets: DataFrame, minBp: Long): (DataFrame, DataFrame, DataFrame) = {
+    val exploded = sets
+      .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
+      .repartition(col("__x"))
+    val freq = exploded.groupBy(col("__x")).agg(count(lit(1)).as("__f"))
+    val ranked = exploded
+      .join(freq, "__x")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__id")).orderBy(col("__f"), col("__x"))))
+      .select(col("__id"), col("__n").cast(LongType).as("__n"), col("__x"),
+        col("__rn").cast(LongType).as("__rn"))
+    val prefix = ranked
+      .filter(col("__rn") <= col("__n") - floor((col("__n") * minBp + 9999) / 10000) + 1)
+    (exploded, ranked, prefix)
+  }
+
+  /** PPJoin's positional overlap UPPER BOUND at a candidate join row
+    * over frames aliased `a`/`b`: at the pair's first shared prefix
+    * shingle (positions i, j under the one global order) every other
+    * common shingle lies after BOTH, so overlap <= 1 + min(|A|-i,
+    * |B|-j). Completeness: rows for LATER shared shingles may fail a
+    * threshold on this bound spuriously, but the first-match row always
+    * survives — callers need only feed the distinct(). The bound lives
+    * ONLY here; each join compares it against its own threshold
+    * arithmetic (Jaccard / min-denominator / later-denominator). */
+  private[dedup] def positionalOverlapBound: Column =
+    lit(1L) + least(col("a.__n") - col("a.__rn"), col("b.__n") - col("b.__rn"))
+
   /** [[pairs]] body over a pre-built capped sets frame — the seam the
     * auto dispatches share with their sibling probe, so probing and the
     * chosen plan traverse ONE shingling lineage (persisted by the
@@ -197,22 +236,7 @@ object Jaccard {
       if (collapseSiblings) {
         val (r, m) = collapse(capped); (r, Some(m))
       } else (capped, None)
-    val exploded = sets
-      .select(col("__id"), size(col("__set")).as("__n"), explode(col("__set")).as("__x"))
-      .repartition(col("__x"))
-    // global order: (corpus frequency asc, shingle value asc); the
-    // frequency aggregate reuses the exchange on __x above
-    val freq = exploded.groupBy(col("__x")).agg(count(lit(1)).as("__f"))
-    val ranked = exploded
-      .join(freq, "__x")
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("__id")).orderBy(col("__f"), col("__x"))))
-    // prefix length |A| - ceil(t*|A|) + 1, exact in integer arithmetic:
-    // ceil(minBp*n/10000) = floor((minBp*n + 9999)/10000)
-    val prefix = ranked
-      .filter(col("__rn") <= col("__n") - floor((col("__n") * minBp + 9999) / 10000) + 1)
-      .select(col("__id"), col("__n").cast(LongType).as("__n"), col("__x"),
-        col("__rn").cast(LongType).as("__rn"))
+    val (_, _, prefix) = explodedAndPrefix(sets, minBp)
     // Candidate pruning beyond prefix membership — both PPJoin filters,
     // evaluated inside the join so pruned pairs never reach the distinct:
     //  - LENGTH: J >= t forces |A∩B| >= t*max(|A|,|B|) and |A∩B| <=
@@ -233,8 +257,8 @@ object Jaccard {
         col("a.__x") === col("b.__x") && col("a.__id") < col("b.__id") &&
           least(col("a.__n"), col("b.__n")) * 10000L >=
             greatest(col("a.__n"), col("b.__n")) * minBp &&
-          (lit(1L) + least(col("a.__n") - col("a.__rn"), col("b.__n") - col("b.__rn"))) *
-            (10000L + minBp) >= (col("a.__n") + col("b.__n")) * minBp)
+          positionalOverlapBound * (10000L + minBp) >=
+            (col("a.__n") + col("b.__n")) * minBp)
       .select(col("a.__id").as("id_1"), col("b.__id").as("id_2"))
       .distinct()
     // verification: shuffle-hash, never sort-merge — the probe side is

@@ -77,12 +77,17 @@ object CorpusPipeline {
           case None => sc.setCheckpointDir(dir)
           case Some(existing) =>
             // the effective dir is setCheckpointDir's UUID subdirectory:
-            // ours iff its PARENT's path equals cfg.checkpointDir
-            // (path-component comparison — scheme/authority spelling must
-            // not fake a divergence, substrings must not hide one)
+            // ours iff its PARENT's path equals cfg.checkpointDir. Both
+            // sides are FS-qualified before comparing — sc stores a
+            // fully-qualified URI, so a relative (or scheme-less)
+            // cfg.checkpointDir spelling must not fake a divergence,
+            // and substrings must not hide one
+            val hconf = sc.hadoopConfiguration
             val parent = new org.apache.hadoop.fs.Path(existing).getParent
-            val wanted = new org.apache.hadoop.fs.Path(dir)
-            if (parent == null || parent.toUri.getPath != wanted.toUri.getPath)
+            def qualified(p: org.apache.hadoop.fs.Path) =
+              p.getFileSystem(hconf).makeQualified(p)
+            if (parent == null ||
+                qualified(parent) != qualified(new org.apache.hadoop.fs.Path(dir)))
               org.slf4j.LoggerFactory.getLogger(getClass)
                 .warn(s"checkpointDir already set to $existing; " +
                   s"ignoring cfg.checkpointDir=$dir — checkpoint data lands " +
