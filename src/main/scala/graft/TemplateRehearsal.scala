@@ -90,16 +90,23 @@ object TemplateRehearsal {
           s"flag sets diverge (rows, checksum): auto=$auto on=$on off=$off")
         println(s"[template] identical flag sets: ${auto._1} flags all three ways")
       } else {
-        // collapse first (cheap), then the pre-collapse plan (the blowup)
+        // auto first (its sibling probe must pick the collapsed plan
+        // under the planted hazard — directMaxDocs=0 forces the prefix
+        // branch so the probe actually runs at every corpus size), then
+        // the fixed knobs; the knob-off leg is the documented blowup
+        val auto = run("auto")(graft.dedup.Jaccard.pairsAuto(
+          planted, "doc_id", "text", minBp,
+          native = true, maxDf = Long.MaxValue, directMaxDocs = 0L))
         val withCollapse = run("collapse=on")(graft.dedup.Jaccard.pairs(
           planted, "doc_id", "text", minBp,
           native = true, maxDf = Long.MaxValue, collapseSiblings = true))
         val without = run("collapse=off")(graft.dedup.Jaccard.pairs(
           planted, "doc_id", "text", minBp,
           native = true, maxDf = Long.MaxValue, collapseSiblings = false))
-        require(withCollapse == without,
-          s"pair sets diverge (rows, checksum): collapse=$withCollapse direct=$without")
-        println(s"[template] identical pair sets: ${withCollapse._1} pairs either way")
+        require(auto == withCollapse && withCollapse == without,
+          s"pair sets diverge (rows, checksum): auto=$auto " +
+            s"collapse=$withCollapse direct=$without")
+        println(s"[template] identical pair sets: ${auto._1} pairs all three ways")
       }
     } finally {
       // cleanup + session stop even when a run throws or the count
