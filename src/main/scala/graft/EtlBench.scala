@@ -44,6 +44,14 @@ object EtlBench {
     val nFiles = if (args.length > 1) args(1).toInt else 40
     val nPartitions = if (args.length > 2) args(2).toInt else 4
     val nUsers = if (args.length > 3) args(3).toInt else 20
+    // GRAFT_ETL_DUP_EVERY=k makes every run of k consecutive records
+    // byte-identical (the reference's sensor-retry shape: a device
+    // re-sends the same observation, only the Kafka offset differs) —
+    // the regime where keep-last dedup has real duplicate mass to
+    // combine away BEFORE the exchange. Default 1 = all keys unique
+    // (the combine-free worst case the headline rows measure).
+    val dupEvery = sys.env.get("GRAFT_ETL_DUP_EVERY").map(_.toInt).getOrElse(1)
+    require(dupEvery >= 1, "GRAFT_ETL_DUP_EVERY must be >= 1")
     val schema = new Schema.Parser().parse(schemaJson)
 
     val dir = Files.createTempDirectory("graft-etl-bench").toFile
@@ -58,21 +66,27 @@ object EtlBench {
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, file)
       (0 until perFile).foreach { i =>
+        // spread over 24 hour bins, but keep every record globally UNIQUE
+        // (at dupEvery = 1): a micro-offset per 86400-record wrap.
+        // Without it, scale-up runs wrap the (time, light) value space
+        // and files lcm(3,5,86400/gcd(perFile,86400)) apart become
+        // byte-identical — at 100M records that manufactured a 46%
+        // duplicate corpus and measured the dedup aggregate digesting
+        // artifacts instead of the pipeline (the ScaleBlowup
+        // salt-collision lesson, again). With dupEvery = k every k-run
+        // shares ONE effective index, so its records are deliberately
+        // byte-identical (offsets still distinct) — planted duplicate
+        // mass, adjacent within a file like real sensor retries.
+        val rawIdx = f.toLong * perFile + i
+        val idx = rawIdx - rawIdx % dupEvery
         val k = new GenericData.Record(schema.getField("key").schema())
         k.put("projectId", s"proj${f % 3}")
-        k.put("userId", s"user${(f * perFile + i) % nUsers}")
+        k.put("userId", s"user${idx % nUsers}")
         k.put("sourceId", s"src${f % 5}")
         val v = new GenericData.Record(schema.getField("value").schema())
-        // spread over 24 hour bins, but keep every record globally UNIQUE:
-        // a micro-offset per 86400-record wrap. Without it, scale-up runs
-        // wrap the (time, light) value space and files lcm(3,5,86400/
-        // gcd(perFile,86400)) apart become byte-identical — at 100M
-        // records that manufactured a 46% duplicate corpus and measured
-        // the dedup aggregate digesting artifacts instead of the
-        // pipeline (the ScaleBlowup salt-collision lesson, again).
-        val idx = f.toLong * perFile + i
         val t = t0 + (idx % 86400) + (idx / 86400) * 1e-6
-        v.put("time", t); v.put("timeReceived", t + 1.0); v.put("light", i.toFloat)
+        v.put("time", t); v.put("timeReceived", t + 1.0)
+        v.put("light", (idx % perFile).toFloat)
         val r = new GenericData.Record(schema)
         r.put("key", k); r.put("value", v)
         w.append(r)

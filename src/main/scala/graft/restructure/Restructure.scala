@@ -75,10 +75,15 @@ final case class RestructureConfig(
     // columns + per-partition sort (window row_number) — spills the sort
     // gracefully when a task's groups exceed memory; true = two-phase
     // max_by aggregation (Dedup.keepLastSalted) — map-side partial
-    // combine, no full sort, the right shape when batches carry REAL
-    // duplicate mass to combine away early. Results are identical
-    // (DedupSpec pins it); see BENCHSCALE.md's 100M-record A/B for why
-    // the sort stays the default on all-unique batches.
+    // combine, no full sort. Results are identical (DedupSpec pins it).
+    // MEASURED to lose in BOTH regimes on this pipeline (BENCHSCALE.md):
+    // 100M all-unique keys 156.5k -> 110.5k rec/s with 5.2x the spill,
+    // and 20M at 75% planted duplicate mass — the shape the aggregation
+    // was hypothesized to win — 157k -> 94k input rec/s with 50x the
+    // spill (the object-hash aggregate's full-row struct state costs
+    // more than the 4:1 combine saves). The window sort is the default
+    // everywhere; the knob stays as the measurement instrument that
+    // settled it.
     dedupSalted: Boolean = false)
 
 /** One source file of one topic: a contiguous offset range of a
