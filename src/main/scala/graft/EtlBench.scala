@@ -122,8 +122,12 @@ object EtlBench {
     val sec = (System.nanoTime() - start) / 1e9
     acc.settle()
     spark.sparkContext.removeSparkListener(acc)
+    // result.records counts WRITTEN (post-dedup) records; with planted
+    // duplicate mass (dupEvery > 1) the input rate is the throughput
+    // number comparable across regimes, so both are printed
     println(
       s"""{"metric":"etl_records_per_sec","value":${(result.records / sec).toLong},""" +
+        s""""inputRecords":$nRecords,"inputRecPerSec":${(nRecords / sec).toLong},""" +
         s""""records":${result.records},"files":${result.files},"sec":$sec,""" +
         s""""tasks":${acc.tasks.get()},"memSpilledMB":${acc.memSpilled.get() / 1048576},""" +
         s""""diskSpilledMB":${acc.diskSpilled.get() / 1048576},""" +
