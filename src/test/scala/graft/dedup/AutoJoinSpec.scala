@@ -76,6 +76,25 @@ class AutoJoinSpec extends SparkSpec {
       "Containment.pairsAuto must unpersist its input before returning")
   }
 
+  test("the prefix branch's internal sets cache is released too") {
+    // directMaxDocs = 0 forces the prefix branch, whose sibling probe
+    // persists the capped sets frame internally — no NEW plain cache may
+    // outlive the call (the input-cache assertion above cannot see this
+    // one: it is not the caller's frame). The returned pair table's
+    // localCheckpoint RDD legitimately remains — it IS the result's
+    // storage, reclaimed by the ContextCleaner when the frame goes out
+    // of scope — so only non-checkpoint survivors count as leaks.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Jaccard.pairsAuto(docs, "doc_id", "text", 6000L, native = true,
+      directMaxDocs = 0L).count()
+    Containment.pairsAuto(docs, "doc_id", "text", 8000L, native = true,
+      directMaxDocs = 0L).count()
+    val leaked = (spark.sparkContext.getPersistentRDDs -- before)
+      .filterNot(_._2.isCheckpointed)
+    assert(leaked.isEmpty,
+      s"prefix-branch caches outlived pairsAuto: ${leaked.keySet}")
+  }
+
   test("pairsAuto preserves a caller-managed cache (never unpersists it)") {
     import org.apache.spark.storage.StorageLevel
     val mine = docs.persist(StorageLevel.MEMORY_AND_DISK)
