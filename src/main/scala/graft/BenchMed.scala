@@ -56,10 +56,23 @@ object BenchMed {
     }
     def f(d: Double): String = f"$d%.2f"
 
+    // commit provenance: the warm table adjudicates plan changes, so it
+    // must say WHICH code it measured — staleness is then checkable by
+    // `git log <hash>..HEAD -- src/main` instead of archaeology
+    val head =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val s = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        p.waitFor()
+        if (s.matches("[0-9a-f]{6,}")) s else "unknown"
+      } catch { case _: Exception => "unknown" }
+
     val sb = new StringBuilder
     val title = new java.io.File(out).getName.stripSuffix(".md")
     val explicit = if (args.length > 3) " " + names.mkString(" ") else ""
     sb ++= s"# $title — warm steady-state times\n\n"
+    sb ++= s"Recorded at commit `$head`.\n\n"
     sb ++= s"`runMain graft.BenchMed $out $sfDir $reps$explicit` — $reps reps per query\n"
     sb ++= s"in one warm session on `$sfDir` (local[${Sessions.cpus}]). `min` is the\n"
     sb ++= "steady-state number to compare across rounds; the driver's single-pass\n"

@@ -56,6 +56,10 @@ object EtlBench {
 
     val dir = Files.createTempDirectory("graft-etl-bench").toFile
     val perFile = nRecords / nFiles
+    // generation writes perFile * nFiles records (integer division), NOT
+    // nRecords — the input-rate fields must report what was actually fed
+    // or the printed throughput overstates whenever nFiles doesn't divide
+    val actualRecords = perFile.toLong * nFiles
     val t0 = 1580219940.0 // 2020-01-28T13:59 UTC
     (0 until nFiles).foreach { f =>
       val partition = f % nPartitions
@@ -80,9 +84,15 @@ object EtlBench {
         val rawIdx = f.toLong * perFile + i
         val idx = rawIdx - rawIdx % dupEvery
         val k = new GenericData.Record(schema.getField("key").schema())
-        k.put("projectId", s"proj${f % 3}")
+        // every key/value field derives from idx, never from f directly:
+        // a duplicate run straddling a file boundary must still be
+        // byte-identical (same projectId/sourceId as the run's first
+        // record), or the planted duplicate mass silently falls below
+        // the nominal (k-1)/k at file seams. At dupEvery = 1 idx/perFile
+        // == f, so the headline all-unique rows are unchanged.
+        k.put("projectId", s"proj${idx / perFile % 3}")
         k.put("userId", s"user${idx % nUsers}")
-        k.put("sourceId", s"src${f % 5}")
+        k.put("sourceId", s"src${idx / perFile % 5}")
         val v = new GenericData.Record(schema.getField("value").schema())
         val t = t0 + (idx % 86400) + (idx / 86400) * 1e-6
         v.put("time", t); v.put("timeReceived", t + 1.0)
@@ -127,11 +137,70 @@ object EtlBench {
     // number comparable across regimes, so both are printed
     println(
       s"""{"metric":"etl_records_per_sec","value":${(result.records / sec).toLong},""" +
-        s""""inputRecords":$nRecords,"inputRecPerSec":${(nRecords / sec).toLong},""" +
+        s""""inputRecords":$actualRecords,"inputRecPerSec":${(actualRecords / sec).toLong},""" +
         s""""records":${result.records},"files":${result.files},"sec":$sec,""" +
         s""""tasks":${acc.tasks.get()},"memSpilledMB":${acc.memSpilled.get() / 1048576},""" +
         s""""diskSpilledMB":${acc.diskSpilled.get() / 1048576},""" +
         s""""peakTaskMemMB":${acc.peakTask.get() / 1048576}}""")
+
+    // GRAFT_ETL_CLEAN=1 appends a cleaner leg over the freshly
+    // restructured topic — the scale question the write path's rows
+    // don't answer: the cleaner reads the WHOLE output back, distincts
+    // its (project, user, bin, time) tuples (~= record count, since the
+    // generator's times are near-unique per user), and anti-joins every
+    // candidate file's records against them (Cleaner.unmatchedCounts).
+    // One output bin directory is deleted FIRST, so the files whose
+    // records landed there must fail verification, SURVIVE, and have
+    // their offset ranges removed for reprocessing, while the rest
+    // verify and are deleted — both paths exercised at the full record
+    // count, with the same task metrics as the headline row.
+    if (sys.env.get("GRAFT_ETL_CLEAN").contains("1")) {
+      def firstDir(f: File, prefix: String): File =
+        f.listFiles().filter(d => d.isDirectory && d.getName.startsWith(prefix))
+          .minBy(_.getName)
+      def rmRf(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmRf)
+        f.delete()
+      }
+      val outTopic = new File(dir, "out/sensor_topic")
+      val planted =
+        firstDir(firstDir(firstDir(outTopic, "_project="), "_user="), "_bin=")
+      rmRf(planted)
+      val inTopic = new File(dir, "in/sensor_topic")
+      def inputFiles() =
+        inTopic.listFiles().flatMap(_.listFiles()).count(_.getName.endsWith(".avro"))
+      val before = inputFiles()
+      BenchSpill.drainBus(spark.sparkContext)
+      val cacc = new BenchSpill.TaskMetricsAcc
+      spark.sparkContext.addSparkListener(cacc)
+      val c0 = System.nanoTime()
+      // negative age: every file is old enough, so candidacy is decided
+      // by state coverage alone (P9 still protects each partition's
+      // newest offset)
+      val cleaner = new graft.restructure.Cleaner(spark, cfg, ageMs = -60000L)
+      val (cleanDeleted, cleanReprocess) = cleaner.run()
+      val cleanSec = (System.nanoTime() - c0) / 1e9
+      cacc.settle()
+      spark.sparkContext.removeSparkListener(cacc)
+      val after = inputFiles()
+      println(
+        s"""{"metric":"etl_cleaner_sec","value":$cleanSec,""" +
+          s""""deleted":${cleanDeleted.size},"reprocess":${cleanReprocess.size},""" +
+          s""""plantedBin":"${planted.getName}","filesBefore":$before,"filesAfter":$after,""" +
+          s""""tasks":${cacc.tasks.get()},"memSpilledMB":${cacc.memSpilled.get() / 1048576},""" +
+          s""""diskSpilledMB":${cacc.diskSpilled.get() / 1048576},""" +
+          s""""peakTaskMemMB":${cacc.peakTask.get() / 1048576}}""")
+      require(cleanDeleted.nonEmpty, "cleaner verified nothing for deletion")
+      require(cleanReprocess.nonEmpty,
+        "planted missing bin produced no surviving reprocess files")
+      require(after == before - cleanDeleted.size,
+        s"deleted-path count ${cleanDeleted.size} != disk delta ${before - after}")
+      // offsets-state convergence: exactly the survivors' ranges were
+      // removed, so the next planning pass re-lists them and nothing else
+      val replanned = job.plan("sensor_topic", job.loadState()).map(_.path).toSet
+      require(replanned == cleanReprocess.toSet,
+        s"replanned ${replanned.size} files != reprocess ${cleanReprocess.size}")
+    }
 
     // phase breakdown on a SECOND identical dataset (fresh topic name so
     // state/output are cold), to attribute the pipeline's cost.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.similarity.IVFPQ
+import graft.similarity.{IVF, IVFPQ}
 
 /** Measured rehearsal for the IVFPQ shortlist fallback's salt knob
   * ([[graft.similarity.IVFPQ.search]] `saltBuckets`): the non-broadcast
@@ -19,8 +19,10 @@ import graft.similarity.IVFPQ
   * (`vec_id % 1e6 < perCopy` — the same ids from every blowup copy) with
   * `maxBroadcastQueries = 0` (forced fallback), and runs the same search
   * at each salt setting — reporting wall, spill, peak task memory, and an
-  * order-independent result fingerprint (count + bit_xor of whole-row
-  * hashes, one job) that must be identical across every salt value. The
+  * order-independent result fingerprint (count + bit_xor + decimal sum
+  * of whole-row hashes, one job — the sum makes it multiplicity-
+  * sensitive where xor alone cancels even counts) that must be
+  * identical across every salt value. The
   * candidate mass is |Q| * nprobe * corpus/nlist ADC rows — size the
   * query slice accordingly (the default sweep is ~2.5e8 candidates).
   *
@@ -48,45 +50,74 @@ object IvfpqSaltRehearsal {
     val nQ = queries.count()
     require(nQ > 0, s"query slice is empty: no vec_id % 1e6 < $perCopy in $sfDir")
     println(s"[salt-rehearsal] corpus=$n vectors, nlist=$nlist, |Q|=$nQ (forced fallback)")
+    // per-family sweep: warm-up rep, measured rep with task metrics, then
+    // an order-independent content fingerprint, one job. bit_xor alone
+    // cancels rows with even multiplicity (a duplicated row replacing a
+    // distinct one can fingerprint identically), so a sum of the same
+    // hashes rides along — multiplicity shifts that cancel in xor don't
+    // cancel in both. Decimal sum: a Long sum of 64-bit hashes overflows
+    // after a handful of rows, which under ANSI arithmetic throws.
+    // Coalesced: aggregates over zero rows are null, and an empty result
+    // should read as (0, 0, 0), not NPE.
+    def sweep(family: String)(run: Int => org.apache.spark.sql.DataFrame): Unit = {
+      val results = salts.map { s =>
+        run(s).write.format("noop").mode("overwrite").save() // warm-up rep
+        BenchSpill.drainBus(spark.sparkContext)
+        val acc = new BenchSpill.TaskMetricsAcc
+        spark.sparkContext.addSparkListener(acc)
+        val t0 = System.nanoTime()
+        run(s).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        acc.settle()
+        spark.sparkContext.removeSparkListener(acc)
+        val rowHash = xxhash64(col("query_id"), col("neighbor_id"),
+          col("dot"), col("rank"))
+        val fp = run(s)
+          .agg(count(lit(1)).as("n"),
+            coalesce(bit_xor(rowHash), lit(0L)).as("x"),
+            coalesce(sum(rowHash.cast("decimal(38,0)")),
+              lit(0L).cast("decimal(38,0)")).as("s"))
+          .head()
+        println(f"[salt-rehearsal] $family%-5s salt=$s%-3d wall=$wall%8.1fs " +
+          f"memSpill=${acc.memSpilled.get() / 1048576}%6d MiB " +
+          f"diskSpill=${acc.diskSpilled.get() / 1048576}%6d MiB " +
+          f"peakTask=${acc.peakTask.get() / 1048576}%5d MiB " +
+          f"tasks=${acc.tasks.get()}%6d rows=${fp.getLong(0)} " +
+          f"xor=${fp.getLong(1)} sum=${fp.getDecimal(2)}")
+        (s, (fp.getLong(0), fp.getLong(1), fp.getDecimal(2)))
+      }
+      val (_, fp0) = results.head
+      results.foreach { case (s, fp) =>
+        require(fp == fp0,
+          s"$family salt=$s result fingerprint $fp != salt=${salts.head} $fp0")
+      }
+      println(s"[salt-rehearsal] $family: all ${salts.size} salt settings content-identical")
+    }
+
     val index = IVFPQ.build(emb, "vec_id", "embedding", nlist = nlist, m = 8, ksub = 16)
     val codes = index.codes.cache()
     codes.count() // isolate search cost from the build lineage
     val idx = index.copy(codes = codes)
-
-    val results = salts.map { s =>
-      def run() = IVFPQ.search(idx, emb, queries, "vec_id", "embedding",
+    sweep("ivfpq") { s =>
+      IVFPQ.search(idx, emb, queries, "vec_id", "embedding",
         k = 10, nprobe = 2, shortlist = 16,
         maxBroadcastQueries = 0L, saltBuckets = s)
-      run().write.format("noop").mode("overwrite").save() // warm-up rep
-      BenchSpill.drainBus(spark.sparkContext)
-      val acc = new BenchSpill.TaskMetricsAcc
-      spark.sparkContext.addSparkListener(acc)
-      val t0 = System.nanoTime()
-      run().write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      acc.settle()
-      spark.sparkContext.removeSparkListener(acc)
-      // order-independent content fingerprint, one job (xor coalesced:
-      // bit_xor over zero rows is null, and an empty result should read
-      // as (0, 0), not NPE)
-      val fp = run()
-        .agg(count(lit(1)).as("n"),
-          coalesce(bit_xor(xxhash64(col("query_id"), col("neighbor_id"),
-            col("dot"), col("rank"))), lit(0L)).as("x"))
-        .head()
-      println(f"[salt-rehearsal] salt=$s%-3d wall=$wall%8.1fs " +
-        f"memSpill=${acc.memSpilled.get() / 1048576}%6d MiB " +
-        f"diskSpill=${acc.diskSpilled.get() / 1048576}%6d MiB " +
-        f"peakTask=${acc.peakTask.get() / 1048576}%5d MiB " +
-        f"tasks=${acc.tasks.get()}%6d rows=${fp.getLong(0)} xor=${fp.getLong(1)}")
-      (s, fp.getLong(0), fp.getLong(1))
     }
-    val (_, n0, x0) = results.head
-    results.foreach { case (s, n, x) =>
-      require(n == n0 && x == x0,
-        s"salt=$s result fingerprint ($n, $x) != salt=${salts.head} ($n0, $x0)")
+    codes.unpersist(blocking = false)
+
+    // the IVF rung in the same regime (same undersized nlist, same query
+    // batch): its probe join is keyed on __list alone too, so without
+    // salt the exact-dot candidate scan runs at nlist active partitions
+    val ivfIndex = {
+      val built = IVF.build(emb, "vec_id", "embedding", nlist = nlist)
+      val assigned = built.assigned.cache()
+      assigned.count() // isolate search cost from the build lineage
+      built.copy(assigned = assigned)
     }
-    println(s"[salt-rehearsal] all ${salts.size} salt settings content-identical")
+    sweep("ivf") { s =>
+      IVF.search(ivfIndex, queries, "vec_id", "embedding",
+        k = 10, nprobe = 2, saltBuckets = s)
+    }
     spark.stop()
   }
 }

@@ -43,14 +43,14 @@ object PrefixKnobRehearsal {
       graft.dedup.Jaccard.pairs(docs, "doc_id", "text", minBp = 8000L,
         native = true, maxDf = Queries.NgramMaxDf, collapseSiblings = false)
     }
-    time("jaccard pairsAuto (sibling probe + persist)") {
+    time("jaccard pairsAuto (default: lean probe)") {
       graft.dedup.Jaccard.pairsAuto(docs, "doc_id", "text", minBp = 8000L,
         native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L)
     }
-    time("jaccard pairsAuto materialize=false (lazy)") {
+    time("jaccard pairsAuto materialize=true") {
       graft.dedup.Jaccard.pairsAuto(docs, "doc_id", "text", minBp = 8000L,
         native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L,
-        materialize = false)
+        materialize = true)
     }
     time("pairs positional=on  collapse=on (catalog)") {
       Containment.pairs(docs, "doc_id", "text", minBp = 9000L,
@@ -73,6 +73,18 @@ object PrefixKnobRehearsal {
       Containment.subsets(docs, "doc_id", "text", minBp = 9000L,
         native = true, maxDf = Queries.NgramMaxDf,
         collapseSiblings = false, positionalFilter = true)
+    }
+    time("subsets subsetsAuto (default: lean probe)") {
+      Containment.subsetsAuto(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf)
+    }
+    time("subsets subsetsAuto materialize=true") {
+      Containment.subsetsAuto(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf, materialize = true)
+    }
+    time("pairs pairsAuto (default: lean probe)") {
+      Containment.pairsAuto(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L)
     }
     spark.stop()
   }

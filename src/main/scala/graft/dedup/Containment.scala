@@ -44,6 +44,19 @@ import org.apache.spark.sql.types._
   */
 object Containment {
 
+  /** Corpus-size crossover above which the auto entries ([[pairsAuto]],
+    * [[subsetsAuto]]) turn the positional candidate filter on. The
+    * filter's price is LINEAR — ranking the full probe side costs one
+    * extra window execution over the reused shingle exchange — while its
+    * payoff scales with candidate mass, which grows superlinearly on
+    * sibling-heavy corpora. Measured endpoints (BENCHSCALE rounds 15/16):
+    * at the 500k-doc blowup corpus the filter is worth -13% wall / -31%
+    * spill on the subsets plan and -16% wall on pairs; at the 5k-doc
+    * sf0.1 corpus the window costs more than it prunes (+0.1-0.7s warm).
+    * The fixed-knob entries keep their own defaults ([[pairs]] on,
+    * [[subsets]] off) — this constant only steers the probes. */
+  val PositionalMinDocs = 100000L
+
   /** Shared candidate-generation scaffolding — ONE owner for the
     * completeness-critical prefix-length formula and rarity order:
     * [[Jaccard.explodedAndPrefix]]. A positional probe target uses
@@ -284,17 +297,19 @@ object Containment {
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("contained_in"), col("inter"), col("cont_bp"))
 
-  /** [[subsets]] with the collapse decided by measurement: ONE cheap
-    * aggregate over the cached sets frame (count vs distinct set-hash
-    * count) detects whether the corpus carries set-identical documents at
-    * all — if not, the collapse window and membership expansion are pure
-    * overhead and the plain directional plan runs; if yes (or on a hash
-    * collision, which only errs toward collapsing), the sibling-proof
-    * plan runs. The sets frame is persisted so the probe and the chosen
-    * plan traverse the shingling lineage once, and released before
-    * returning (same materialize-then-unpersist discipline as
-    * [[Jaccard.pairsAuto]]); `materialize = false` skips persist and
-    * checkpoint and probes the raw lineage. */
+  /** [[subsets]] with both plan knobs decided by measurement: the
+    * sibling pair mass ([[Jaccard.probeSets]]) decides the collapse —
+    * quadratic template families get the sibling-proof plan, corpora
+    * whose duplicates are a sprinkling of pairs get the lean directional
+    * plan — and the probe's corpus size places the positional-filter
+    * crossover ([[PositionalMinDocs]]). The default prices at one
+    * `count()` plus ONE probe pass (uncapped below
+    * [[Jaccard.CappedProbeMinDocs]], exact capped above — see
+    * [[Jaccard.hazardProbe]]) over a knowing-caller [[subsets]] call and
+    * keeps the returned plan lazy; `materialize = true` is the
+    * expensive-upstream discipline — persist the capped sets frame
+    * across the exact probe + plan, localCheckpoint the result, release
+    * the cache before returning (see [[Jaccard.pairsAuto]]). */
   def subsetsAuto(
       df: DataFrame,
       idCol: String,
@@ -302,17 +317,26 @@ object Containment {
       minBp: Long,
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = false,
+      positionalMinDocs: Long = PositionalMinDocs): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val capped = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
-    def run(sets: DataFrame): DataFrame =
-      if (Jaccard.hasSiblings(sets)) subsetsCollapsed(sets, minBp, positionalFilter = false)
-      else subsetsPlain(sets, minBp, positionalFilter = false)
-    if (!materialize) run(capped)
-    else {
-      val cached = capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try run(cached).localCheckpoint()
-      finally cached.unpersist(blocking = false)
+    def mk(cap: Long) = Jaccard.cappedSets(df, idCol, textCol, native, cap)
+    def run(sets: DataFrame, nDocs: Long, pairMass: Long): DataFrame = {
+      val positional = nDocs >= positionalMinDocs
+      if (pairMass > nDocs) subsetsCollapsed(sets, minBp, positional)
+      else subsetsPlain(sets, minBp, positional)
+    }
+    if (!materialize) {
+      val nDocs = df.count()
+      val pairMass = Jaccard.hazardProbe(nDocs, mk, maxDf)
+      run(mk(maxDf), nDocs, pairMass)
+    } else {
+      val cached = mk(maxDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (nDocs, pairMass) = Jaccard.probeSets(cached)
+        run(cached, nDocs, pairMass).localCheckpoint()
+      } finally cached.unpersist(blocking = false)
     }
   }
 
@@ -327,7 +351,13 @@ object Containment {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val sets = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    pairsDirectFromSets(Jaccard.cappedSets(df, idCol, textCol, native, maxDf), minBp)
+  }
+
+  /** [[pairsDirect]] body over a pre-built capped sets frame (the
+    * [[Jaccard.autoDispatch]] seam — probe and branch share one
+    * shingling lineage). */
+  private[dedup] def pairsDirectFromSets(sets: DataFrame, minBp: Long): DataFrame = {
     val exploded = sets
       .select(col("__id"), explode(col("__set")).as("__x"))
       .repartition(col("__x"))
@@ -344,10 +374,11 @@ object Containment {
       .select("id_1", "id_2", "inter", "min_n", "containment_bp")
   }
 
-  /** Size-dispatched containment pairs: [[pairsDirect]] up to
-    * `directMaxDocs` input documents, prefix-filtered [[pairs]] above,
-    * with the collapse decided by the sibling probe over the shared sets
-    * frame — the same dispatch (and defaults, and cache discipline) as
+  /** Size-dispatched containment pairs: the direct co-occurrence body up
+    * to `directMaxDocs` non-empty-set documents, prefix-filtered [[pairs]]
+    * above, with the collapse decided by the sibling probe AND the
+    * positional filter by the corpus size ([[PositionalMinDocs]]) — the
+    * same one-aggregate dispatch (and defaults, and cache discipline) as
     * [[Jaccard.pairsAuto]], through the same [[Jaccard.autoDispatch]]. */
   def pairsAuto(
       df: DataFrame,
@@ -357,9 +388,12 @@ object Containment {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
       directMaxDocs: Long = Jaccard.DirectMaxDocs,
-      materialize: Boolean = true): DataFrame =
-    Jaccard.autoDispatch(df, directMaxDocs, materialize)(
-      direct = input => pairsDirect(input, idCol, textCol, minBp, native, maxDf),
-      mkSets = input => Jaccard.cappedSets(input, idCol, textCol, native, maxDf),
-      fromSets = (sets, collapse) => pairsFromSets(sets, minBp, collapse))
+      materialize: Boolean = false,
+      positionalMinDocs: Long = PositionalMinDocs): DataFrame =
+    Jaccard.autoDispatch(df, directMaxDocs, materialize, maxDf)(
+      mkSets = (input, cap) => Jaccard.cappedSets(input, idCol, textCol, native, cap),
+      directFromSets = sets => pairsDirectFromSets(sets, minBp),
+      fromSets = (sets, collapse, nDocs) =>
+        pairsFromSets(sets, minBp, collapse,
+          positionalFilter = nDocs >= positionalMinDocs))
 }

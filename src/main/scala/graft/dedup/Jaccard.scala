@@ -175,14 +175,58 @@ object Jaccard {
       minBp, collapseSiblings)
   }
 
-  /** Does the corpus carry ANY set-identical documents? ONE cheap
-    * aggregate (count vs distinct set-hash count) over a sets frame —
-    * the sibling probe behind the auto dispatches ([[pairsAuto]],
-    * [[Containment.pairsAuto]], [[Containment.subsetsAuto]]). A hash
-    * collision only errs toward collapsing (the safe side). */
-  private[dedup] def hasSiblings(sets: DataFrame): Boolean = {
-    val r = sets.agg(count(lit(1)), countDistinct(xxhash64(col("__set")))).head()
-    r.getLong(1) < r.getLong(0)
+  /** ONE aggregate over a sets frame returns everything the auto
+    * dispatches ([[pairsAuto]], [[Containment.pairsAuto]],
+    * [[Containment.subsetsAuto]]) decide on: (nDocs, pairMass), where
+    * nDocs counts docs with a non-empty set (docs with an empty set can
+    * pair with nothing) and pairMass is the within-group pair count
+    * Σ C(m,2) over set-identical sibling groups — the EXACT number of
+    * manufactured pairs an uncollapsed prefix join would generate and
+    * verify for free content. The collapse dispatch compares pairMass
+    * against nDocs, not "any sibling exists": a corpus sprinkled with
+    * duplicate PAIRS (every crawl snapshot; the sf0.1 documents table
+    * carries 8) is harmlessly linear through the lean plans, while
+    * template FAMILIES (m-sibling groups, quadratic in m) are exactly
+    * what pairMass measures. Grouping by the set hash, not the set: a
+    * collision only merges distinct sets, overstating pairMass — errs
+    * toward collapsing, the safe side. */
+  private[dedup] def probeSets(sets: DataFrame): (Long, Long) = {
+    val r = sets.groupBy(xxhash64(col("__set")).as("__h")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c")), lit(0L)),
+        coalesce(sum(expr("__c * (__c - 1)")), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1) / 2)
+  }
+
+  /** Corpus-size bound under which the lean dispatches probe the CHEAP
+    * uncapped sets (one map-only shingling pass — no df-count aggregate,
+    * no heavy-shingle anti-join, measured 3x cheaper than the capped
+    * probe at sf0.1 and the difference grows with the cap machinery's
+    * exchanges). Soundness: removing capped shingles only MERGES sets,
+    * so uncapped pairMass is a LOWER bound on capped pairMass — a hazard
+    * the cheap probe shows is real, but a clean read can miss groups
+    * that become identical only after df-capping (docs differing solely
+    * in heavy boilerplate). Below this bound a missed family is bounded
+    * by the corpus (C(m,2) <= C(n,2) verification pairs of a small n —
+    * seconds, not the 100x-blowup class), so the cheap read is trusted;
+    * at or above it the lean probe goes STRAIGHT to the exact capped
+    * sets — one probe pass either way, whose linear cost at that scale
+    * is noise against the superlinear join it steers. maxDf = MaxValue
+    * makes the cheap probe exact at any size. */
+  private[dedup] val CappedProbeMinDocs = 20000L
+
+  /** The lean dispatches' probe staging: ONE cheap `count()` sizes the
+    * corpus, then ONE [[probeSets]] pass runs over the uncapped sets
+    * (small corpus, or an inert cap — trusted/exact) or the capped sets
+    * (large corpus with a real cap — exact where wrong dispatch is
+    * expensive); see [[CappedProbeMinDocs]]. Returns (raw doc count —
+    * the dispatch-crossover size — and the operative pairMass). */
+  private[dedup] def hazardProbe(
+      nDocs: Long, mkSets: Long => DataFrame, maxDf: Long): Long = {
+    val cap =
+      if (maxDf == Long.MaxValue || nDocs < CappedProbeMinDocs) Long.MaxValue
+      else maxDf
+    probeSets(mkSets(cap))._2
   }
 
   /** Shared candidate-generation scaffolding of every prefix-filtered
@@ -301,7 +345,13 @@ object Jaccard {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val sets = cappedSets(df, idCol, textCol, native, maxDf)
+    pairsDirectFromSets(cappedSets(df, idCol, textCol, native, maxDf), minBp)
+  }
+
+  /** [[pairsDirect]] body over a pre-built capped sets frame — the seam
+    * that lets [[autoDispatch]] run its direct branch off the SAME sets
+    * frame its probe just traversed (one shingling lineage either way). */
+  private[dedup] def pairsDirectFromSets(sets: DataFrame, minBp: Long): DataFrame = {
     val exploded = sets
       .select(col("__id"), explode(col("__set")).as("__x"))
       .repartition(col("__x"))
@@ -327,29 +377,36 @@ object Jaccard {
 
   /** Size-dispatched exact pair search: [[pairsDirect]] for corpora up to
     * `directMaxDocs` input documents, [[pairs]] (prefix-filtered PPJoin)
-    * above — where the SIBLING PROBE ([[hasSiblings]], one aggregate over
-    * the shared sets frame) additionally decides the set-identity
-    * collapse: on for corpora that carry set-identical documents (the
-    * template-family C(m,2) hazard), off when none exist (the collapse
+    * above — where the sibling probe ([[probeSets]] via [[hazardProbe]])
+    * additionally decides the set-identity collapse: on when the
+    * within-group pair mass Σ C(m,2) exceeds the corpus size (the
+    * template-family hazard — quadratic manufactured pairs), off for
+    * corpora whose duplicates are a sprinkling of pairs (the collapse
     * window + membership expansion are pure overhead there — measured
-    * 2.20 vs 1.45 s warm on the sibling-free sf0.1 containment twin). At
-    * prefix scale the probe is linear noise; below `directMaxDocs` it
-    * never runs. Every combination passes the identical oracle; the
-    * dispatch trades PPJoin's fixed cost (frequency aggregate + rarity
-    * ranking window) against the direct join's quadratic hot-shingle
-    * exposure. Runs one `count()` on the input to decide — cache `df`
-    * upstream when its lineage is expensive.
+    * 2.20 vs 1.45 s warm on the sf0.1 containment twin, whose 8
+    * duplicate pairs are harmless). At prefix scale the probe is linear
+    * noise; below `directMaxDocs` no window runs at all. Every
+    * combination passes the identical oracle; the dispatch trades
+    * PPJoin's fixed cost (frequency aggregate + rarity ranking window)
+    * against the direct join's quadratic hot-shingle exposure.
     *
-    * Cost of the convenience, measured at the 100x corpus (BENCHSCALE
-    * round 15): the default materialize mode adds ~45% over a direct
-    * `pairs` call on a CHEAP lineage (raw parquet scan) — the input/sets
-    * persists and the output checkpoint cost more than recomputation
-    * there; `materialize = false` adds ~17% (the probe plus one extra
-    * raw traversal). The discipline pays on the expensive-upstream
-    * callers it was built for (the curate pipeline's cleaned/gated
-    * frame); callers reading straight off storage should pass
-    * `materialize = false`, and callers who KNOW their corpus shape
-    * should call [[pairs]] with the collapse knob directly. */
+    * Cost of the convenience (BENCHSCALE round 16): the default lazy
+    * mode prices at one `count()` plus ONE probe pass over the prefix
+    * branch's corpora — the cheap uncapped sets below
+    * [[CappedProbeMinDocs]], the exact capped sets above ([[hazardProbe]])
+    * — persists nothing, and checkpoints nothing; at or below
+    * `directMaxDocs` only the count runs. `materialize = true` is the
+    * expensive-upstream
+    * discipline (the curate pipeline's cleaned/gated frame): the sets
+    * frame is persisted so the exact probe and the chosen plan compute
+    * the upstream ONCE, the result is materialized via localCheckpoint
+    * while the cache is live, and the cache is RELEASED before
+    * returning — in a long-lived session the corpus-sized blocks never
+    * accumulate. On a cheap lineage (raw parquet scan) that discipline
+    * costs more than recomputation — keep the default. Callers who KNOW
+    * their corpus shape should call [[pairs]] with the collapse knob
+    * directly. A caller-persisted input is caller-managed: it is read,
+    * never unpersisted. */
   def pairsAuto(
       df: DataFrame,
       idCol: String,
@@ -358,65 +415,51 @@ object Jaccard {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
       directMaxDocs: Long = DirectMaxDocs,
-      materialize: Boolean = true): DataFrame = {
-    // the dispatch count and the chosen pair plan BOTH traverse df's
-    // lineage; persist so an expensive upstream (the curate pipeline's
-    // cleaned/gated frame) is computed once, not once per pass. The cache
-    // is RELEASED before returning: the pair table (bounded by the
-    // similarity threshold, tiny next to the corpus) is materialized via
-    // localCheckpoint while the input is still cached, so in a long-lived
-    // session (streaming service, repeated curate runs) the corpus-sized
-    // blocks never accumulate and never LRU-evict hotter caches.
-    // `materialize = false` skips both the persist and the checkpoint —
-    // for callers that manage their own caching or want the lazy plan
-    // (the sibling probe then traverses the raw lineage once more, the
-    // same contract as [[Containment.subsetsAuto]]).
-    // A caller-persisted input (storageLevel != NONE) is caller-managed:
-    // reuse it as-is and NEVER unpersist — persist/unpersist act on the
-    // shared plan's cache entry, so dropping it here would silently evict
-    // a cache the caller still holds across calls.
-    autoDispatch(df, directMaxDocs, materialize)(
-      direct = input => pairsDirect(input, idCol, textCol, minBp, native, maxDf),
-      mkSets = input => cappedSets(input, idCol, textCol, native, maxDf),
-      fromSets = (sets, collapse) => pairsFromSets(sets, minBp, collapse))
-  }
+      materialize: Boolean = false): DataFrame =
+    autoDispatch(df, directMaxDocs, materialize, maxDf)(
+      mkSets = (input, cap) => cappedSets(input, idCol, textCol, native, cap),
+      directFromSets = sets => pairsDirectFromSets(sets, minBp),
+      fromSets = (sets, collapse, _) => pairsFromSets(sets, minBp, collapse))
 
-  /** Shared size + sibling dispatch of [[pairsAuto]] and
-    * [[Containment.pairsAuto]]: count the input (direct plan at or below
-    * the bound), else build the capped sets frame ONCE — persisted in
-    * materialize mode so the sibling probe and the prefix plan share one
-    * shingling pass — probe for set-identical docs, and run the prefix
-    * body with the collapse the probe chose. Cache discipline matches the
-    * scaladoc above: every persist this function takes is released before
-    * returning, caller-persisted inputs are never touched. */
+  /** Shared dispatch of [[pairsAuto]] and [[Containment.pairsAuto]]:
+    * probe, then hand the capped sets frame to the branch the numbers
+    * pick — the direct body at or below `directMaxDocs` docs, else the
+    * prefix body with the collapse chosen by the sibling pair mass
+    * (`fromSets(sets, collapse, nDocs)` — nDocs lets the containment
+    * bodies place their positional crossover). The default (lean) mode
+    * runs the staged [[hazardProbe]] against the raw lineage — pricing
+    * at ONE cheap extra traversal on small/clean corpora — and returns
+    * the lazy plan, persisting nothing. In materialize mode (expensive
+    * upstream) the capped sets frame is persisted so the exact probe
+    * and the chosen plan compute the upstream once, the result
+    * localCheckpoints while the cache is live, and the cache is
+    * released before returning. Caller-persisted inputs are never
+    * touched. */
   private[dedup] def autoDispatch(
       df: DataFrame,
       directMaxDocs: Long,
-      materialize: Boolean)(
-      direct: DataFrame => DataFrame,
-      mkSets: DataFrame => DataFrame,
-      fromSets: (DataFrame, Boolean) => DataFrame): DataFrame = {
-    def prefixPlan(input: DataFrame): DataFrame =
-      if (!materialize) {
-        val sets = mkSets(input)
-        fromSets(sets, hasSiblings(sets))
-      } else {
-        val sets = mkSets(input)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try fromSets(sets, hasSiblings(sets)).localCheckpoint()
-        finally sets.unpersist(blocking = false)
-      }
+      materialize: Boolean,
+      maxDf: Long)(
+      mkSets: (DataFrame, Long) => DataFrame,
+      directFromSets: DataFrame => DataFrame,
+      fromSets: (DataFrame, Boolean, Long) => DataFrame): DataFrame = {
+    def choose(sets: DataFrame, nDocs: Long, pairMass: Long): DataFrame =
+      if (nDocs <= directMaxDocs) directFromSets(sets)
+      else fromSets(sets, pairMass > nDocs, nDocs)
     if (!materialize) {
-      if (df.count() <= directMaxDocs) direct(df) else prefixPlan(df)
-    } else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
-      if (df.count() <= directMaxDocs) direct(df).localCheckpoint()
-      else prefixPlan(df)
+      val nDocs = df.count()
+      if (nDocs <= directMaxDocs) directFromSets(mkSets(df, maxDf))
+      else {
+        val pairMass = hazardProbe(nDocs, cap => mkSets(df, cap), maxDf)
+        fromSets(mkSets(df, maxDf), pairMass > nDocs, nDocs)
+      }
     } else {
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sets = mkSets(df, maxDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (cached.count() <= directMaxDocs) direct(cached).localCheckpoint()
-        else prefixPlan(cached)
-      } finally cached.unpersist(blocking = false)
+        val (nDocs, pairMass) = probeSets(sets)
+        choose(sets, nDocs, pairMass).localCheckpoint()
+      } finally sets.unpersist(blocking = false)
     }
   }
 }

@@ -216,9 +216,14 @@ object CorpusPipeline {
     * term — see [[graft.dedup.Jaccard.pairsAuto]]). */
   private def nearPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
     if (cfg.exactNearDup)
+      // materialize = true: this df is the pipeline's cleaned/gated
+      // frame — an expensive lineage the probe and the chosen plan must
+      // compute once, not once per traversal (the discipline pairsAuto's
+      // materialize mode exists for; the cache is released before the
+      // call returns)
       graft.dedup.Jaccard.pairsAuto(df, idCol, textCol, cfg.nearDupMinBp,
           native = true, maxDf = graft.Queries.NgramMaxDf,
-          directMaxDocs = cfg.directJoinMaxDocs)
+          directMaxDocs = cfg.directJoinMaxDocs, materialize = true)
         .select(col("id_1"), col("id_2"))
     else
       MinHash.nearDuplicates(df, idCol, textCol, cfg.nearDupMinBp, native = true)

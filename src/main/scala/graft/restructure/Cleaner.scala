@@ -72,21 +72,34 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
       .distinct()
   }
 
-  /** Per-file count of source records NOT found in the output. Records with
-    * no event time count as present (reference fallback,
-    * cleaner/TimestampFileCache.kt:62-66). */
-  def unmatchedCounts(topic: String, files: Seq[TopicFile]): Map[String, Long] = {
+  /** Per-file (count of source records NOT found in the output, max record
+    * offset). Records with no event time count as present (reference
+    * fallback, cleaner/TimestampFileCache.kt:62-66) but still contribute
+    * their offset: the max offset is the file's TRUE end, learned from the
+    * same read that verifies it, and supplies the reprocessing removal
+    * range for files whose NAME carries no end offset — the reference can
+    * only shrink such a file's removal to its start offset
+    * (accounting/OffsetRangeSet.kt:170 `ensureToOffset`), which under
+    * per-record seen-pruning would leave the file's later records
+    * permanently ledgered even though extraction never verified them.
+    * The hit flag rides a row-preserving left join (`extracted` is
+    * distinct, so the join cannot multiply source rows) — one aggregate
+    * yields both numbers per file. */
+  def unmatchedCounts(topic: String, files: Seq[TopicFile]): Map[String, (Long, Long)] = {
     if (files.isEmpty) return Map.empty
-    val extracted = extractedTimes(topic)
+    val extracted = extractedTimes(topic).withColumn("__hit", lit(1))
     job.readTopic(topic, files).flatMap { df =>
       val src = df.select(
-        col("_file"), col("_project").as("p"), col("_user").as("u"),
-        col("_bin").as("b"), col("_time").cast("double").as("t"))
-        .filter(col("t").isNotNull)
-      src.join(extracted, Seq("p", "u", "b", "t"), "left_anti")
-        .groupBy("_file").agg(count(lit(1)).as("n"))
+        col("_file"), col("_offset"), col("_project").as("p"),
+        col("_user").as("u"), col("_bin").as("b"),
+        col("_time").cast("double").as("t"))
+      src.join(extracted, Seq("p", "u", "b", "t"), "left")
+        .groupBy("_file")
+        .agg(
+          count(when(col("t").isNotNull && col("__hit").isNull, lit(1))).as("n"),
+          max(col("_offset")).as("end"))
         .collect()
-        .map(r => r.getString(0) -> r.getLong(1))
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
     }.toMap
   }
 
@@ -100,14 +113,20 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
       if (cand.nonEmpty) {
         val unmatched = unmatchedCounts(topic, cand)
         cand.foreach { f =>
-          if (unmatched.getOrElse(f.path, 0L) == 0L) {
+          if (unmatched.get(f.path).forall(_._1 == 0L)) {
             val p = new Path(f.path)
             p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
             deleted += f.path
           } else {
-            f.endOffset.foreach { end =>
-              state.remove(TopicPartition(f.topic, f.partition), f.startOffset, end)
-            }
+            // remove the file's FULL range so every record is readmitted:
+            // the end comes from the filename when it carries one, else
+            // from the verification read's max offset (see
+            // [[unmatchedCounts]] — the reference cannot do this and
+            // shrinks the removal to the start offset)
+            val end = f.endOffset
+              .orElse(unmatched.get(f.path).map(_._2))
+              .getOrElse(f.startOffset)
+            state.remove(TopicPartition(f.topic, f.partition), f.startOffset, end)
             reprocess += f.path
           }
         }

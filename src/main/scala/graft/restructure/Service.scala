@@ -37,10 +37,21 @@ final class Service(
     }
   }
 
-  def stop(): Unit = synchronized {
+  /** Drain, don't interrupt: a pass in flight finishes before the
+    * executor dies (write-then-commit makes interruption SAFE — the
+    * uncommitted batch just reprocesses — but dirty: killed passes leave
+    * uncommitted part files for the output merge to absorb and record a
+    * spurious InterruptedException in `lastError`). Periodic tasks are
+    * not re-executed after shutdown(), so the drain waits for at most
+    * one pass; only a pass exceeding `drainMs` is forcibly
+    * interrupted. */
+  def stop(drainMs: Long = 60000L): Unit = synchronized {
     if (executor != null) {
-      executor.shutdownNow()
-      executor.awaitTermination(10, TimeUnit.SECONDS)
+      executor.shutdown()
+      if (!executor.awaitTermination(drainMs, TimeUnit.MILLISECONDS)) {
+        executor.shutdownNow()
+        executor.awaitTermination(10, TimeUnit.SECONDS)
+      }
       executor = null
     }
   }

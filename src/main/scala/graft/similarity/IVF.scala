@@ -164,7 +164,26 @@ object IVF {
   }
 
   /** Top-k by exact integer dot within the nprobe nearest lists of each
-    * query. Output: (query_id, neighbor_id, dot, rank). */
+    * query. Output: (query_id, neighbor_id, dot, rank).
+    *
+    * `saltBuckets` un-caps the probed join's parallelism in the
+    * tiny-nlist / huge-batch regime — the IVF twin of
+    * [[IVFPQ.search]]'s knob (which measured 5.6x at nlist 8 on 32
+    * cores): the join is keyed on `__list` alone, so its non-broadcast
+    * exchange runs at most nlist active partitions, each streaming every
+    * one of its list's corpus rows against ALL that list's probing
+    * queries. With buckets, each probed (query, list) row lands in ONE
+    * (list, salt) bucket by query hash and each assigned corpus row
+    * replicates across all buckets — parallelism and per-partition probe
+    * state improve by the bucket count for one extra scan multiple of
+    * the assignment projection. Salted runs pin shuffle-hash with the
+    * probed side as build (the regime's right shape: corpus streams,
+    * query batch builds); the default leaves Catalyst's choice
+    * untouched. Results are identical for every setting
+    * (RerankFallbackSpec pins identity + the salt reaching the physical
+    * join's keys). A production-sized nlist (~sqrt(N)) already exceeds
+    * any executor count — the knob matters only for deliberately coarse
+    * quantizers under huge query batches. */
   def search(
       index: Index,
       queries: DataFrame,
@@ -172,7 +191,9 @@ object IVF {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      shards: Int = 32): DataFrame = {
+      shards: Int = 32,
+      saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     val q = queries.select(col(idCol).as("query_id"),
       call_function("graft_quantize", col(vecCol)).as("__qv"))
     // rank all centroids per query and keep nprobe, as one kernel call over
@@ -184,7 +205,16 @@ object IVF {
           array(index.centroids.flatten.map(lit): _*),
           lit(index.centroids.length), lit(nprobe)))
       .select(col("query_id"), col("__qv"), explode(col("__probe")).as("__list"))
-    val cand = probed.join(index.assigned, "__list")
+    val joined =
+      if (saltBuckets == 1) probed.join(index.assigned, "__list")
+      else {
+        val saltedProbed = probed
+          .withColumn("__salt", pmod(hash(col("query_id")), lit(saltBuckets)))
+        index.assigned
+          .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+          .join(saltedProbed.hint("shuffle_hash"), Seq("__list", "__salt"))
+      }
+    val cand = joined
       .filter(col("__id") =!= col("query_id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
         call_function("graft_qdot", col("__qv"), col("__v")).as("dot"))

@@ -171,6 +171,35 @@ class CollapseSpec extends SparkSpec {
       == collect3(Jaccard.pairs(heavy, "doc_id", "text", 8000L)))
   }
 
+  test("auto entries place the positional filter by corpus size (plan-only)") {
+    // the crossover is a defaulted parameter precisely so the spec can
+    // force it both ways on one corpus: results must be identical, and
+    // the positional pick must actually reach the candidate join (its
+    // plan signature on the subsets family is the overlap bound's
+    // `least(|A|-i, |B|-j)` — the non-positional directional plan has no
+    // least() anywhere)
+    val df = corpus(15, nGroups = 0, mPerGroup = 0, nLoners = 25)
+    def auto(minDocs: Long) = Containment.subsetsAuto(df, "doc_id", "text", 8000L,
+      native = false, maxDf = Long.MaxValue, materialize = false,
+      positionalMinDocs = minDocs)
+    val off = auto(Long.MaxValue)
+    val on = auto(0L)
+    assert(collect4(on) == collect4(off))
+    assert(on.queryExecution.optimizedPlan.toString.contains("least("))
+    assert(!off.queryExecution.optimizedPlan.toString.contains("least("))
+    // the pairs twin: same crossover forcing, same pinned result (its
+    // candidate join carries least()/greatest() projections either way,
+    // so identity is the assertion here; CollapseSpec's knob-combo test
+    // above pins the fixed positionalFilter knob's plan-onlyness)
+    val pOff = collect5(Containment.pairsAuto(df, "doc_id", "text", 9000L,
+      native = false, maxDf = Long.MaxValue, directMaxDocs = 0L,
+      materialize = false, positionalMinDocs = Long.MaxValue))
+    val pOn = collect5(Containment.pairsAuto(df, "doc_id", "text", 9000L,
+      native = false, maxDf = Long.MaxValue, directMaxDocs = 0L,
+      materialize = false, positionalMinDocs = 0L))
+    assert(pOn == pOff)
+  }
+
   test("collapse emits one rep per distinct set and a full membership map") {
     val df = corpus(7, nGroups = 3, mPerGroup = 4, nLoners = 5)
     val (reps, membership) =

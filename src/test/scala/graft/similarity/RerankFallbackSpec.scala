@@ -91,4 +91,24 @@ class RerankFallbackSpec extends SparkSpec {
     assert(collectRanked(plain) == collectRanked(bsalt))
     assert(!plan(bsalt).contains("__salt"))
   }
+
+  test("IVF salted search: result identical, salt key actually joins") {
+    val corpus = emb.limit(64)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val index = IVF.build(corpus, "vec_id", "embedding", nlist = 2)
+    val plain = IVF.search(index, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val salted = IVF.search(index, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, saltBuckets = 4)
+    assert(collectRanked(plain) == collectRanked(salted))
+    // as in the IVFPQ twin above: the salt must reach the physical probe
+    // join's EQUI-KEY list, not merely survive in a projection while the
+    // exchange collapses back to the nlist-bounded shape
+    val shjKeyLines = plan(salted).linesIterator
+      .filter(l => l.contains("ShuffledHashJoin") && l.contains("__list"))
+      .toSeq
+    assert(shjKeyLines.nonEmpty && shjKeyLines.forall(_.contains("__salt")),
+      s"IVF probe SHJ keys missing __salt:\n${shjKeyLines.mkString("\n")}")
+    assert(!plan(plain).contains("__salt"))
+  }
 }
