@@ -43,14 +43,14 @@ object PrefixKnobRehearsal {
       graft.dedup.Jaccard.pairs(docs, "doc_id", "text", minBp = 8000L,
         native = true, maxDf = Queries.NgramMaxDf, collapseSiblings = false)
     }
-    time("jaccard pairsAuto (default: lean probe)") {
+    time("jaccard pairsAuto (default: materialize)") {
       graft.dedup.Jaccard.pairsAuto(docs, "doc_id", "text", minBp = 8000L,
         native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L)
     }
-    time("jaccard pairsAuto materialize=true") {
+    time("jaccard pairsAuto materialize=false (lean)") {
       graft.dedup.Jaccard.pairsAuto(docs, "doc_id", "text", minBp = 8000L,
         native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L,
-        materialize = true)
+        materialize = false)
     }
     time("pairs positional=on  collapse=on (catalog)") {
       Containment.pairs(docs, "doc_id", "text", minBp = 9000L,
@@ -65,6 +65,11 @@ object PrefixKnobRehearsal {
         native = true, maxDf = Queries.NgramMaxDf,
         collapseSiblings = false, positionalFilter = false)
     }
+    time("pairs positional=on  collapse=off") {
+      Containment.pairs(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf,
+        collapseSiblings = false, positionalFilter = true)
+    }
     time("subsets plain positional=off (catalog)") {
       Containment.subsets(docs, "doc_id", "text", minBp = 9000L,
         native = true, maxDf = Queries.NgramMaxDf, collapseSiblings = false)
@@ -74,17 +79,22 @@ object PrefixKnobRehearsal {
         native = true, maxDf = Queries.NgramMaxDf,
         collapseSiblings = false, positionalFilter = true)
     }
-    time("subsets subsetsAuto (default: lean probe)") {
+    time("subsets subsetsAuto (default: materialize)") {
       Containment.subsetsAuto(docs, "doc_id", "text", minBp = 9000L,
         native = true, maxDf = Queries.NgramMaxDf)
     }
-    time("subsets subsetsAuto materialize=true") {
+    time("subsets subsetsAuto materialize=false (lean)") {
       Containment.subsetsAuto(docs, "doc_id", "text", minBp = 9000L,
-        native = true, maxDf = Queries.NgramMaxDf, materialize = true)
+        native = true, maxDf = Queries.NgramMaxDf, materialize = false)
     }
-    time("pairs pairsAuto (default: lean probe)") {
+    time("pairs pairsAuto (default: materialize)") {
       Containment.pairsAuto(docs, "doc_id", "text", minBp = 9000L,
         native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L)
+    }
+    time("pairs pairsAuto materialize=false (lean)") {
+      Containment.pairsAuto(docs, "doc_id", "text", minBp = 9000L,
+        native = true, maxDf = Queries.NgramMaxDf, directMaxDocs = 0L,
+        materialize = false)
     }
     spark.stop()
   }

@@ -390,23 +390,27 @@ object Jaccard {
     * PPJoin's fixed cost (frequency aggregate + rarity ranking window)
     * against the direct join's quadratic hot-shingle exposure.
     *
-    * Cost of the convenience (BENCHSCALE round 16): the default lazy
-    * mode prices at one `count()` plus ONE probe pass over the prefix
+    * Cost of the convenience (BENCHSCALE round 16): the default
+    * materialize mode persists the capped sets frame across the exact
+    * probe and the chosen plan, so the probe's shingling pass is the SAME
+    * pass the plan reads from cache — measured at or below the fixed
+    * plans' own times on both corpora (sf0.1 warm 1.57 s vs 1.71/2.19
+    * fixed; 100x 26.4 s vs 22.9-32.3 fixed). `materialize = false` is
+    * the lazy-plan escape hatch (plan inspection, callers managing their
+    * own caching): one `count()` plus ONE probe pass over the prefix
     * branch's corpora — the cheap uncapped sets below
     * [[CappedProbeMinDocs]], the exact capped sets above ([[hazardProbe]])
-    * — persists nothing, and checkpoints nothing; at or below
-    * `directMaxDocs` only the count runs. `materialize = true` is the
-    * expensive-upstream
-    * discipline (the curate pipeline's cleaned/gated frame): the sets
-    * frame is persisted so the exact probe and the chosen plan compute
-    * the upstream ONCE, the result is materialized via localCheckpoint
-    * while the cache is live, and the cache is RELEASED before
-    * returning — in a long-lived session the corpus-sized blocks never
-    * accumulate. On a cheap lineage (raw parquet scan) that discipline
-    * costs more than recomputation — keep the default. Callers who KNOW
-    * their corpus shape should call [[pairs]] with the collapse knob
-    * directly. A caller-persisted input is caller-managed: it is read,
-    * never unpersisted. */
+    * — persisting and checkpointing nothing, with the returned plan
+    * recomputing the shingling lineage per traversal; at or below
+    * `directMaxDocs` only the count runs. Materialize doubles as the
+    * expensive-upstream discipline (the curate pipeline's cleaned/gated
+    * frame): probe and plan compute the upstream ONCE, the result is
+    * materialized via localCheckpoint while the cache is live, and the
+    * cache is RELEASED before returning — in a long-lived session the
+    * corpus-sized blocks never accumulate. Callers who KNOW their corpus
+    * shape should call [[pairs]] with the collapse knob directly. A
+    * caller-persisted input is caller-managed: it is read, never
+    * unpersisted. */
   def pairsAuto(
       df: DataFrame,
       idCol: String,
@@ -415,7 +419,7 @@ object Jaccard {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
       directMaxDocs: Long = DirectMaxDocs,
-      materialize: Boolean = false): DataFrame =
+      materialize: Boolean = true): DataFrame =
     autoDispatch(df, directMaxDocs, materialize, maxDf)(
       mkSets = (input, cap) => cappedSets(input, idCol, textCol, native, cap),
       directFromSets = sets => pairsDirectFromSets(sets, minBp),
@@ -426,15 +430,14 @@ object Jaccard {
     * pick — the direct body at or below `directMaxDocs` docs, else the
     * prefix body with the collapse chosen by the sibling pair mass
     * (`fromSets(sets, collapse, nDocs)` — nDocs lets the containment
-    * bodies place their positional crossover). The default (lean) mode
-    * runs the staged [[hazardProbe]] against the raw lineage — pricing
-    * at ONE cheap extra traversal on small/clean corpora — and returns
-    * the lazy plan, persisting nothing. In materialize mode (expensive
-    * upstream) the capped sets frame is persisted so the exact probe
-    * and the chosen plan compute the upstream once, the result
-    * localCheckpoints while the cache is live, and the cache is
-    * released before returning. Caller-persisted inputs are never
-    * touched. */
+    * bodies place their positional crossover). In materialize mode (the
+    * default) the capped sets frame is persisted so the exact probe and
+    * the chosen plan compute the lineage once, the result
+    * localCheckpoints while the cache is live, and the cache is released
+    * before returning. The lean mode runs the staged [[hazardProbe]]
+    * against the raw lineage — ONE cheap extra traversal on small/clean
+    * corpora — and returns the lazy plan, persisting nothing.
+    * Caller-persisted inputs are never touched. */
   private[dedup] def autoDispatch(
       df: DataFrame,
       directMaxDocs: Long,
