@@ -175,8 +175,10 @@ object EtlBench {
       spark.sparkContext.addSparkListener(cacc)
       val c0 = System.nanoTime()
       // negative age: every file is old enough, so candidacy is decided
-      // by state coverage alone (P9 still protects each partition's
-      // newest offset)
+      // by state coverage plus the end-less-name P9 guard (this
+      // generator's file names carry no end offset, so each partition's
+      // newest file is excluded from candidacy outright — the state
+      // check alone would degenerate to [start, start+1] and admit it)
       val cleaner = new graft.restructure.Cleaner(spark, cfg, ageMs = -60000L)
       val (cleanDeleted, cleanReprocess) = cleaner.run()
       val cleanSec = (System.nanoTime() - c0) / 1e9
@@ -200,6 +202,10 @@ object EtlBench {
       val replanned = job.plan("sensor_topic", job.loadState()).map(_.path).toSet
       require(replanned == cleanReprocess.toSet,
         s"replanned ${replanned.size} files != reprocess ${cleanReprocess.size}")
+      // the phase breakdown below renames the input tree into a second
+      // dataset — after the cleaner deleted most of it, those rows would
+      // silently measure the ~10% remnant under the full-dataset label
+      spark.stop(); return
     }
 
     // phase breakdown on a SECOND identical dataset (fresh topic name so

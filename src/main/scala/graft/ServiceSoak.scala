@@ -76,8 +76,13 @@ object ServiceSoak {
   }
 
   def run(spark: SparkSession, dir: File, perFile: Int, tickMs: Long = 200L): Report = {
-    require(perFile >= 2 && perFile <= 40000,
-      "perFile in [2, 40000] (keeps per-partition time values collision-free)")
+    // upper bound 37600: partition 1's wave-A offsets run 48800..48800+
+    // perFile-1, and past 86400 the `offset % 86400` time derivation
+    // wraps onto the late file's offsets 0..perFile-1 (86400 % 3 == 0,
+    // so userId aliases too) — 86400 - 48800 = 37600 keeps every
+    // (partition, offset) -> record mapping collision-free
+    require(perFile >= 2 && perFile <= 37600,
+      "perFile in [2, 37600] (keeps per-partition time values collision-free)")
     val schema = new Schema.Parser().parse(schemaJson)
     val staging = new File(dir, "stage")
     staging.mkdirs()

@@ -392,11 +392,15 @@ object Containment {
       maxDf: Long = Long.MaxValue,
       directMaxDocs: Long = Jaccard.DirectMaxDocs,
       materialize: Boolean = true,
-      positionalMinDocs: Long = PositionalMinDocs): DataFrame =
+      positionalMinDocs: Long = PositionalMinDocs): DataFrame = {
+    // same rationale as [[Jaccard.pairsAuto]]: the direct branch runs
+    // the require-less FromSets seam
+    require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
     Jaccard.autoDispatch(df, directMaxDocs, materialize, maxDf)(
       mkSets = (input, cap) => Jaccard.cappedSets(input, idCol, textCol, native, cap),
       directFromSets = sets => pairsDirectFromSets(sets, minBp),
       fromSets = (sets, collapse, nDocs) =>
         pairsFromSets(sets, minBp, collapse,
           positionalFilter = nDocs >= positionalMinDocs))
+  }
 }

@@ -215,12 +215,12 @@ object Jaccard {
     * makes the cheap probe exact at any size. */
   private[dedup] val CappedProbeMinDocs = 20000L
 
-  /** The lean dispatches' probe staging: ONE cheap `count()` sizes the
-    * corpus, then ONE [[probeSets]] pass runs over the uncapped sets
-    * (small corpus, or an inert cap — trusted/exact) or the capped sets
-    * (large corpus with a real cap — exact where wrong dispatch is
-    * expensive); see [[CappedProbeMinDocs]]. Returns (raw doc count —
-    * the dispatch-crossover size — and the operative pairMass). */
+  /** The lean dispatches' probe staging: the caller's `nDocs` (a raw
+    * `count()`) sizes the corpus, then ONE [[probeSets]] pass runs over
+    * the uncapped sets (small corpus, or an inert cap — trusted/exact)
+    * or the capped sets (large corpus with a real cap — exact where a
+    * wrong dispatch is expensive); see [[CappedProbeMinDocs]]. Returns
+    * the operative pairMass. */
   private[dedup] def hazardProbe(
       nDocs: Long, mkSets: Long => DataFrame, maxDf: Long): Long = {
     val cap =
@@ -419,11 +419,16 @@ object Jaccard {
       native: Boolean = false,
       maxDf: Long = Long.MaxValue,
       directMaxDocs: Long = DirectMaxDocs,
-      materialize: Boolean = true): DataFrame =
+      materialize: Boolean = true): DataFrame = {
+    // validate here, not in the branch bodies: the direct branch runs
+    // the require-less FromSets seam, and an out-of-range threshold must
+    // throw rather than silently return an empty (or all-pairs) frame
+    require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
     autoDispatch(df, directMaxDocs, materialize, maxDf)(
       mkSets = (input, cap) => cappedSets(input, idCol, textCol, native, cap),
       directFromSets = sets => pairsDirectFromSets(sets, minBp),
       fromSets = (sets, collapse, _) => pairsFromSets(sets, minBp, collapse))
+  }
 
   /** Shared dispatch of [[pairsAuto]] and [[Containment.pairsAuto]]:
     * probe, then hand the capped sets frame to the branch the numbers
@@ -437,7 +442,13 @@ object Jaccard {
     * before returning. The lean mode runs the staged [[hazardProbe]]
     * against the raw lineage — ONE cheap extra traversal on small/clean
     * corpora — and returns the lazy plan, persisting nothing.
-    * Caller-persisted inputs are never touched. */
+    * Caller-persisted inputs are never touched. The dispatch size is the
+    * raw row count in lean mode and the non-empty-set count in
+    * materialize mode (where a separate raw count would re-traverse the
+    * expensive upstream this mode exists to protect) — both are
+    * crossover heuristics, and near a threshold the two modes may pick
+    * different (result-identical, spec-pinned) plans for a corpus with
+    * many empty-set docs. */
   private[dedup] def autoDispatch(
       df: DataFrame,
       directMaxDocs: Long,

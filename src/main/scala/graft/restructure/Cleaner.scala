@@ -26,9 +26,23 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
 
   private val job = new Restructure(spark, config)
 
-  def candidates(topic: String, state: OffsetRangeSet, now: Long = System.currentTimeMillis): Seq[TopicFile] =
-    job.listFiles(topic)
+  def candidates(topic: String, state: OffsetRangeSet, now: Long = System.currentTimeMillis): Seq[TopicFile] = {
+    val files = job.listFiles(topic)
+    // P9 for END-LESS file names: with no end offset (neither in the
+    // name nor a .meta sidecar) the state check below degenerates to
+    // [start, start+1], which any processed multi-record range covers —
+    // so the partition's newest file, the one the reference's end+1
+    // check exists to keep (cleaner/SourceDataCleaner.kt:83-92), would
+    // become a candidate whenever it holds >= 2 records. Exclude each
+    // partition's max-startOffset file outright when its end is unknown;
+    // files with a known end keep the reference's own protection.
+    val newestEndless = files.groupBy(_.partition).values
+      .map(_.maxBy(_.startOffset))
+      .filter(_.endOffset.isEmpty)
+      .map(_.path).toSet
+    files
       .filter(_.length > 0)
+      .filterNot(f => newestEndless.contains(f.path))
       .filter(_.lastModified < now - ageMs)
       .filter { f =>
         state.contains(
@@ -36,6 +50,7 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
           f.startOffset, f.endOffset.getOrElse(f.startOffset) + 1,
           Instant.ofEpochMilli(f.lastModified))
       }
+  }
 
   /** Distinct (project, user, bin, time) present in the topic's output.
     * The output-side event time is derived with the SAME cascade used at
@@ -120,12 +135,12 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
           } else {
             // remove the file's FULL range so every record is readmitted:
             // the end comes from the filename when it carries one, else
-            // from the verification read's max offset (see
-            // [[unmatchedCounts]] — the reference cannot do this and
-            // shrinks the removal to the start offset)
-            val end = f.endOffset
-              .orElse(unmatched.get(f.path).map(_._2))
-              .getOrElse(f.startOffset)
+            // from the verification read's max offset — this branch is
+            // only reached when the file HAS unmatched rows, so the map
+            // entry always exists (the reference cannot learn the end and
+            // shrinks the removal to the start offset,
+            // accounting/OffsetRangeSet.kt:170)
+            val end = f.endOffset.getOrElse(unmatched(f.path)._2)
             state.remove(TopicPartition(f.topic, f.partition), f.startOffset, end)
             reprocess += f.path
           }

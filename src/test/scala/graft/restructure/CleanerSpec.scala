@@ -73,6 +73,34 @@ class CleanerSpec extends SparkSpec {
     assert(!f1.exists() && !f2.exists() && f3.exists())
   }
 
+  test("end-less newest file is never a candidate, even with multiple records") {
+    // with no end offset in the name the state check degenerates to
+    // [start, start+1], which the processed range covers for a
+    // MULTI-record newest file — only the explicit newest-endless
+    // exclusion keeps P9 true for this layout (a 1-record newest file,
+    // like the case above, is protected by the range check alone)
+    val dir = Files.createTempDirectory("graft-cleaner-p9").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000002.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219950.0, 3f), record(1580219951.0, 4f)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      compression = None,
+      minimumFileAgeMs = 0L)
+    new Restructure(spark, cfg).run()
+    val (deleted, reprocess) = new Cleaner(spark, cfg, ageMs = 0L)
+      .run(now = System.currentTimeMillis + 60000)
+    // f1 (fully extracted, not the newest) is deleted; f2 survives as the
+    // partition's newest end-less file despite being fully extracted too
+    assert(deleted.map(_.stripPrefix("file:")) == Seq(f1.toString))
+    assert(reprocess.isEmpty)
+    assert(!f1.exists() && f2.exists())
+  }
+
   test("json format: restructure writes JSON lines and cleaner verifies through them") {
     val dir = Files.createTempDirectory("graft-json").toFile
     val topicDir = new File(dir, "in/phone_light/partition=0")
