@@ -59,14 +59,22 @@ object BenchMed {
     // commit provenance: the warm table adjudicates plan changes, so it
     // must say WHICH code it measured — staleness is then checkable by
     // `git log <hash>..HEAD -- src/main` instead of archaeology
-    val head =
+    def git(cmd: String*): Option[String] =
       try {
-        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        val p = new ProcessBuilder(("git" +: cmd): _*)
           .redirectErrorStream(true).start()
         val s = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
-        p.waitFor()
-        if (s.matches("[0-9a-f]{6,}")) s else "unknown"
-      } catch { case _: Exception => "unknown" }
+        if (p.waitFor() == 0) Some(s) else None
+      } catch { case _: Exception => None }
+    val head = git("rev-parse", "--short", "HEAD")
+      .filter(_.matches("[0-9a-f]{6,}"))
+      .map { h =>
+        // a dirty src/main means the measured jars may not be the commit's
+        // code — mark it so the table can't silently misattribute results
+        val dirty = git("status", "--porcelain", "--", "src/main").exists(_.nonEmpty)
+        if (dirty) s"$h-dirty" else h
+      }
+      .getOrElse("unknown")
 
     val sb = new StringBuilder
     val title = new java.io.File(out).getName.stripSuffix(".md")

@@ -155,9 +155,16 @@ object EtlBench {
     // verify and are deleted — both paths exercised at the full record
     // count, with the same task metrics as the headline row.
     if (sys.env.get("GRAFT_ETL_CLEAN").contains("1")) {
-      def firstDir(f: File, prefix: String): File =
-        f.listFiles().filter(d => d.isDirectory && d.getName.startsWith(prefix))
-          .minBy(_.getName)
+      def ls(f: File): Array[File] = {
+        val kids = f.listFiles()
+        require(kids != null, s"not a listable directory: $f")
+        kids
+      }
+      def firstDir(f: File, prefix: String): File = {
+        val dirs = ls(f).filter(d => d.isDirectory && d.getName.startsWith(prefix))
+        require(dirs.nonEmpty, s"no '$prefix*' directory under $f")
+        dirs.minBy(_.getName)
+      }
       def rmRf(f: File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rmRf)
         f.delete()
@@ -168,7 +175,7 @@ object EtlBench {
       rmRf(planted)
       val inTopic = new File(dir, "in/sensor_topic")
       def inputFiles() =
-        inTopic.listFiles().flatMap(_.listFiles()).count(_.getName.endsWith(".avro"))
+        ls(inTopic).flatMap(ls).count(_.getName.endsWith(".avro"))
       val before = inputFiles()
       BenchSpill.drainBus(spark.sparkContext)
       val cacc = new BenchSpill.TaskMetricsAcc

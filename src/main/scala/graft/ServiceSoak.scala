@@ -116,8 +116,13 @@ object ServiceSoak {
       w.close()
       val dest = new File(dir, s"in/soak_topic/partition=$partition/$name")
       dest.getParentFile.mkdirs()
-      if (dest.exists()) require(dest.delete(), s"stale $dest not deletable")
-      require(tmp.renameTo(dest), s"atomic move into topic tree failed: $dest")
+      // rename OVER the destination (POSIX rename(2) replaces atomically):
+      // a delete-then-rename pair would open a window with the path absent
+      // while service ticks list and read the tree concurrently — wave C's
+      // rewrite would intermittently fail a pass on a vanished file
+      java.nio.file.Files.move(tmp.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       dest
     }
 

@@ -36,14 +36,19 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
     // become a candidate whenever it holds >= 2 records. Exclude each
     // partition's max-startOffset file outright when its end is unknown;
     // files with a known end keep the reference's own protection.
-    val newestEndless = files.groupBy(_.partition).values
+    // Computed over the length/age-ELIGIBLE files, not the raw listing:
+    // if the raw newest is a zero-length in-flight upload (or too young
+    // to be a candidate anyway), the next-newest multi-record end-less
+    // file is the one the degenerate state check would otherwise admit.
+    val eligible = files
+      .filter(_.length > 0)
+      .filter(_.lastModified < now - ageMs)
+    val newestEndless = eligible.groupBy(_.partition).values
       .map(_.maxBy(_.startOffset))
       .filter(_.endOffset.isEmpty)
       .map(_.path).toSet
-    files
-      .filter(_.length > 0)
+    eligible
       .filterNot(f => newestEndless.contains(f.path))
-      .filter(_.lastModified < now - ageMs)
       .filter { f =>
         state.contains(
           TopicPartition(f.topic, f.partition),

@@ -17,22 +17,33 @@ final class Service(
   private var executor: ScheduledExecutorService = _
   val restructurePasses = new AtomicLong(0)
   val cleanerPasses = new AtomicLong(0)
-  @volatile var lastError: Option[Throwable] = None
+  // per-job, cleared by that job's next SUCCESS: a transient failure
+  // (file mid-move, store hiccup) must not poison the service's health
+  // signal forever once ticks recover, and a restructure success must
+  // not mask a still-failing cleaner (or vice versa)
+  @volatile private var restructureError: Option[Throwable] = None
+  @volatile private var cleanerError: Option[Throwable] = None
+
+  /** Most recent failure of a job whose LATEST pass did not succeed. */
+  def lastError: Option[Throwable] = restructureError.orElse(cleanerError)
 
   def start(): Unit = synchronized {
     require(executor == null, "service already started")
     executor = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-service"); t.setDaemon(true); t
     }
-    def guard(f: () => Unit, counter: AtomicLong): Runnable = () =>
-      try { f(); counter.incrementAndGet() }
-      catch { case e: Throwable => lastError = Some(e) } // next tick retries
+    // single-threaded executor: the read-modify of the error slot never
+    // races its own job's other ticks
+    def guard(f: () => Unit, counter: AtomicLong,
+        set: Option[Throwable] => Unit): Runnable = () =>
+      try { f(); counter.incrementAndGet(); set(None) }
+      catch { case e: Throwable => set(Some(e)) } // next tick retries
     executor.scheduleAtFixedRate(
-      guard(restructure, restructurePasses),
+      guard(restructure, restructurePasses, restructureError = _),
       restructureIntervalMs / 4, restructureIntervalMs, TimeUnit.MILLISECONDS)
     cleaner.foreach { c =>
       executor.scheduleAtFixedRate(
-        guard(c, cleanerPasses),
+        guard(c, cleanerPasses, cleanerError = _),
         cleanerIntervalMs / 4, cleanerIntervalMs, TimeUnit.MILLISECONDS)
     }
   }

@@ -101,6 +101,37 @@ class CleanerSpec extends SparkSpec {
     assert(!f1.exists() && f2.exists())
   }
 
+  test("newest-endless guard tracks the newest ELIGIBLE file past a mid-upload head") {
+    // the partition's raw-newest file is a ZERO-LENGTH in-flight upload —
+    // never a candidate itself (P8), never processed, and no protection
+    // for anything else. The guard must fall back to the next-newest
+    // end-less file (f2, multi-record, fully extracted), which the
+    // degenerate [start, start+1] state check would otherwise admit.
+    val dir = Files.createTempDirectory("graft-cleaner-head").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000002.avro")
+    val f3 = new File(topicDir, "phone_light+0+0000000004.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219950.0, 3f), record(1580219951.0, 4f)))
+    f3.getParentFile.mkdirs()
+    assert(f3.createNewFile()) // 0 bytes: an upload that has not landed yet
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      compression = None,
+      minimumFileAgeMs = 0L)
+    new Restructure(spark, cfg).run()
+    val (deleted, reprocess) = new Cleaner(spark, cfg, ageMs = 0L)
+      .run(now = System.currentTimeMillis + 60000)
+    // f1 deleted; f2 survives as the newest ELIGIBLE end-less file; f3
+    // untouched (zero-length)
+    assert(deleted.map(_.stripPrefix("file:")) == Seq(f1.toString))
+    assert(reprocess.isEmpty)
+    assert(!f1.exists() && f2.exists() && f3.exists())
+  }
+
   test("json format: restructure writes JSON lines and cleaner verifies through them") {
     val dir = Files.createTempDirectory("graft-json").toFile
     val topicDir = new File(dir, "in/phone_light/partition=0")

@@ -20,4 +20,22 @@ class ServiceSpec extends AnyFunSuite {
     }
     svc.stop()
   }
+
+  test("a job's next SUCCESS clears its captured error (transient failures self-heal)") {
+    // first tick throws, every later tick succeeds — a transient failure
+    // (file mid-move, store hiccup) must not poison lastError forever
+    val calls = new java.util.concurrent.atomic.AtomicLong(0)
+    val svc = new Service(
+      restructure = () =>
+        if (calls.incrementAndGet() == 1) throw new RuntimeException("transient"),
+      restructureIntervalMs = 40L)
+    svc.start()
+    try {
+      val deadline = System.currentTimeMillis() + 10000
+      while (svc.restructurePasses.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(svc.restructurePasses.get() >= 2, "service never recovered")
+      assert(svc.lastError.isEmpty, s"recovered pass left lastError: ${svc.lastError}")
+    } finally svc.stop()
+  }
 }
