@@ -330,8 +330,11 @@ object Containment {
       else subsetsPlain(sets, minBp, positional)
     }
     if (!materialize) {
-      val nDocs = df.count()
-      val pairMass = Jaccard.hazardProbe(nDocs, mk, maxDf)
+      // the raw count only stages the probe target; both knobs key on
+      // the probe's non-empty-set count, the measure materialize mode
+      // reads from the same aggregate (Jaccard.autoDispatch discipline)
+      val nRows = df.count()
+      val (nDocs, pairMass) = Jaccard.hazardProbe(nRows, mk, maxDf)
       run(mk(maxDf), nDocs, pairMass)
     } else {
       val cached = mk(maxDf)

@@ -215,18 +215,21 @@ object Jaccard {
     * makes the cheap probe exact at any size. */
   private[dedup] val CappedProbeMinDocs = 20000L
 
-  /** The lean dispatches' probe staging: the caller's `nDocs` (a raw
-    * `count()`) sizes the corpus, then ONE [[probeSets]] pass runs over
+  /** The lean dispatches' probe staging: the caller's `nRows` (a raw
+    * `count()` — a cheap UPPER BOUND on the non-empty-set count, used
+    * only to pick the probe target) stages ONE [[probeSets]] pass over
     * the uncapped sets (small corpus, or an inert cap — trusted/exact)
     * or the capped sets (large corpus with a real cap — exact where a
     * wrong dispatch is expensive); see [[CappedProbeMinDocs]]. Returns
-    * the operative pairMass. */
+    * the probe's full (nDocs, pairMass) — nDocs is the probed frame's
+    * non-empty-set count, the dispatch measure shared with materialize
+    * mode. */
   private[dedup] def hazardProbe(
-      nDocs: Long, mkSets: Long => DataFrame, maxDf: Long): Long = {
+      nRows: Long, mkSets: Long => DataFrame, maxDf: Long): (Long, Long) = {
     val cap =
-      if (maxDf == Long.MaxValue || nDocs < CappedProbeMinDocs) Long.MaxValue
+      if (maxDf == Long.MaxValue || nRows < CappedProbeMinDocs) Long.MaxValue
       else maxDf
-    probeSets(mkSets(cap))._2
+    probeSets(mkSets(cap))
   }
 
   /** Shared candidate-generation scaffolding of every prefix-filtered
@@ -397,12 +400,11 @@ object Jaccard {
     * plans' own times on both corpora (sf0.1 warm 1.57 s vs 1.71/2.19
     * fixed; 100x 26.4 s vs 22.9-32.3 fixed). `materialize = false` is
     * the lazy-plan escape hatch (plan inspection, callers managing their
-    * own caching): one `count()` plus ONE probe pass over the prefix
-    * branch's corpora — the cheap uncapped sets below
-    * [[CappedProbeMinDocs]], the exact capped sets above ([[hazardProbe]])
-    * — persisting and checkpointing nothing, with the returned plan
-    * recomputing the shingling lineage per traversal; at or below
-    * `directMaxDocs` only the count runs. Materialize doubles as the
+    * own caching): one `count()` (probe staging only) plus ONE probe
+    * pass — the cheap uncapped sets below [[CappedProbeMinDocs]], the
+    * exact capped sets above ([[hazardProbe]]) — persisting and
+    * checkpointing nothing, with the returned plan recomputing the
+    * shingling lineage per traversal. Materialize doubles as the
     * expensive-upstream discipline (the curate pipeline's cleaned/gated
     * frame): probe and plan compute the upstream ONCE, the result is
     * materialized via localCheckpoint while the cache is live, and the
@@ -440,15 +442,13 @@ object Jaccard {
     * the chosen plan compute the lineage once, the result
     * localCheckpoints while the cache is live, and the cache is released
     * before returning. The lean mode runs the staged [[hazardProbe]]
-    * against the raw lineage — ONE cheap extra traversal on small/clean
-    * corpora — and returns the lazy plan, persisting nothing.
-    * Caller-persisted inputs are never touched. The dispatch size is the
-    * raw row count in lean mode and the non-empty-set count in
-    * materialize mode (where a separate raw count would re-traverse the
-    * expensive upstream this mode exists to protect) — both are
-    * crossover heuristics, and near a threshold the two modes may pick
-    * different (result-identical, spec-pinned) plans for a corpus with
-    * many empty-set docs. */
+    * against the raw lineage — ONE cheap extra traversal per call — and
+    * returns the lazy plan, persisting nothing. Caller-persisted inputs
+    * are never touched. BOTH modes key the dispatch on the probe's
+    * non-empty-set count (docs with an empty set can pair with nothing);
+    * lean mode's raw `count()` only stages the probe target, so near
+    * `directMaxDocs` the two modes pick the same plan even for corpora
+    * with many empty-set docs. */
   private[dedup] def autoDispatch(
       df: DataFrame,
       directMaxDocs: Long,
@@ -461,12 +461,9 @@ object Jaccard {
       if (nDocs <= directMaxDocs) directFromSets(sets)
       else fromSets(sets, pairMass > nDocs, nDocs)
     if (!materialize) {
-      val nDocs = df.count()
-      if (nDocs <= directMaxDocs) directFromSets(mkSets(df, maxDf))
-      else {
-        val pairMass = hazardProbe(nDocs, cap => mkSets(df, cap), maxDf)
-        fromSets(mkSets(df, maxDf), pairMass > nDocs, nDocs)
-      }
+      val nRows = df.count()
+      val (nDocs, pairMass) = hazardProbe(nRows, cap => mkSets(df, cap), maxDf)
+      choose(mkSets(df, maxDf), nDocs, pairMass)
     } else {
       val sets = mkSets(df, maxDf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

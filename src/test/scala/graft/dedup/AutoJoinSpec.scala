@@ -66,6 +66,28 @@ class AutoJoinSpec extends SparkSpec {
     assert(cAbove.queryExecution.optimizedPlan.toString.contains("row_number"))
   }
 
+  test("both modes key the dispatch on the non-empty-set count near the threshold") {
+    // 28 real docs + 15 docs whose text is under 3 tokens (3-gram word
+    // shingling yields an EMPTY set — they can pair with nothing).
+    // directMaxDocs sits between the two measures: raw rows 43 > 30,
+    // non-empty sets 28 <= 30. Both modes must pick the DIRECT plan —
+    // before the unification, lean mode keyed on the raw count and went
+    // to PPJoin here while materialize mode went direct.
+    val padded = docs.unionAll(
+      (0 until 15).map(i => (500L + i, "tiny doc")).toDF("doc_id", "text"))
+    val lean = Jaccard.pairsAuto(padded, "doc_id", "text", 6000L, native = true,
+      directMaxDocs = 30L, materialize = false)
+    assert(!lean.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "lean mode must dispatch on non-empty sets, not raw rows")
+    // materialize mode's plan collapses to a LogicalRDD, so its pick is
+    // pinned by result identity against the lean direct plan instead
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val mat = Jaccard.pairsAuto(padded, "doc_id", "text", 6000L, native = true,
+      directMaxDocs = 30L)
+    assert(key(mat) == key(lean) && key(lean).nonEmpty)
+  }
+
   test("pairsAuto releases its input cache (no corpus-sized blocks accumulate)") {
     import org.apache.spark.storage.StorageLevel
     Jaccard.pairsAuto(docs, "doc_id", "text", 6000L, native = true).count()

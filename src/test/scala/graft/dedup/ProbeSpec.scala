@@ -61,13 +61,14 @@ class ProbeSpec extends SparkSpec {
           .toDF("__id", "__set")
     val bound = Jaccard.CappedProbeMinDocs
     // below the bound the cheap uncapped probe is trusted: it sees no
-    // siblings (the documented bounded-risk window)
-    assert(Jaccard.hazardProbe(bound - 1, mkSets, maxDf = 8L) == 0L)
+    // siblings (the documented bounded-risk window); nDocs rides along
+    // as the probed frame's non-empty-set count (the dispatch measure)
+    assert(Jaccard.hazardProbe(bound - 1, mkSets, maxDf = 8L) == ((3L, 0L)))
     // at/above the bound the exact capped probe runs and finds the
     // C(3,2) = 3 capped-sibling pairs
-    assert(Jaccard.hazardProbe(bound, mkSets, maxDf = 8L) == 3L)
+    assert(Jaccard.hazardProbe(bound, mkSets, maxDf = 8L) == ((3L, 3L)))
     // an inert cap short-circuits to the uncapped probe at ANY size
     // (capped == uncapped there, so the cheap probe is exact)
-    assert(Jaccard.hazardProbe(bound, mkSets, maxDf = Long.MaxValue) == 0L)
+    assert(Jaccard.hazardProbe(bound, mkSets, maxDf = Long.MaxValue) == ((3L, 0L)))
   }
 }
