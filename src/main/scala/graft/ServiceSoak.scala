@@ -6,32 +6,50 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.restructure.{DedupConfig, Restructure, RestructureConfig, Service}
+import graft.restructure.{Cleaner, DedupConfig, Restructure, RestructureConfig, Service}
 
 import java.io.File
 import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
 
-/** End-to-end service-mode soak (SURVEY §2.8 W2/W4/W5 + S10 as ONE
-  * integration seam): a polling [[graft.restructure.Service]] runs
-  * repeated restructure passes while the input tree changes under it —
-  * new files arrive between ticks, one file arrives LATE (offsets below
-  * a partition's already-processed range), and one already-processed
-  * file is REWRITTEN in place with a newer mtime and an appended record
-  * (the reference's resent-file shape, accounting/OffsetRangeSet.kt
-  * mtime semantics). The soak then proves the service converged to
-  * exactly the state a ONE-SHOT run over the final tree produces:
+/** End-to-end service-mode soak (SURVEY §2.8 W2/W4/W5 + S10/S11 as ONE
+  * integration seam) — the reference's FULL two-job deployment shape
+  * (Application.kt:100-119: one scheduler polling restructure AND
+  * cleaner, worker/Job.kt:36-41): a polling
+  * [[graft.restructure.Service]] runs repeated restructure passes while
+  * the input tree changes under it — new files arrive between ticks,
+  * one file arrives LATE (offsets below a partition's already-processed
+  * range), and one already-processed file is REWRITTEN in place with a
+  * newer mtime and an appended record (the reference's resent-file
+  * shape, accounting/OffsetRangeSet.kt mtime semantics). A second
+  * service phase then interleaves CLEANER ticks with restructure ticks
+  * (cleaner/SourceDataCleaner.kt:33-108 under the same scheduler):
+  * fully-extracted files are deleted mid-soak while a new wave is still
+  * arriving, and a planted output miss (one deleted bin directory)
+  * forces the affected files' ranges OUT of the offsets state
+  * (readmission) so later restructure ticks REPROCESS them — after
+  * which the next cleaner verification passes and deletes them too.
+  * The soak then proves the whole composition converged to exactly the
+  * state a ONE-SHOT run over the full (pre-deletion) tree produces:
   *
   *  - output content: the deduplicated output of the soak equals the
-  *    one-shot run's, fingerprinted order-independently (count + xor +
-  *    decimal sum of whole-row hashes) — exactly-once across ticks,
-  *    late arrival, and mtime reprocessing;
-  *  - row count: 4 * perFile + 1 distinct records (the +1 is the
-  *    appended rewrite record) — nothing lost, nothing manufactured;
-  *  - offsets state: a post-soak plan() lists NOTHING (every range
-  *    ledgered), and the soak's interval count equals the one-shot
-  *    run's (ranges merged identically — the state file is bounded by
-  *    range structure, not by pass count);
-  *  - the service loop itself: >= 6 completed ticks, no captured error.
+  *    one-shot run's over a mirror of every file ever written,
+  *    fingerprinted order-independently (count + xor + decimal sum of
+  *    whole-row hashes) — exactly-once across ticks, late arrival,
+  *    mtime reprocessing, deletion, readmission, and reprocessing;
+  *  - row count: 6 * perFile + 1 distinct records (the +1 is the
+  *    appended rewrite record) — nothing lost (deletion only ever
+  *    removed VERIFIED files; the planted miss was re-emitted), nothing
+  *    manufactured;
+  *  - deletions are exact: the four deletable files (each partition's
+  *    newest end-less file is P9-protected) and ONLY those are deleted;
+  *    the two files whose records hit the planted miss and ONLY those
+  *    are readmitted first;
+  *  - offsets state: a post-soak plan() lists NOTHING, and the soak's
+  *    interval count equals the one-shot run's (deletion keeps ranges
+  *    ledgered; readmission's removal is fully healed by reprocessing);
+  *  - the service loops themselves: >= 8 restructure ticks, >= 2
+  *    cleaner ticks, no captured error.
   *
   * Shared by the [[main]] (a bigger corpus for the BENCHSCALE row) and
   * ServiceSoakSpec (small corpus, same assertions — every `require`
@@ -41,7 +59,10 @@ object ServiceSoak {
 
   final case class Report(
       ticks: Long,
+      cleanerTicks: Long,
       soakRows: Long,
+      deletedFiles: Int,
+      readmittedFiles: Int,
       planAfter: Int,
       stateRanges: Int,
       oneShotStateRanges: Int,
@@ -76,13 +97,15 @@ object ServiceSoak {
   }
 
   def run(spark: SparkSession, dir: File, perFile: Int, tickMs: Long = 200L): Report = {
-    // upper bound 37600: partition 1's wave-A offsets run 48800..48800+
-    // perFile-1, and past 86400 the `offset % 86400` time derivation
-    // wraps onto the late file's offsets 0..perFile-1 (86400 % 3 == 0,
-    // so userId aliases too) — 86400 - 48800 = 37600 keeps every
-    // (partition, offset) -> record mapping collision-free
-    require(perFile >= 2 && perFile <= 37600,
-      "perFile in [2, 37600] (keeps per-partition time values collision-free)")
+    // lower bound 60: waves B-E and the appended rewrite record must land
+    // OUTSIDE T0's hour bin, so the planted miss (the earliest bin) hits
+    // exactly the two head files and nothing else. Upper bound 21350:
+    // wave E tops out at offset 4*perFile + 1000, and past 86400 the
+    // `offset % 86400` time derivation wraps onto the low offsets
+    // (86400 % 3 == 0, so userId aliases too) — every (partition,
+    // offset) -> record mapping must stay collision-free
+    require(perFile >= 60 && perFile <= 21350,
+      "perFile in [60, 21350] (bin-isolated head, collision-free times)")
     val schema = new Schema.Parser().parse(schemaJson)
     val staging = new File(dir, "stage")
     staging.mkdirs()
@@ -104,9 +127,12 @@ object ServiceSoak {
       r
     }
 
-    /** Write a complete file into staging, then MOVE it into the topic
-      * tree — the polling service must never list a half-written file
-      * (minimumFileAgeMs is 0 here; production would also age-gate). */
+    /** Write a complete file into staging, MIRROR it into the full
+      * comparator tree (`in-full` — the cleaner deletes from the live
+      * tree, so the one-shot run needs every file ever written), then
+      * MOVE it into the live topic tree — the polling service must never
+      * list a half-written file (minimumFileAgeMs is 0 here; production
+      * would also age-gate). */
     def writeFile(partition: Int, startOffset: Long, n: Int): File = {
       val name = f"soak_topic+$partition+$startOffset%010d.avro"
       val tmp = new File(staging, name)
@@ -114,6 +140,10 @@ object ServiceSoak {
       w.create(schema, tmp)
       (0 until n).foreach(i => w.append(record(partition, startOffset + i)))
       w.close()
+      val full = new File(dir, s"in-full/soak_topic/partition=$partition/$name")
+      full.getParentFile.mkdirs()
+      java.nio.file.Files.copy(tmp.toPath, full.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val dest = new File(dir, s"in/soak_topic/partition=$partition/$name")
       dest.getParentFile.mkdirs()
       // rename OVER the destination (POSIX rename(2) replaces atomically):
@@ -133,37 +163,43 @@ object ServiceSoak {
       minimumFileAgeMs = 0L,
       dedupDefault = DedupConfig(enable = true))
     val job = new Restructure(spark, cfg)
-    val svc = new Service(restructure = () => job.run(), restructureIntervalMs = tickMs)
-    def awaitTicks(k: Long): Unit = {
-      val target = svc.restructurePasses.get() + k
+    def awaitPasses(svc: Service, counter: AtomicLong, k: Long): Unit = {
+      val target = counter.get() + k
       val deadline = System.currentTimeMillis() + 600000L
-      while (svc.restructurePasses.get() < target) {
+      while (counter.get() < target) {
         require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError.get}")
         require(System.currentTimeMillis() < deadline,
-          s"soak stalled waiting for service tick $target")
+          s"soak stalled waiting for service pass $target")
         Thread.sleep(25L)
       }
     }
 
     val t0 = System.nanoTime()
+
+    // ---- phase 1: restructure-only polling under arriving/late/rewritten
+    // files (the reference's restructure job alone) ----
+    val svc1 = new Service(restructure = () => job.run(), restructureIntervalMs = tickMs)
     // wave A: both partitions; partition 1 starts HIGH so its low
     // offsets can arrive late in wave B
     val waveA0 = writeFile(0, 0L, perFile)
-    writeFile(1, 48800L, perFile)
-    svc.start()
+    val p1High = writeFile(1, 48800L, perFile)
+    var fB: File = null
+    var p1Late: File = null
+    var fD: File = null
+    svc1.start()
     try {
       // two full ticks guarantee at least one complete pass that STARTED
       // after the wave was on disk (the tick in flight at write time may
       // have listed the tree before it)
-      awaitTicks(2)
+      awaitPasses(svc1, svc1.restructurePasses, 2)
       // wave B: growth on partition 0 + the LATE file on partition 1
       // (offsets below the partition's processed range — W4: no
       // watermark, seen-range pruning admits it whenever it arrives).
       // Partition 0 resumes at perFile + 1: offset perFile is reserved
       // for wave C's appended rewrite record, which must be globally new
-      writeFile(0, perFile + 1L, perFile)
-      writeFile(1, 0L, perFile)
-      awaitTicks(2)
+      fB = writeFile(0, perFile + 1L, perFile)
+      p1Late = writeFile(1, 0L, perFile)
+      awaitPasses(svc1, svc1.restructurePasses, 2)
       // wave C: rewrite wave A's partition-0 file in place with ONE
       // appended record and a strictly newer mtime — W5: the recorded
       // ranges carry the processing-time mtime, so the newer file is
@@ -174,15 +210,100 @@ object ServiceSoak {
       val rewritten = new File(dir, s"in/soak_topic/partition=0/${waveA0.getName}")
       require(rewritten.setLastModified(math.max(System.currentTimeMillis(), origMtime + 2000L)),
         "mtime rewrite failed")
-      awaitTicks(2)
-    } finally svc.stop()
-    val ticks = svc.restructurePasses.get()
-    require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError}")
-    require(ticks >= 6, s"expected >= 6 completed ticks, got $ticks")
+      awaitPasses(svc1, svc1.restructurePasses, 2)
+      // wave D: one more partition-0 file, offset-disjoint and OUTSIDE
+      // the head hour bin — phase 2's first cleaner pass must find a
+      // fully-verified, unprotected file to DELETE while the planted
+      // miss readmits the two head files
+      fD = writeFile(0, 2L * perFile + 500L, perFile)
+      awaitPasses(svc1, svc1.restructurePasses, 2)
+    } finally svc1.stop()
+    require(svc1.lastError.isEmpty, s"service pass failed: ${svc1.lastError}")
 
-    // one-shot comparator: a fresh job over the SAME final input tree,
-    // fresh output + state
-    val oneCfg = cfg.copy(outputDir = s"$dir/out-oneshot",
+    // ---- plant the output miss: delete the EARLIEST user0 bin (T0's
+    // hour — only the two head files have records there). Planted while
+    // no service runs: restructure never reads the output tree, but the
+    // cleaner's verification does, and racing the delete against a
+    // concurrent verification read would only test the filesystem ----
+    val user0 = new File(dir, "out/soak_topic/_project=proj0/_user=user0")
+    val bins = Option(user0.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("_bin="))
+    require(bins.nonEmpty, s"no output bins under $user0")
+    val planted = bins.minBy(_.getName)
+    def rmRf(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmRf)
+      require(f.delete(), s"could not delete $f")
+    }
+    rmRf(planted)
+
+    // ---- phase 2: the TWO-JOB scheduler (Application.kt:100-119) —
+    // cleaner ticks interleave with restructure ticks while wave E is
+    // still arriving. Expected flow: cleaner deletes the verified,
+    // unprotected files (fB, fD) and READMITS the two head files (their
+    // user0 records died with the planted bin — range removed from
+    // state); restructure ticks REPROCESS them; a later cleaner pass
+    // verifies the re-emitted output and deletes them too. Each
+    // partition's newest end-less file stays P9-protected throughout ----
+    val deletedPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val readmittedPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val cleaner = new Cleaner(spark, cfg, ageMs = -3600000L) // age never gates here
+    val svc2 = new Service(
+      restructure = () => job.run(),
+      cleaner = Some(() => {
+        val (d, r) = cleaner.run()
+        d.foreach(deletedPaths.add); r.foreach(readmittedPaths.add)
+      }),
+      restructureIntervalMs = tickMs,
+      cleanerIntervalMs = 2 * tickMs)
+    val fE: File = writeFile(0, 3L * perFile + 1000L, perFile)
+    svc2.start()
+    try {
+      // a full pass after wave E is on disk: the newest-file protection
+      // must move to fE before the cleaner may touch fD
+      awaitPasses(svc2, svc2.restructurePasses, 2)
+      // convergence: the four deletable files all verified and deleted —
+      // for the two readmitted head files that transitively proves the
+      // whole chain (readmit -> reprocess -> re-verify -> delete), since
+      // candidacy requires their ranges BACK in state and verification
+      // requires their records BACK in the output
+      val deletables = Seq(waveA0, fB, fD, p1Late)
+      val deadline = System.currentTimeMillis() + 600000L
+      while (deletables.exists(_.exists())) {
+        require(svc2.lastError.isEmpty, s"service pass failed: ${svc2.lastError.get}")
+        require(System.currentTimeMillis() < deadline,
+          s"soak stalled waiting for cleaner convergence; still present: " +
+            deletables.filter(_.exists()).mkString(", "))
+        Thread.sleep(25L)
+      }
+      // one more full restructure pass: if a readmission landed just
+      // before the final deletion, the plan must drain before the check
+      awaitPasses(svc2, svc2.restructurePasses, 2)
+    } finally svc2.stop()
+    require(svc2.lastError.isEmpty, s"service pass failed: ${svc2.lastError}")
+
+    val ticks = svc1.restructurePasses.get() + svc2.restructurePasses.get()
+    val cleanerTicks = svc2.cleanerPasses.get()
+    require(ticks >= 8, s"expected >= 8 completed restructure ticks, got $ticks")
+    require(cleanerTicks >= 2, s"expected >= 2 completed cleaner ticks, got $cleanerTicks")
+    // deletions and readmissions are EXACT: the P9-protected newest files
+    // survive, the planted miss readmitted precisely the two head files
+    def names(s: java.util.Set[String]): Set[String] =
+      { import scala.jdk.CollectionConverters._
+        s.asScala.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet }
+    val expectDeleted = Set(waveA0, fB, fD, p1Late).map(_.getName)
+    val expectReadmitted = Set(waveA0, p1Late).map(_.getName)
+    require(names(deletedPaths) == expectDeleted,
+      s"deleted ${names(deletedPaths)} != expected $expectDeleted")
+    require(names(readmittedPaths) == expectReadmitted,
+      s"readmitted ${names(readmittedPaths)} != expected $expectReadmitted")
+    require(fE.exists() && p1High.exists(),
+      "a P9-protected newest file was deleted")
+
+    // one-shot comparator: a fresh job over the FULL mirrored tree
+    // (every file ever written — the live tree lost its verified files
+    // to the cleaner), fresh output + state
+    val oneCfg = cfg.copy(inputDir = s"$dir/in-full",
+      outputDir = s"$dir/out-oneshot",
       stateFile = s"$dir/state-oneshot/offsets.json")
     val oneJob = new Restructure(spark, oneCfg)
     oneJob.run()
@@ -192,13 +313,14 @@ object ServiceSoak {
     val soakFp = fingerprint(soakOut)
     val oneFp = fingerprint(oneOut)
     require(soakFp == oneFp,
-      s"soak output != one-shot output over the same files: $soakFp vs $oneFp")
-    val expectRows = 4L * perFile + 1L
+      s"soak output != one-shot output over the full tree: $soakFp vs $oneFp")
+    val expectRows = 6L * perFile + 1L
     require(soakFp._1 == expectRows,
       s"expected $expectRows distinct rows, got ${soakFp._1}")
 
     // offsets-state convergence: nothing left to plan, and the interval
-    // structure equals the one-shot run's (merged, bounded)
+    // structure equals the one-shot run's (merged, bounded; deletion
+    // keeps ranges ledgered, readmission healed by reprocessing)
     val state = job.loadState()
     val planAfter = job.plan("soak_topic", state).size
     require(planAfter == 0, s"post-soak plan still lists $planAfter files")
@@ -207,7 +329,8 @@ object ServiceSoak {
     require(soakRanges == oneRanges,
       s"soak state has $soakRanges ranges, one-shot $oneRanges")
 
-    Report(ticks, soakFp._1, planAfter, soakRanges, oneRanges,
+    Report(ticks, cleanerTicks, soakFp._1, deletedPaths.size(),
+      readmittedPaths.size(), planAfter, soakRanges, oneRanges,
       (System.nanoTime() - t0) / 1e9)
   }
 
@@ -220,7 +343,8 @@ object ServiceSoak {
     val dir = Files.createTempDirectory("graft-service-soak").toFile
     val r = run(spark, dir, perFile, tickMs)
     println(
-      s"""{"metric":"service_soak","ticks":${r.ticks},"rows":${r.soakRows},""" +
+      s"""{"metric":"service_soak","ticks":${r.ticks},"cleanerTicks":${r.cleanerTicks},""" +
+        s""""rows":${r.soakRows},"deleted":${r.deletedFiles},"readmitted":${r.readmittedFiles},""" +
         s""""planAfter":${r.planAfter},"stateRanges":${r.stateRanges},""" +
         s""""oneShotStateRanges":${r.oneShotStateRanges},"sec":${r.wallSec}}""")
     spark.stop()

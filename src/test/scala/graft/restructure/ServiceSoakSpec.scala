@@ -5,20 +5,28 @@ import graft.{ServiceSoak, SparkSpec}
 import java.nio.file.Files
 
 /** The service-mode integration seam, end to end: [[graft.ServiceSoak]]
-  * runs >= 6 polling ticks while new files arrive between ticks, one
+  * runs >= 8 polling ticks while new files arrive between ticks, one
   * file arrives late (below a partition's processed range), and one
   * processed file is rewritten in place with a newer mtime and an
-  * appended record — then proves the soak's output, offsets state, and
-  * plan residue all equal a one-shot run over the same final tree.
-  * Every invariant is a `require` inside ServiceSoak.run, shared with
-  * the BENCHSCALE main; this spec drives it at a small corpus. */
+  * appended record — then interleaves CLEANER ticks with restructure
+  * ticks (the reference's two-job scheduler): verified files are
+  * deleted mid-soak, a planted output miss readmits exactly the two
+  * affected files, later restructure ticks reprocess them, and the
+  * re-verified files are deleted too. The soak proves output, offsets
+  * state, and plan residue all equal a one-shot run over the full
+  * mirrored tree. Every invariant is a `require` inside
+  * ServiceSoak.run, shared with the BENCHSCALE main; this spec drives
+  * it at a small corpus. */
 class ServiceSoakSpec extends SparkSpec {
 
-  test("service soak converges to the one-shot run (late file + mtime rewrite)") {
+  test("service soak converges to the one-shot run (late file + rewrite + cleaner)") {
     val dir = Files.createTempDirectory("graft-soak-spec").toFile
     val report = ServiceSoak.run(spark, dir, perFile = 120, tickMs = 100L)
-    assert(report.ticks >= 6)
-    assert(report.soakRows == 4L * 120 + 1)
+    assert(report.ticks >= 8)
+    assert(report.cleanerTicks >= 2)
+    assert(report.soakRows == 6L * 120 + 1)
+    assert(report.deletedFiles == 4)
+    assert(report.readmittedFiles == 2)
     assert(report.planAfter == 0)
     assert(report.stateRanges == report.oneShotStateRanges)
   }
