@@ -28,17 +28,19 @@ import graft.similarity.{IVF, IVFPQ}
   *
   * Usage: runMain graft.IvfpqSaltRehearsal [sfDir] [nlist] [perCopy]
   * [salt...] (defaults: /tmp/graft-scale100, nlist 8, perCopy 50 —
-  * 5k queries on the 100x corpus — salts 1 32).
+  * 5k queries on the 100x corpus — salts 1 0 32; salt 0 = the AUTO
+  * default, `max(1, defaultParallelism / nlist)` on the fallback path,
+  * which these rows adjudicate against the tuned settings).
   */
 object IvfpqSaltRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft-scale100")
     val nlist = if (args.length > 1) args(1).toInt else 8
     val perCopy = if (args.length > 2) args(2).toInt else 50
-    val salts = if (args.length > 3) args.drop(3).map(_.toInt).toSeq else Seq(1, 32)
+    val salts = if (args.length > 3) args.drop(3).map(_.toInt).toSeq else Seq(1, 0, 32)
     require(nlist >= 1, "nlist must be >= 1")
     require(perCopy >= 1, "perCopy must be >= 1")
-    require(salts.nonEmpty && salts.forall(_ >= 1), "salts must be >= 1")
+    require(salts.nonEmpty && salts.forall(_ >= 0), "salts must be >= 0 (0 = auto)")
     val spark = Sessions.build("graft-ivfpq-salt")
 
     val emb = Tables.load(spark, sfDir, "embeddings").cache()
@@ -114,9 +116,12 @@ object IvfpqSaltRehearsal {
       assigned.count() // isolate search cost from the build lineage
       built.copy(assigned = assigned)
     }
+    // maxBroadcastQueries = 0 forces the fallback here too: the auto row
+    // (salt 0) must adjudicate the derive rule in the capped regime, not
+    // collapse to the broadcast path on this deliberately small |Q|
     sweep("ivf") { s =>
       IVF.search(ivfIndex, queries, "vec_id", "embedding",
-        k = 10, nprobe = 2, saltBuckets = s)
+        k = 10, nprobe = 2, saltBuckets = s, maxBroadcastQueries = 0L)
     }
     spark.stop()
   }

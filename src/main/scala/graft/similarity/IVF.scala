@@ -178,12 +178,26 @@ object IVF {
     * state improve by the bucket count for one extra scan multiple of
     * the assignment projection. Salted runs pin shuffle-hash with the
     * probed side as build (the regime's right shape: corpus streams,
-    * query batch builds); the default leaves Catalyst's choice
+    * query batch builds); `saltBuckets = 1` leaves Catalyst's choice
     * untouched. Results are identical for every setting
     * (RerankFallbackSpec pins identity + the salt reaching the physical
     * join's keys). A production-sized nlist (~sqrt(N)) already exceeds
     * any executor count — the knob matters only for deliberately coarse
-    * quantizers under huge query batches. */
+    * quantizers under huge query batches.
+    *
+    * The DEFAULT (`saltBuckets = 0`) derives the bucket count from the
+    * regime, so the unknown caller carries the same scale posture as the
+    * tuned expert call: when nlist already covers `defaultParallelism`,
+    * or the query batch is broadcast-sized (one count, bounded by
+    * `maxBroadcastQueries` — Catalyst/AQE then broadcasts the probed
+    * side and no exchange is capped at all), the auto stays at 1 and the
+    * plan is untouched; only the genuinely capped regime (tiny nlist
+    * under a non-broadcastable batch) gets
+    * `ceil(4 * defaultParallelism / nlist)` buckets — ~4 (list, salt)
+    * buckets per core, the measured knee of the round-17 salt curve on
+    * the 100x corpus (nlist 8, 32 cores: salt 4/8/16/32/64 read
+    * 8.0/6.0/5.4/6.3/7.3 s — finer tasks balance the skewed per-list
+    * query load until the extra assignment-scan replicas win). */
   def search(
       index: Index,
       queries: DataFrame,
@@ -192,8 +206,18 @@ object IVF {
       k: Int,
       nprobe: Int,
       shards: Int = 32,
-      saltBuckets: Int = 1): DataFrame = {
-    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+      saltBuckets: Int = 0,
+      maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries): DataFrame = {
+    require(saltBuckets >= 0, "saltBuckets must be >= 0 (0 = auto)")
+    val saltResolved =
+      if (saltBuckets > 0) saltBuckets
+      else {
+        val par = queries.sparkSession.sparkContext.defaultParallelism
+        val nlist = index.centroids.length
+        if (nlist >= par) 1 // exchange not capped below core count: no count job
+        else if (Similarity.broadcastableQueries(queries, maxBroadcastQueries)) 1
+        else ((4L * par + nlist - 1) / nlist).toInt
+      }
     val q = queries.select(col(idCol).as("query_id"),
       call_function("graft_quantize", col(vecCol)).as("__qv"))
     // rank all centroids per query and keep nprobe, as one kernel call over
@@ -206,12 +230,12 @@ object IVF {
           lit(index.centroids.length), lit(nprobe)))
       .select(col("query_id"), col("__qv"), explode(col("__probe")).as("__list"))
     val joined =
-      if (saltBuckets == 1) probed.join(index.assigned, "__list")
+      if (saltResolved == 1) probed.join(index.assigned, "__list")
       else {
         val saltedProbed = probed
-          .withColumn("__salt", pmod(hash(col("query_id")), lit(saltBuckets)))
+          .withColumn("__salt", pmod(hash(col("query_id")), lit(saltResolved)))
         index.assigned
-          .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+          .withColumn("__salt", explode(array((0 until saltResolved).map(lit): _*)))
           .join(saltedProbed.hint("shuffle_hash"), Seq("__list", "__salt"))
       }
     val cand = joined

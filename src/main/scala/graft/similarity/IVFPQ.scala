@@ -147,9 +147,18 @@ object IVFPQ {
     * them — multiplying fallback parallelism and dividing per-partition
     * build memory by the bucket count at the price of scanning the
     * (compact) codes projection `saltBuckets` times. Results are
-    * identical for any value (RerankFallbackSpec pins it); leave at 1
-    * when nlist already exceeds cluster parallelism (the usual
-    * sqrt(N)-sized index). */
+    * identical for any value (RerankFallbackSpec pins it); 1 = off, the
+    * right setting when nlist already exceeds cluster parallelism (the
+    * usual sqrt(N)-sized index).
+    *
+    * The DEFAULT (`saltBuckets = 0`) derives the bucket count from the
+    * regime — the unknown caller carries the tuned call's scale posture:
+    * 1 (plan untouched) on the broadcast path or when nlist covers
+    * `defaultParallelism`, else `ceil(4 * defaultParallelism / nlist)`
+    * (~4 buckets per core — the measured knee of the round-17 salt
+    * curve: nlist 8, 32 cores read 10.3/5.6/4.8/4.8/5.0 s at salt
+    * 4/8/16/32/64), riding the `broadcastableQueries` decision the plan
+    * already pays for. */
   def search(
       index: Index,
       corpus: DataFrame,
@@ -161,8 +170,8 @@ object IVFPQ {
       shortlist: Int,
       shards: Int = 32,
       maxBroadcastQueries: Long = Similarity.RerankBroadcastMaxQueries,
-      saltBuckets: Int = 1): DataFrame = {
-    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+      saltBuckets: Int = 0): DataFrame = {
+    require(saltBuckets >= 0, "saltBuckets must be >= 0 (0 = auto)")
     // ONE broadcastability decision for the whole plan — the probed
     // (query, list, LUT) table of the shortlist stage AND the rerank
     // tail's sliver/vector joins
@@ -196,14 +205,21 @@ object IVFPQ {
     // executor count), not for the query batch; a deliberately tiny
     // nlist under a huge |Q| concentrates the build side, which is what
     // `saltBuckets` splits (see the search scaladoc)
+    val saltResolved = {
+      val par = queries.sparkSession.sparkContext.defaultParallelism
+      val nlist = index.centroids.length
+      if (saltBuckets > 0) saltBuckets
+      else if (bcast || nlist >= par) 1 // no capped exchange to split
+      else ((4L * par + nlist - 1) / nlist).toInt
+    }
     val joined =
       if (bcast) index.codes.join(broadcast(probed), "__list")
-      else if (saltBuckets == 1) index.codes.join(probed.hint("shuffle_hash"), "__list")
+      else if (saltResolved == 1) index.codes.join(probed.hint("shuffle_hash"), "__list")
       else {
         val saltedProbed = probed
-          .withColumn("__salt", pmod(hash(col("query_id")), lit(saltBuckets)))
+          .withColumn("__salt", pmod(hash(col("query_id")), lit(saltResolved)))
         index.codes
-          .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+          .withColumn("__salt", explode(array((0 until saltResolved).map(lit): _*)))
           .join(saltedProbed.hint("shuffle_hash"), Seq("__list", "__salt"))
       }
     val cand = joined

@@ -92,6 +92,52 @@ class RerankFallbackSpec extends SparkSpec {
     assert(!plan(bsalt).contains("__salt"))
   }
 
+  test("auto salt (default 0) engages in the capped regime, stays neutral otherwise") {
+    // shared test session is local[4]: defaultParallelism = 4
+    val corpus = emb.limit(64)
+    val queries = corpus.filter(col("vec_id") < 4)
+    // tiny nlist (2 < 4 cores) + forced fallback: auto derives
+    // ceil(4*4/2) = 8 buckets — the salt reaches the physical join keys
+    // and the output equals an explicitly tuned salt
+    val tiny = IVFPQ.build(corpus, "vec_id", "embedding", nlist = 2, m = 8, ksub = 16)
+    val tuned = IVFPQ.search(tiny, corpus, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, shortlist = 16, maxBroadcastQueries = 0L, saltBuckets = 4)
+    val auto = IVFPQ.search(tiny, corpus, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, shortlist = 16, maxBroadcastQueries = 0L)
+    assert(collectRanked(auto) == collectRanked(tuned))
+    val autoKeys = plan(auto).linesIterator
+      .filter(l => l.contains("ShuffledHashJoin") && l.contains("__list")).toSeq
+    assert(autoKeys.nonEmpty && autoKeys.forall(_.contains("__salt")),
+      s"IVFPQ auto salt missing from SHJ keys:\n${autoKeys.mkString("\n")}")
+    // production-shaped nlist (4 >= 4 cores): the auto stays at 1 and the
+    // fallback plan is byte-for-byte the unsalted shape
+    val wide = IVFPQ.build(corpus, "vec_id", "embedding", nlist = 4, m = 8, ksub = 16)
+    val neutral = IVFPQ.search(wide, corpus, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4, shortlist = 16, maxBroadcastQueries = 0L)
+    assert(!plan(neutral).contains("__salt"))
+    // the IVF rung mirrors both behaviors
+    val ivfTiny = IVF.build(corpus, "vec_id", "embedding", nlist = 2)
+    val ivfTuned = IVF.search(ivfTiny, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, saltBuckets = 2, maxBroadcastQueries = 0L)
+    val ivfAuto = IVF.search(ivfTiny, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, maxBroadcastQueries = 0L)
+    assert(collectRanked(ivfAuto) == collectRanked(ivfTuned))
+    val ivfKeys = plan(ivfAuto).linesIterator
+      .filter(l => l.contains("ShuffledHashJoin") && l.contains("__list")).toSeq
+    assert(ivfKeys.nonEmpty && ivfKeys.forall(_.contains("__salt")),
+      s"IVF auto salt missing from SHJ keys:\n${ivfKeys.mkString("\n")}")
+    val ivfWide = IVF.build(corpus, "vec_id", "embedding", nlist = 4)
+    val ivfNeutral = IVF.search(ivfWide, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4, maxBroadcastQueries = 0L)
+    assert(!plan(ivfNeutral).contains("__salt"))
+    // broadcast-sized batch under a tiny nlist: auto must NOT salt (the
+    // probed side broadcasts; there is no capped exchange to split)
+    val ivfBcast = IVF.search(ivfTiny, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    assert(collectRanked(ivfBcast) == collectRanked(ivfAuto))
+    assert(!plan(ivfBcast).contains("__salt"))
+  }
+
   test("IVF salted search: result identical, salt key actually joins") {
     val corpus = emb.limit(64)
     val queries = corpus.filter(col("vec_id") < 4)
