@@ -27,6 +27,13 @@ object BenchMed {
     * because it was missing from the warm table. */
   val Default: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  /** Queries whose running min is under this get topped up to
+    * [[SubSecondReps]] total reps: sub-second queries are exactly the
+    * ones whose 4-rep min scatters +/-50% on an ambient-noisy box, and
+    * exactly the ones cheap enough to rep more. */
+  val SubSecondFloor = 1.0
+  val SubSecondReps = 8
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -39,16 +46,29 @@ object BenchMed {
     val spark = Sessions.build("graft-bench-med")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
-    val rows = names.map { name =>
+    // Protocol (round 17): `reps` whole-catalog passes in ALTERNATING
+    // order (a->z, z->a, ...) — session-phase effects (GC ramp, codegen
+    // cache growth, page-cache churn) hit different queries in each
+    // direction and cancel in the global min — then sub-second queries
+    // (cheap by definition) are topped up to SubSecondReps total, same
+    // alternation. Rationale: the 4-rep one-order min scattered +/-50%
+    // on sub-second queries two rounds running (BENCHSCALE round-16
+    // adjudication), so every round burned effort separating ambient
+    // noise from regressions.
+    val acc = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    def pass(order: Seq[String]): Unit = order.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink materializes EVERY column (same rationale as BenchOne)
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      (name, times)
+      val t0 = System.nanoTime()
+      // noop sink materializes EVERY column (same rationale as BenchOne)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      acc(name) = acc.getOrElse(name, Vector.empty) :+ sec
     }
+    (0 until reps).foreach(p => pass(if (p % 2 == 0) names else names.reverse))
+    val cheap = names.filter(n => acc(n).min < SubSecondFloor)
+    (reps until math.max(reps, SubSecondReps))
+      .foreach(p => pass(if (p % 2 == 0) cheap else cheap.reverse))
+    val rows = names.map(n => (n, acc(n)))
 
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
@@ -81,10 +101,14 @@ object BenchMed {
     val explicit = if (args.length > 3) " " + names.mkString(" ") else ""
     sb ++= s"# $title — warm steady-state times\n\n"
     sb ++= s"Recorded at commit `$head`.\n\n"
-    sb ++= s"`runMain graft.BenchMed $out $sfDir $reps$explicit` — $reps reps per query\n"
-    sb ++= s"in one warm session on `$sfDir` (local[${Sessions.cpus}]). `min` is the\n"
-    sb ++= "steady-state number to compare across rounds; the driver's single-pass\n"
-    sb ++= "BENCH includes cold-JVM codegen/JIT and is ±4x noisy below ~1 s.\n\n"
+    sb ++= s"`runMain graft.BenchMed $out $sfDir $reps$explicit` — $reps alternating-order\n"
+    sb ++= s"catalog passes (a→z, z→a, …) in one warm session on `$sfDir`\n"
+    sb ++= s"(local[${Sessions.cpus}]); queries whose min is under ${SubSecondFloor} s are topped up\n"
+    sb ++= s"to $SubSecondReps reps total. `min` is the steady-state number to compare across\n"
+    sb ++= "rounds; the alternation cancels session-phase effects and the extra\n"
+    sb ++= "sub-second reps tighten exactly the rows that scatter ±50% at 4 reps.\n"
+    sb ++= "The driver's single-pass BENCH additionally carries cold-JVM codegen/JIT\n"
+    sb ++= "and is ±4x noisy below ~1 s.\n\n"
     sb ++= "| query | min (s) | median (s) | reps (s) |\n|---|---|---|---|\n"
     rows.sortBy(-_._2.min).foreach { case (name, ts) =>
       sb ++= s"| $name | ${f(ts.min)} | ${f(median(ts))} | ${ts.map(f).mkString(", ")} |\n"

@@ -31,14 +31,22 @@ import org.apache.spark.sql.functions._
   * (dim + k) % 7 == 0 — same norm, rotated direction, so IVF/cosine see
   * genuinely new vectors.
   *
-  * Usage: runMain graft.ScaleBlowup [srcSfDir] [outDir] [factor]
+  * Usage: runMain graft.ScaleBlowup [srcSfDir] [outDir] [factor] [mode]
+  * — mode `salted` (default) as above; mode `template` keeps every
+  * copy's text VERBATIM (ids still strided) and writes ONLY the
+  * documents table: the sibling-HEAVY counterpart corpus
+  * (TemplateRehearsal's planted-hazard shape, persisted so the
+  * prefix-join knob matrix can run on both corpus shapes).
   */
 object ScaleBlowup {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft-scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "salted"
     require(factor >= 1, "factor must be >= 1")
+    require(mode == "salted" || mode == "template",
+      s"mode must be salted or template, got '$mode'")
     val spark = Sessions.build("graft-scale-blowup")
 
     val idStride = 1000000L
@@ -49,6 +57,16 @@ object ScaleBlowup {
     val maxDocId = docs.agg(max(col("doc_id"))).head().getLong(0)
     require(maxDocId < idStride,
       s"doc_id $maxDocId >= stride $idStride: raise idStride to avoid copy collisions")
+    if (mode == "template") {
+      (0 until factor)
+        .map(k => docs.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"[scale-blowup] template corpus: ${factor}x verbatim copies at $out")
+      spark.stop()
+      return
+    }
     val docCopies = (0 until factor).map { k =>
       if (k == 0) docs
       else {
