@@ -2433,7 +2433,22 @@ object Queries {
 
   /** Prefix-filtered formulation of containment_pairs (the scale path: the
     * constrained smaller side probes with its rarity-ordered prefix instead
-    * of joining full x full) — pinned by the exact same oracle SQL. */
+    * of joining full x full) — pinned by the exact same oracle SQL.
+    *
+    * Knob pin (positional=on, collapse=on — the defaults), re-adjudicated
+    * round 17 on BOTH corpus shapes (BENCHSCALE round-17 matrix): on the
+    * sibling-LIGHT 100x blowup the pin pays ~1.4x over the best fixed
+    * combo (68.3 vs 48.7 s for collapse=off), but on the sibling-HEAVY
+    * 500k template corpus collapse=off is catastrophic — 428-588 s vs
+    * 10-13 s collapsed, the C(m,2) verification blowup the collapse
+    * exists to prevent — so the insurance stays pinned: a bounded
+    * ~1.4x on the shape that doesn't need it buys off a measured ~34x
+    * on the shape that does. Callers who KNOW their corpus is
+    * sibling-free should pass collapseSiblings = false; unknown corpora
+    * should use [[graft.dedup.Containment.pairsAuto]], whose pair-mass
+    * probe picks the right side of that trade by measurement (12.05 s
+    * on the template corpus, 44.6 s on the blowup — at or near the best
+    * fixed combo on BOTH shapes). */
   def containmentPpjoin(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Containment.pairs(t(s, dir, "documents"), "doc_id", "text",
       minBp = 9000L, native = true, maxDf = NgramMaxDf)
