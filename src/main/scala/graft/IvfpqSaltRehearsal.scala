@@ -29,8 +29,10 @@ import graft.similarity.{IVF, IVFPQ}
   * Usage: runMain graft.IvfpqSaltRehearsal [sfDir] [nlist] [perCopy]
   * [salt...] (defaults: /tmp/graft-scale100, nlist 8, perCopy 50 —
   * 5k queries on the 100x corpus — salts 1 0 32; salt 0 = the AUTO
-  * default, `max(1, defaultParallelism / nlist)` on the fallback path,
-  * which these rows adjudicate against the tuned settings).
+  * default: 1 when the query batch broadcasts or nlist >=
+  * defaultParallelism, else `ceil(4 * defaultParallelism / nlist)` —
+  * the capped-exchange rule in IVF.scala/IVFPQ.scala that these rows
+  * adjudicate against the tuned settings).
   */
 object IvfpqSaltRehearsal {
   def main(args: Array[String]): Unit = {

@@ -447,8 +447,16 @@ object Jaccard {
     * are never touched. BOTH modes key the dispatch on the probe's
     * non-empty-set count (docs with an empty set can pair with nothing);
     * lean mode's raw `count()` only stages the probe target, so near
-    * `directMaxDocs` the two modes pick the same plan even for corpora
-    * with many empty-set docs. */
+    * `directMaxDocs` the two modes pick the same plan for corpora whose
+    * empty sets are empty BEFORE df-capping. One residual divergence
+    * window: below [[CappedProbeMinDocs]] with an active `maxDf`, lean's
+    * cheap probe runs over UNCAPPED sets while materialize probes capped
+    * sets, so a doc whose set empties only under capping counts toward
+    * lean's nDocs but not materialize's — near `directMaxDocs` the two
+    * modes can then pick different (result-identical) plans. Lean mode
+    * also short-circuits at or below `directMaxDocs` raw rows: the
+    * non-empty count can only be <= the raw count (monotonicity), so the
+    * probe cannot flip the pick there and is skipped entirely. */
   private[dedup] def autoDispatch(
       df: DataFrame,
       directMaxDocs: Long,
@@ -462,8 +470,13 @@ object Jaccard {
       else fromSets(sets, pairMass > nDocs, nDocs)
     if (!materialize) {
       val nRows = df.count()
-      val (nDocs, pairMass) = hazardProbe(nRows, cap => mkSets(df, cap), maxDf)
-      choose(mkSets(df, maxDf), nDocs, pairMass)
+      // nDocs (non-empty sets) <= nRows, so at or below the direct cap
+      // the probe cannot change the dispatch — skip its shingling pass.
+      if (nRows <= directMaxDocs) directFromSets(mkSets(df, maxDf))
+      else {
+        val (nDocs, pairMass) = hazardProbe(nRows, cap => mkSets(df, cap), maxDf)
+        choose(mkSets(df, maxDf), nDocs, pairMass)
+      }
     } else {
       val sets = mkSets(df, maxDf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

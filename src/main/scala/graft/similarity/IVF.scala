@@ -197,7 +197,13 @@ object IVF {
     * buckets per core, the measured knee of the round-17 salt curve on
     * the 100x corpus (nlist 8, 32 cores: salt 4/8/16/32/64 read
     * 8.0/6.0/5.4/6.3/7.3 s — finer tasks balance the skewed per-list
-    * query load until the extra assignment-scan replicas win). */
+    * query load until the extra assignment-scan replicas win). CAVEAT
+    * (mirrors PQ/IVFPQ): when nlist < defaultParallelism the auto's
+    * broadcastability check runs one extra `queries.count()` Spark job,
+    * executing the query frame's lineage an additional time — cache or
+    * `localCheckpoint` expensive/nondeterministic query frames, or pass
+    * `saltBuckets = 1` (or `maxBroadcastQueries = 0` / `Long.MaxValue`)
+    * to skip the count. */
   def search(
       index: Index,
       queries: DataFrame,
@@ -211,13 +217,12 @@ object IVF {
     require(saltBuckets >= 0, "saltBuckets must be >= 0 (0 = auto)")
     val saltResolved =
       if (saltBuckets > 0) saltBuckets
-      else {
-        val par = queries.sparkSession.sparkContext.defaultParallelism
-        val nlist = index.centroids.length
-        if (nlist >= par) 1 // exchange not capped below core count: no count job
-        else if (Similarity.broadcastableQueries(queries, maxBroadcastQueries)) 1
-        else ((4L * par + nlist - 1) / nlist).toInt
-      }
+      else Similarity.autoSaltBuckets(
+        queries.sparkSession.sparkContext.defaultParallelism,
+        index.centroids.length,
+        // by-name: the count job runs only when nlist < par leaves the
+        // broadcastability question open (see autoSaltBuckets scaladoc)
+        Similarity.broadcastableQueries(queries, maxBroadcastQueries))
     val q = queries.select(col(idCol).as("query_id"),
       call_function("graft_quantize", col(vecCol)).as("__qv"))
     // rank all centroids per query and keep nprobe, as one kernel call over
