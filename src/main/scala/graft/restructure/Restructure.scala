@@ -110,6 +110,16 @@ final case class TopicFile(
   */
 final class Restructure(spark: SparkSession, config: RestructureConfig) {
 
+  /** W3 crash-window test seam (CrashRecoverySpec): invoked once per topic
+    * AFTER its output write (and ledger-range computation) succeeded and
+    * BEFORE its state commit — the write-then-commit ordering makes a crash
+    * here the design's worst case: part files are on disk with no ledger
+    * entry, so the rerun must reprocess the batch and the read-time dedup
+    * (J4, [[readOutput]]) must absorb the re-emitted rows. Production never
+    * sets it; the default is a no-op and costs one megamorphic call per
+    * topic batch (driver-side, off the data path). */
+  private[graft] var beforeCommit: String => Unit = _ => ()
+
   private def inputRoots: Seq[Path] =
     (config.inputDir +: config.extraInputDirs).map(new Path(_))
 
@@ -441,6 +451,7 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
             }
             recordsWritten += obs.get.get("records").map(_.asInstanceOf[Long]).getOrElse(0L)
             val added = Intervals.collectRanges(processedRanges(unseen))
+            beforeCommit(topic) // W3 crash-window seam — no-op in production
             Timers.time(spark, "restructure.commit") {
               commitState(state, added, lockMgr) // S10 — commit after write
             }
