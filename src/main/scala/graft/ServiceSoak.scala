@@ -10,7 +10,7 @@ import graft.restructure.{Cleaner, DedupConfig, Restructure, RestructureConfig, 
 
 import java.io.File
 import java.nio.file.Files
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 /** End-to-end service-mode soak (SURVEY §2.8 W2/W4/W5 + S10/S11 as ONE
   * integration seam) — the reference's FULL two-job deployment shape
@@ -21,8 +21,8 @@ import java.util.concurrent.atomic.AtomicLong
   * one file arrives LATE (offsets below a partition's already-processed
   * range), and one already-processed file is REWRITTEN in place with a
   * newer mtime and an appended record (the reference's resent-file
-  * shape, accounting/OffsetRangeSet.kt mtime semantics). A second
-  * service phase then interleaves CLEANER ticks with restructure ticks
+  * shape, accounting/OffsetRangeSet.kt mtime semantics). CLEANER ticks
+  * interleave with restructure ticks
   * (cleaner/SourceDataCleaner.kt:33-108 under the same scheduler):
   * fully-extracted files are deleted mid-soak while a new wave is still
   * arriving, and a planted output miss (one deleted bin directory)
@@ -51,7 +51,12 @@ import java.util.concurrent.atomic.AtomicLong
   *  - the service loops themselves: >= 8 restructure ticks, >= 2
   *    cleaner ticks, no captured error.
   *
-  * Shared by the [[main]] (a bigger corpus for the BENCHSCALE row) and
+  * TWO schedulings prove the same equality set: [[run]] phases the jobs
+  * (restructure-only waves, then a restart with the cleaner — plant and
+  * restart are deterministic by construction) and [[runFromStartup]]
+  * schedules BOTH jobs from tick 0 like the reference's deployment, with
+  * the planted miss arriving mid-wave while both jobs are live. Shared by
+  * the [[main]] (a bigger corpus for the BENCHSCALE row) and
   * ServiceSoakSpec (small corpus, same assertions — every `require`
   * here IS the spec body).
   */
@@ -86,7 +91,7 @@ object ServiceSoak {
     * name so both runs hash identical layouts): count, bit_xor and
     * decimal sum of whole-row hashes — the sum keeps the fingerprint
     * multiplicity-sensitive where xor cancels even counts. */
-  private def fingerprint(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
+  private[graft] def fingerprint(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
     val cols = df.columns.sorted.map(c => col(s"`$c`"))
     val h = xxhash64(cols: _*)
     val r = df.agg(
@@ -96,23 +101,21 @@ object ServiceSoak {
     (r.getLong(0), r.getLong(1), r.getDecimal(2))
   }
 
-  def run(spark: SparkSession, dir: File, perFile: Int, tickMs: Long = 200L): Report = {
-    // lower bound 60: waves B-E and the appended rewrite record must land
-    // OUTSIDE T0's hour bin, so the planted miss (the earliest bin) hits
-    // exactly the two head files and nothing else. Upper bound 21350:
-    // wave E tops out at offset 4*perFile + 1000, and past 86400 the
-    // `offset % 86400` time derivation wraps onto the low offsets
-    // (86400 % 3 == 0, so userId aliases too) — every (partition,
-    // offset) -> record mapping must stay collision-free
-    require(perFile >= 60 && perFile <= 21350,
-      "perFile in [60, 21350] (bin-isolated head, collision-free times)")
-    val schema = new Schema.Parser().parse(schemaJson)
-    val staging = new File(dir, "stage")
+  /** Corpus builder shared by both scheduling modes: deterministic avro
+    * files whose record content is a pure function of (partition,
+    * offset) — a rewritten file reproduces its original records
+    * byte-identically and rows never collide across partitions (the
+    * +0.25s fraction). Files are staged, MIRRORED into the `in-full`
+    * comparator tree (the cleaner deletes from the live tree, so the
+    * one-shot run needs every file ever written), then MOVED atomically
+    * into the live topic tree — the polling service must never list a
+    * half-written file (minimumFileAgeMs is 0 here; production would
+    * also age-gate). */
+  private final class Corpus(dir: File) {
+    val schema: Schema = new Schema.Parser().parse(schemaJson)
+    private val staging = new File(dir, "stage")
     staging.mkdirs()
 
-    // record content is a pure function of (partition, offset), so a
-    // rewritten file reproduces its original records byte-identically
-    // and rows never collide across partitions (the +0.25s fraction)
     def record(partition: Int, offset: Long): GenericRecord = {
       val k = new GenericData.Record(schema.getField("key").schema())
       k.put("projectId", "proj0")
@@ -127,12 +130,6 @@ object ServiceSoak {
       r
     }
 
-    /** Write a complete file into staging, MIRROR it into the full
-      * comparator tree (`in-full` — the cleaner deletes from the live
-      * tree, so the one-shot run needs every file ever written), then
-      * MOVE it into the live topic tree — the polling service must never
-      * list a half-written file (minimumFileAgeMs is 0 here; production
-      * would also age-gate). */
     def writeFile(partition: Int, startOffset: Long, n: Int): File = {
       val name = f"soak_topic+$partition+$startOffset%010d.avro"
       val tmp = new File(staging, name)
@@ -155,24 +152,118 @@ object ServiceSoak {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       dest
     }
+  }
 
-    val cfg = RestructureConfig(
-      inputDir = s"$dir/in",
-      outputDir = s"$dir/out",
-      stateFile = s"$dir/state/offsets.json",
-      minimumFileAgeMs = 0L,
-      dedupDefault = DedupConfig(enable = true))
-    val job = new Restructure(spark, cfg)
-    def awaitPasses(svc: Service, counter: AtomicLong, k: Long): Unit = {
-      val target = counter.get() + k
-      val deadline = System.currentTimeMillis() + 600000L
-      while (counter.get() < target) {
-        require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError.get}")
-        require(System.currentTimeMillis() < deadline,
-          s"soak stalled waiting for service pass $target")
-        Thread.sleep(25L)
-      }
+  private def cfgFor(dir: File): RestructureConfig = RestructureConfig(
+    inputDir = s"$dir/in",
+    outputDir = s"$dir/out",
+    stateFile = s"$dir/state/offsets.json",
+    minimumFileAgeMs = 0L,
+    dedupDefault = DedupConfig(enable = true))
+
+  private def awaitPasses(svc: Service, counter: AtomicLong, k: Long): Unit = {
+    val target = counter.get() + k
+    val deadline = System.currentTimeMillis() + 600000L
+    while (counter.get() < target) {
+      require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError.get}")
+      require(System.currentTimeMillis() < deadline,
+        s"soak stalled waiting for service pass $target")
+      Thread.sleep(25L)
     }
+  }
+
+  private def rmRf(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmRf)
+    require(f.delete(), s"could not delete $f")
+  }
+
+  /** Plant the output miss: delete the EARLIEST user0 bin (T0's hour —
+    * only the two head files have records there). */
+  private def plantMiss(dir: File): Unit = {
+    val user0 = new File(dir, "out/soak_topic/_project=proj0/_user=user0")
+    val bins = Option(user0.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("_bin="))
+    require(bins.nonEmpty, s"no output bins under $user0")
+    rmRf(bins.minBy(_.getName))
+  }
+
+  /** The wave files both scheduling modes produce (phase structure is the
+    * scheduler's; the corpus is identical). */
+  private final case class Waves(
+      waveA0: File, p1High: File, fB: File, p1Late: File, fD: File, fE: File)
+
+  /** Shared convergence tail: exact delete/readmit sets, P9 survival, and
+    * equality with a ONE-SHOT run over the full mirrored tree. */
+  private def verifyConverged(
+      spark: SparkSession, dir: File, cfg: RestructureConfig, job: Restructure,
+      perFile: Int, waves: Waves, ticks: Long, cleanerTicks: Long,
+      deletedPaths: java.util.Set[String], readmittedPaths: java.util.Set[String],
+      t0: Long): Report = {
+    require(ticks >= 8, s"expected >= 8 completed restructure ticks, got $ticks")
+    require(cleanerTicks >= 2, s"expected >= 2 completed cleaner ticks, got $cleanerTicks")
+    // deletions and readmissions are EXACT: the P9-protected newest files
+    // survive, the planted miss readmitted precisely the two head files
+    def names(s: java.util.Set[String]): Set[String] =
+      { import scala.jdk.CollectionConverters._
+        s.asScala.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet }
+    val expectDeleted = Set(waves.waveA0, waves.fB, waves.fD, waves.p1Late).map(_.getName)
+    val expectReadmitted = Set(waves.waveA0, waves.p1Late).map(_.getName)
+    require(names(deletedPaths) == expectDeleted,
+      s"deleted ${names(deletedPaths)} != expected $expectDeleted")
+    require(names(readmittedPaths) == expectReadmitted,
+      s"readmitted ${names(readmittedPaths)} != expected $expectReadmitted")
+    require(waves.fE.exists() && waves.p1High.exists(),
+      "a P9-protected newest file was deleted")
+
+    // one-shot comparator: a fresh job over the FULL mirrored tree
+    // (every file ever written — the live tree lost its verified files
+    // to the cleaner), fresh output + state
+    val oneCfg = cfg.copy(inputDir = s"$dir/in-full",
+      outputDir = s"$dir/out-oneshot",
+      stateFile = s"$dir/state-oneshot/offsets.json")
+    val oneJob = new Restructure(spark, oneCfg)
+    oneJob.run()
+
+    val soakFp = fingerprint(job.readOutput("soak_topic"))
+    val oneFp = fingerprint(oneJob.readOutput("soak_topic"))
+    require(soakFp == oneFp,
+      s"soak output != one-shot output over the full tree: $soakFp vs $oneFp")
+    val expectRows = 6L * perFile + 1L
+    require(soakFp._1 == expectRows,
+      s"expected $expectRows distinct rows, got ${soakFp._1}")
+
+    // offsets-state convergence: nothing left to plan, and the interval
+    // structure equals the one-shot run's (merged, bounded; deletion
+    // keeps ranges ledgered, readmission healed by reprocessing)
+    val state = job.loadState()
+    val planAfter = job.plan("soak_topic", state).size
+    require(planAfter == 0, s"post-soak plan still lists $planAfter files")
+    val soakRanges = state.entries.size
+    val oneRanges = oneJob.loadState().entries.size
+    require(soakRanges == oneRanges,
+      s"soak state has $soakRanges ranges, one-shot $oneRanges")
+
+    Report(ticks, cleanerTicks, soakFp._1, deletedPaths.size(),
+      readmittedPaths.size(), planAfter, soakRanges, oneRanges,
+      (System.nanoTime() - t0) / 1e9)
+  }
+
+  // lower bound 60: waves B-E and the appended rewrite record must land
+  // OUTSIDE T0's hour bin, so the planted miss (the earliest bin) hits
+  // exactly the two head files and nothing else. Upper bound 21350:
+  // wave E tops out at offset 4*perFile + 1000, and past 86400 the
+  // `offset % 86400` time derivation wraps onto the low offsets
+  // (86400 % 3 == 0, so userId aliases too) — every (partition,
+  // offset) -> record mapping must stay collision-free
+  private def requirePerFile(perFile: Int): Unit =
+    require(perFile >= 60 && perFile <= 21350,
+      "perFile in [60, 21350] (bin-isolated head, collision-free times)")
+
+  def run(spark: SparkSession, dir: File, perFile: Int, tickMs: Long = 200L): Report = {
+    requirePerFile(perFile)
+    val corpus = new Corpus(dir)
+    val cfg = cfgFor(dir)
+    val job = new Restructure(spark, cfg)
 
     val t0 = System.nanoTime()
 
@@ -181,8 +272,8 @@ object ServiceSoak {
     val svc1 = new Service(restructure = () => job.run(), restructureIntervalMs = tickMs)
     // wave A: both partitions; partition 1 starts HIGH so its low
     // offsets can arrive late in wave B
-    val waveA0 = writeFile(0, 0L, perFile)
-    val p1High = writeFile(1, 48800L, perFile)
+    val waveA0 = corpus.writeFile(0, 0L, perFile)
+    val p1High = corpus.writeFile(1, 48800L, perFile)
     var fB: File = null
     var p1Late: File = null
     var fD: File = null
@@ -197,8 +288,8 @@ object ServiceSoak {
       // watermark, seen-range pruning admits it whenever it arrives).
       // Partition 0 resumes at perFile + 1: offset perFile is reserved
       // for wave C's appended rewrite record, which must be globally new
-      fB = writeFile(0, perFile + 1L, perFile)
-      p1Late = writeFile(1, 0L, perFile)
+      fB = corpus.writeFile(0, perFile + 1L, perFile)
+      p1Late = corpus.writeFile(1, 0L, perFile)
       awaitPasses(svc1, svc1.restructurePasses, 2)
       // wave C: rewrite wave A's partition-0 file in place with ONE
       // appended record and a strictly newer mtime — W5: the recorded
@@ -206,7 +297,7 @@ object ServiceSoak {
       // reprocessed; its re-emitted rows are byte-identical and the
       // output merge discipline (J4) absorbs them
       val origMtime = waveA0.lastModified()
-      writeFile(0, 0L, perFile + 1)
+      corpus.writeFile(0, 0L, perFile + 1)
       val rewritten = new File(dir, s"in/soak_topic/partition=0/${waveA0.getName}")
       require(rewritten.setLastModified(math.max(System.currentTimeMillis(), origMtime + 2000L)),
         "mtime rewrite failed")
@@ -215,26 +306,18 @@ object ServiceSoak {
       // the head hour bin — phase 2's first cleaner pass must find a
       // fully-verified, unprotected file to DELETE while the planted
       // miss readmits the two head files
-      fD = writeFile(0, 2L * perFile + 500L, perFile)
+      fD = corpus.writeFile(0, 2L * perFile + 500L, perFile)
       awaitPasses(svc1, svc1.restructurePasses, 2)
     } finally svc1.stop()
     require(svc1.lastError.isEmpty, s"service pass failed: ${svc1.lastError}")
 
-    // ---- plant the output miss: delete the EARLIEST user0 bin (T0's
-    // hour — only the two head files have records there). Planted while
-    // no service runs: restructure never reads the output tree, but the
-    // cleaner's verification does, and racing the delete against a
-    // concurrent verification read would only test the filesystem ----
-    val user0 = new File(dir, "out/soak_topic/_project=proj0/_user=user0")
-    val bins = Option(user0.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && f.getName.startsWith("_bin="))
-    require(bins.nonEmpty, s"no output bins under $user0")
-    val planted = bins.minBy(_.getName)
-    def rmRf(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmRf)
-      require(f.delete(), s"could not delete $f")
-    }
-    rmRf(planted)
+    // ---- plant the output miss. Planted while no service runs:
+    // restructure never reads the output tree, but the cleaner's
+    // verification does, and racing the delete against a concurrent
+    // verification read would only test the filesystem (the from-startup
+    // variant plants mid-wave instead, with the cleaner inside its age
+    // window so no verification read is in flight either) ----
+    plantMiss(dir)
 
     // ---- phase 2: the TWO-JOB scheduler (Application.kt:100-119) —
     // cleaner ticks interleave with restructure ticks while wave E is
@@ -255,7 +338,7 @@ object ServiceSoak {
       }),
       restructureIntervalMs = tickMs,
       cleanerIntervalMs = 2 * tickMs)
-    val fE: File = writeFile(0, 3L * perFile + 1000L, perFile)
+    val fE: File = corpus.writeFile(0, 3L * perFile + 1000L, perFile)
     svc2.start()
     try {
       // a full pass after wave E is on disk: the newest-file protection
@@ -281,69 +364,125 @@ object ServiceSoak {
     } finally svc2.stop()
     require(svc2.lastError.isEmpty, s"service pass failed: ${svc2.lastError}")
 
-    val ticks = svc1.restructurePasses.get() + svc2.restructurePasses.get()
-    val cleanerTicks = svc2.cleanerPasses.get()
-    require(ticks >= 8, s"expected >= 8 completed restructure ticks, got $ticks")
-    require(cleanerTicks >= 2, s"expected >= 2 completed cleaner ticks, got $cleanerTicks")
-    // deletions and readmissions are EXACT: the P9-protected newest files
-    // survive, the planted miss readmitted precisely the two head files
-    def names(s: java.util.Set[String]): Set[String] =
-      { import scala.jdk.CollectionConverters._
-        s.asScala.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet }
-    val expectDeleted = Set(waveA0, fB, fD, p1Late).map(_.getName)
-    val expectReadmitted = Set(waveA0, p1Late).map(_.getName)
-    require(names(deletedPaths) == expectDeleted,
-      s"deleted ${names(deletedPaths)} != expected $expectDeleted")
-    require(names(readmittedPaths) == expectReadmitted,
-      s"readmitted ${names(readmittedPaths)} != expected $expectReadmitted")
-    require(fE.exists() && p1High.exists(),
-      "a P9-protected newest file was deleted")
-
-    // one-shot comparator: a fresh job over the FULL mirrored tree
-    // (every file ever written — the live tree lost its verified files
-    // to the cleaner), fresh output + state
-    val oneCfg = cfg.copy(inputDir = s"$dir/in-full",
-      outputDir = s"$dir/out-oneshot",
-      stateFile = s"$dir/state-oneshot/offsets.json")
-    val oneJob = new Restructure(spark, oneCfg)
-    oneJob.run()
-
-    val soakOut = job.readOutput("soak_topic")
-    val oneOut = oneJob.readOutput("soak_topic")
-    val soakFp = fingerprint(soakOut)
-    val oneFp = fingerprint(oneOut)
-    require(soakFp == oneFp,
-      s"soak output != one-shot output over the full tree: $soakFp vs $oneFp")
-    val expectRows = 6L * perFile + 1L
-    require(soakFp._1 == expectRows,
-      s"expected $expectRows distinct rows, got ${soakFp._1}")
-
-    // offsets-state convergence: nothing left to plan, and the interval
-    // structure equals the one-shot run's (merged, bounded; deletion
-    // keeps ranges ledgered, readmission healed by reprocessing)
-    val state = job.loadState()
-    val planAfter = job.plan("soak_topic", state).size
-    require(planAfter == 0, s"post-soak plan still lists $planAfter files")
-    val soakRanges = state.entries.size
-    val oneRanges = oneJob.loadState().entries.size
-    require(soakRanges == oneRanges,
-      s"soak state has $soakRanges ranges, one-shot $oneRanges")
-
-    Report(ticks, cleanerTicks, soakFp._1, deletedPaths.size(),
-      readmittedPaths.size(), planAfter, soakRanges, oneRanges,
-      (System.nanoTime() - t0) / 1e9)
+    verifyConverged(spark, dir, cfg, job, perFile,
+      Waves(waveA0, p1High, fB, p1Late, fD, fE),
+      ticks = svc1.restructurePasses.get() + svc2.restructurePasses.get(),
+      cleanerTicks = svc2.cleanerPasses.get(),
+      deletedPaths, readmittedPaths, t0)
   }
 
-  /** Usage: runMain graft.ServiceSoak [perFile] [tickMs] — the spec twin
-    * runs the same body at a small perFile. */
+  /** From-startup scheduling (round-18 directive): ONE service registers
+    * BOTH jobs at tick 0 — the reference's literal deployment shape
+    * (Application.kt:100-119 schedules restructure AND cleaner on the
+    * same scheduler at startup; [[run]] phases them for plant-timing
+    * determinism). The cleaner's AGE GATE is the determinism lever here:
+    * cleaner ticks run interleaved from the first restructure tick but
+    * see no age-ELIGIBLE files until the gate opens (`now = 0` makes
+    * every file younger than the cutoff — exactly a production cleaner
+    * whose files sit inside its 7-day window), so the planted miss lands
+    * MID-WAVE with both jobs live and the head files guaranteed still in
+    * the source tree. That guarantee is load-bearing, not convenience: an
+    * open-gate cleaner could have deleted the head files first, and a
+    * miss planted AFTER a source file's deletion is unrecoverable data
+    * loss by design (deletion only ever follows verified extraction —
+    * the reference shares this, cleaner/SourceDataCleaner.kt:95-106).
+    * Once the gate opens (with wave E arriving), the full chain runs
+    * under interleaved ticks — delete fB/fD, readmit the two head files,
+    * reprocess, re-delete — and the tail asserts the SAME equality set
+    * as [[run]]. */
+  def runFromStartup(spark: SparkSession, dir: File, perFile: Int,
+      tickMs: Long = 200L): Report = {
+    requirePerFile(perFile)
+    val corpus = new Corpus(dir)
+    val cfg = cfgFor(dir)
+    val job = new Restructure(spark, cfg)
+    val deletedPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val readmittedPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val cleaner = new Cleaner(spark, cfg, ageMs = -3600000L)
+    val gate = new AtomicBoolean(false)
+    val svc = new Service(
+      restructure = () => job.run(),
+      cleaner = Some(() => {
+        // gate CLOSED -> now=0 fails the age check for every real file
+        // (mtime < 0 + 1h past epoch): a TRUE tick that lists topics and
+        // computes zero candidates — the production shape inside the age
+        // window. OPEN -> real time; the negative age admits everything.
+        val now = if (gate.get()) System.currentTimeMillis() else 0L
+        val (d, r) = cleaner.run(now)
+        d.foreach(deletedPaths.add); r.foreach(readmittedPaths.add)
+      }),
+      restructureIntervalMs = tickMs,
+      cleanerIntervalMs = 2 * tickMs)
+
+    val t0 = System.nanoTime()
+    val waveA0 = corpus.writeFile(0, 0L, perFile)
+    val p1High = corpus.writeFile(1, 48800L, perFile)
+    var fB: File = null
+    var p1Late: File = null
+    var fD: File = null
+    var fE: File = null
+    svc.start()
+    try {
+      awaitPasses(svc, svc.restructurePasses, 2)
+      fB = corpus.writeFile(0, perFile + 1L, perFile)
+      p1Late = corpus.writeFile(1, 0L, perFile)
+      awaitPasses(svc, svc.restructurePasses, 2)
+      // wave C rewrite — the gate is still closed, so the cleaner cannot
+      // have deleted waveA0 out from under the in-place rewrite
+      val origMtime = waveA0.lastModified()
+      corpus.writeFile(0, 0L, perFile + 1)
+      require(waveA0.setLastModified(math.max(System.currentTimeMillis(), origMtime + 2000L)),
+        "mtime rewrite failed")
+      awaitPasses(svc, svc.restructurePasses, 2)
+      fD = corpus.writeFile(0, 2L * perFile + 500L, perFile)
+      awaitPasses(svc, svc.restructurePasses, 2)
+      // at least one pre-gate cleaner tick: "from tick 0" must be true in
+      // the transcript, not just the schedule
+      awaitPasses(svc, svc.cleanerPasses, 1)
+      // the planted miss arrives MID-WAVE: both jobs live, wave E still
+      // to come. No verification read can be in flight (ticks are
+      // serialized on the scheduler thread and the closed gate plans
+      // zero candidates), so the delete exercises the engine, not the
+      // filesystem's read-vs-unlink semantics
+      plantMiss(dir)
+      fE = corpus.writeFile(0, 3L * perFile + 1000L, perFile)
+      gate.set(true)
+      val deletables = Seq(waveA0, fB, fD, p1Late)
+      val deadline = System.currentTimeMillis() + 600000L
+      while (deletables.exists(_.exists())) {
+        require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError.get}")
+        require(System.currentTimeMillis() < deadline,
+          s"soak stalled waiting for cleaner convergence; still present: " +
+            deletables.filter(_.exists()).mkString(", "))
+        Thread.sleep(25L)
+      }
+      awaitPasses(svc, svc.restructurePasses, 2)
+    } finally svc.stop()
+    require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError}")
+
+    verifyConverged(spark, dir, cfg, job, perFile,
+      Waves(waveA0, p1High, fB, p1Late, fD, fE),
+      ticks = svc.restructurePasses.get(),
+      cleanerTicks = svc.cleanerPasses.get(),
+      deletedPaths, readmittedPaths, t0)
+  }
+
+  /** Usage: runMain graft.ServiceSoak [perFile] [tickMs] [mode] — mode
+    * `phased` (default) runs [[run]], `startup` runs [[runFromStartup]];
+    * the spec twin runs both bodies at a small perFile. */
   def main(args: Array[String]): Unit = {
     val perFile = if (args.nonEmpty) args(0).toInt else 20000
     val tickMs = if (args.length > 1) args(1).toLong else 500L
+    val mode = if (args.length > 2) args(2) else "phased"
     val spark = Sessions.build("graft-service-soak")
     val dir = Files.createTempDirectory("graft-service-soak").toFile
-    val r = run(spark, dir, perFile, tickMs)
+    val r = mode match {
+      case "phased"  => run(spark, dir, perFile, tickMs)
+      case "startup" => runFromStartup(spark, dir, perFile, tickMs)
+      case other     => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
     println(
-      s"""{"metric":"service_soak","ticks":${r.ticks},"cleanerTicks":${r.cleanerTicks},""" +
+      s"""{"metric":"service_soak","mode":"$mode","ticks":${r.ticks},"cleanerTicks":${r.cleanerTicks},""" +
         s""""rows":${r.soakRows},"deleted":${r.deletedFiles},"readmitted":${r.readmittedFiles},""" +
         s""""planAfter":${r.planAfter},"stateRanges":${r.stateRanges},""" +
         s""""oneShotStateRanges":${r.oneShotStateRanges},"sec":${r.wallSec}}""")

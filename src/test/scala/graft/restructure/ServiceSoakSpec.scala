@@ -19,9 +19,7 @@ import java.nio.file.Files
   * it at a small corpus. */
 class ServiceSoakSpec extends SparkSpec {
 
-  test("service soak converges to the one-shot run (late file + rewrite + cleaner)") {
-    val dir = Files.createTempDirectory("graft-soak-spec").toFile
-    val report = ServiceSoak.run(spark, dir, perFile = 120, tickMs = 100L)
+  private def assertReport(report: ServiceSoak.Report): Unit = {
     assert(report.ticks >= 8)
     assert(report.cleanerTicks >= 2)
     assert(report.soakRows == 6L * 120 + 1)
@@ -29,5 +27,20 @@ class ServiceSoakSpec extends SparkSpec {
     assert(report.readmittedFiles == 2)
     assert(report.planAfter == 0)
     assert(report.stateRanges == report.oneShotStateRanges)
+  }
+
+  test("service soak converges to the one-shot run (late file + rewrite + cleaner)") {
+    val dir = Files.createTempDirectory("graft-soak-spec").toFile
+    assertReport(ServiceSoak.run(spark, dir, perFile = 120, tickMs = 100L))
+  }
+
+  test("from-startup scheduling: both jobs from tick 0, miss planted mid-wave") {
+    // the reference's literal deployment order (Application.kt:100-119):
+    // cleaner ticks interleave from the FIRST restructure tick (age-gated
+    // until the plant, like a production cleaner inside its age window),
+    // the planted miss lands while both jobs are live, and the soak must
+    // converge to the SAME equality set as the phased run
+    val dir = Files.createTempDirectory("graft-soak-startup-spec").toFile
+    assertReport(ServiceSoak.runFromStartup(spark, dir, perFile = 120, tickMs = 100L))
   }
 }
