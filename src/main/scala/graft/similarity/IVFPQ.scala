@@ -205,13 +205,11 @@ object IVFPQ {
     // executor count), not for the query batch; a deliberately tiny
     // nlist under a huge |Q| concentrates the build side, which is what
     // `saltBuckets` splits (see the search scaladoc)
-    val saltResolved = {
-      val par = queries.sparkSession.sparkContext.defaultParallelism
-      val nlist = index.centroids.length
+    val saltResolved =
       if (saltBuckets > 0) saltBuckets
-      else if (bcast || nlist >= par) 1 // no capped exchange to split
-      else ((4L * par + nlist - 1) / nlist).toInt
-    }
+      else Similarity.autoSaltBuckets(
+        queries.sparkSession.sparkContext.defaultParallelism,
+        index.centroids.length, bcast) // bcast already computed for the join
     val joined =
       if (bcast) index.codes.join(broadcast(probed), "__list")
       else if (saltResolved == 1) index.codes.join(probed.hint("shuffle_hash"), "__list")

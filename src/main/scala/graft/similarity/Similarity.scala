@@ -178,6 +178,21 @@ object Similarity {
   private[similarity] def broadcastableQueries(queries: DataFrame, bound: Long): Boolean =
     bound == Long.MaxValue || (bound > 0L && queries.count() <= bound)
 
+  /** The auto salt derive rule shared by IVF and IVFPQ (`saltBuckets = 0`):
+    * 1 — leave the plan untouched — when the probed exchange is not
+    * genuinely capped, i.e. the query batch broadcasts (no exchange at
+    * all) or nlist already covers `par` cores; else split into
+    * `ceil(4 * par / nlist)` (list, salt) buckets — ~4 buckets per core,
+    * the measured knee of the round-17 salt curve (BENCHSCALE r17:
+    * nlist 8 / 32 cores, salt 4/8/16/32/64 read 8.0/6.0/5.4/6.3/7.3 s).
+    * Kept PURE so AutoSaltPropertySpec can pin it over random
+    * (par, nlist, broadcastable) triples; `broadcastable` is by-name and
+    * evaluated ONLY when nlist < par, so IVF's caller skips its
+    * `queries.count()` probe whenever the core count already decides. */
+  private[graft] def autoSaltBuckets(par: Int, nlist: Int, broadcastable: => Boolean): Int =
+    if (nlist >= par || broadcastable) 1
+    else ((4L * par + nlist - 1) / nlist).toInt
+
   /** The shared exact-rerank tail of BQ/PQ/IVFPQ `searchRerank`: attach
     * full (quantized) vectors to the |Q| x shortlist id sliver, score
     * the exact integer dot, keep top-k. `cv` = (neighbor_id, __cv) over
