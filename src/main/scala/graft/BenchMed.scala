@@ -34,6 +34,23 @@ object BenchMed {
   val SubSecondFloor = 1.0
   val SubSecondReps = 8
 
+  /** Parse the PRIOR committed record at `path` (the file this run will
+    * overwrite): its provenance hash and each query's min. Returns None
+    * when there is no prior record (first run, renamed output) or it has
+    * no parseable rows — the footer is then simply omitted. */
+  private[graft] def prior(path: String): Option[(String, Map[String, Double])] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return None
+    val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n")
+    val head = lines.collectFirst {
+      case l if l.startsWith("Recorded at commit `") =>
+        l.stripPrefix("Recorded at commit `").takeWhile(_ != '`')
+    }.getOrElse("unknown")
+    val Row = """\| (\S+) \| ([0-9.]+) \| [0-9.]+ \| .*""".r
+    val mins = lines.collect { case Row(name, min) => name -> min.toDouble }.toMap
+    if (mins.isEmpty) None else Some((head, mins))
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("BENCHMED.md")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -112,6 +129,40 @@ object BenchMed {
     sb ++= "| query | min (s) | median (s) | reps (s) |\n|---|---|---|---|\n"
     rows.sortBy(-_._2.min).foreach { case (name, ts) =>
       sb ++= s"| $name | ${f(ts.min)} | ${f(median(ts))} | ${ts.map(f).mkString(", ")} |\n"
+    }
+
+    // Ambient adjudication footer (round-18 directive): three rounds
+    // running, separating ambient level shifts (thermal/contention — the
+    // whole table moves together) from real regressions (one query moves
+    // alone) burned a measurement campaign per round. Mechanized: the
+    // ambient level is the MEDIAN of the per-query min ratios vs the
+    // prior committed record (genuine regressions are sparse among ~175
+    // queries, so the median tracks the untouched mass), and a query is
+    // flagged only when its ambient-ADJUSTED ratio exceeds 1.3x — the
+    // adjudication is now a table lookup in the committed diff.
+    prior(out).foreach { case (priorHead, priorMin) =>
+      val ratios = rows.flatMap { case (name, ts) =>
+        priorMin.get(name).filter(_ > 0).map(p => (name, p, ts.min, ts.min / p))
+      }
+      if (ratios.nonEmpty) {
+        val ambient = median(ratios.map(_._4))
+        val flagged = ratios
+          .map { case (n, p, m, r) => (n, p, m, r, r / ambient) }
+          .filter(_._5 > 1.3)
+          .sortBy(-_._5)
+        sb ++= s"\n## Ambient adjudication vs prior record (`$priorHead`)\n\n"
+        sb ++= f"Ambient level = median per-query min ratio over ${ratios.size}%d shared\n"
+        sb ++= f"queries: **${ambient}%.2fx** (a level shift moves every row together;\n"
+        sb ++= "a regression moves one row against it). Queries whose ambient-adjusted\n"
+        sb ++= "ratio (ratio / ambient) exceeds 1.3x:\n\n"
+        if (flagged.isEmpty) sb ++= "(none — every delta is within the ambient envelope)\n"
+        else {
+          sb ++= "| query | prior min (s) | min (s) | ratio | adjusted |\n|---|---|---|---|---|\n"
+          flagged.foreach { case (n, p, m, r, a) =>
+            sb ++= f"| $n | ${f(p)} | ${f(m)} | ${r}%.2fx | ${a}%.2fx |\n"
+          }
+        }
+      }
     }
     Files.write(Paths.get(out), sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"wrote $out (${rows.size} queries)")
