@@ -209,6 +209,41 @@ class PlanMarkersSpec extends SparkSpec {
       "set verification must build shuffle-hash on the sets side")
   }
 
+  test("containment_ppjoin: sibling collapse engaged; verification is shuffle-hash") {
+    val p = plan("containment_ppjoin")
+    // the r17-adjudicated knob pin (collapseSiblings = true): the
+    // set-identity collapse rides a window over the set fingerprint
+    // (__fp = xxhash64(__set)) — losing it re-exposes the measured
+    // 34-58x sibling-heavy blowup (BENCHSCALE r17: collapse=off read
+    // 428-588 s vs 10-13 s collapsed on the 500k sibling corpus)
+    assert(p.contains("__fp"),
+      "the set-identity collapse (its __fp fingerprint window) must be in the plan")
+    // mirrors the jaccard_ppjoin pins: df-capped sets rebuild via
+    // array_except (never the LeftAnti + whole-set re-collect shape), and
+    // verification attaches full shingle arrays via shuffle-hash builds
+    assert(p.contains("array_except") && !p.contains("LeftAnti"),
+      "capped sets must rebuild via array_except of the heavy members")
+    assert(p.contains("ShuffledHashJoin"),
+      "set verification must build shuffle-hash on the sets side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no sort or cross product may touch the array-carrying streams")
+  }
+
+  test("subset_ppjoin: lean direction-aware plan; verification is shuffle-hash") {
+    val p = plan("subset_ppjoin")
+    // the documented knob pick for this corpus (collapseSiblings = false,
+    // Queries.subsetPpjoin scaladoc): no collapse window — an accidental
+    // default flip shows up as __fp appearing here
+    assert(!p.contains("__fp"),
+      "subset_ppjoin pins the PLAIN plan: no set-identity collapse window")
+    assert(p.contains("array_except") && !p.contains("LeftAnti"),
+      "capped sets must rebuild via array_except of the heavy members")
+    assert(p.contains("ShuffledHashJoin"),
+      "containment verification must build shuffle-hash on the sets side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no sort or cross product may touch the array-carrying streams")
+  }
+
   test("corpus_curate_best: text-carrying joins are shuffle-hash, never sort-merge") {
     val p = plan("corpus_curate_best")
     assert(p.contains("ShuffledHashJoin"),
