@@ -134,6 +134,69 @@ class CrashRecoverySpec extends SparkSpec {
     assertConverged(dir, cfg, job)
   }
 
+  test("cleaner state-save crash: readmission re-derives, heal converges") {
+    // the cleaner's own crash window, mirror-image of the restructure
+    // seam: disk effects (deletes) land BEFORE the per-topic state save,
+    // so a crash between them loses only the readmission's range removal
+    // — deletion never touches state (ranges stay ledgered by design,
+    // reference cleaner/SourceDataCleaner.kt:103-106), and candidacy is
+    // re-derived from disk + state each pass, so the rerun must re-emit
+    // the identical readmission and converge
+    val (dir, cfg) = setupTwoTopics()
+    val job = new Restructure(spark, cfg)
+    job.run()
+    val before = ServiceSoak.fingerprint(job.readOutput("crash_a"))
+    val statePath = new File(cfg.stateFile).toPath
+    val stateBytes = java.nio.file.Files.readAllBytes(statePath)
+
+    // tamper: kill crash_a's 13:00 bin — f1 (offsets 18-20) must readmit;
+    // each topic's end-less newest file (offset 21) is P9-excluded, so
+    // the only deletable candidates are the two offset-18-20 files
+    val bin = new File(cfg.outputDir,
+      "crash_a/_project=STAGING_PROJECT/_user=user1/_bin=20200128_1300")
+    assert(bin.exists())
+    def rmRf(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmRf)
+      f.delete()
+    }
+    rmRf(bin)
+    def names(ps: Seq[String]): Seq[String] =
+      ps.map(p => p.substring(p.lastIndexOf('/') + 1))
+
+    val cleaner = new Cleaner(spark, cfg, ageMs = 0L)
+    val future = System.currentTimeMillis + 60000
+    val (deleted1, readmit1) = cleaner.run(now = future)
+    assert(names(readmit1) == Seq("crash_a+1+0000000018+0000000020.avro"))
+    assert(names(deleted1) == Seq("crash_b+1+0000000018+0000000020.avro"))
+
+    // CRASH: the pass's state save is lost. The deleted file's range was
+    // never removed (deletion keeps the ledger), so the restored state
+    // differs from the saved one ONLY by the lost readmission. The raw
+    // byte restore invalidates Hadoop LocalFileSystem's checksum sidecar
+    // — drop it (the real crash leaves the ORIGINAL file + crc intact;
+    // this restore just simulates that pair)
+    java.nio.file.Files.write(statePath, stateBytes)
+    java.nio.file.Files.deleteIfExists(
+      statePath.resolveSibling("." + statePath.getFileName + ".crc"))
+
+    // rerun: the readmission re-derives identically; the deleted file is
+    // gone from the listing so nothing else changes
+    val (deleted2, readmit2) = cleaner.run(now = future)
+    assert(deleted2.isEmpty)
+    assert(readmit2 == readmit1)
+
+    // reprocess the readmitted file: its re-emitted rows (including the
+    // surviving 14:00-bin duplicate) are absorbed by read-time dedup
+    job.run()
+    assert(ServiceSoak.fingerprint(job.readOutput("crash_a")) == before,
+      "healed output must equal the pre-tamper content")
+    // a later pass verifies the healed output and deletes the file too
+    val (deleted3, readmit3) = cleaner.run(now = future)
+    assert(readmit3.isEmpty)
+    assert(names(deleted3) == Seq("crash_a+1+0000000018+0000000020.avro"))
+    assert(job.plan("crash_a", job.loadState()).isEmpty)
+  }
+
   test("service tick killed between write and commit: restart converges") {
     val (dir, cfg) = setupTwoTopics()
     // single-topic variant keeps the kill window unambiguous
