@@ -37,11 +37,17 @@ object BenchMed {
   /** Parse the PRIOR committed record at `path` (the file this run will
     * overwrite): its provenance hash and each query's min. Returns None
     * when there is no prior record (first run, renamed output) or it has
-    * no parseable rows — the footer is then simply omitted. */
+    * no parseable rows — the footer is then simply omitted. Parsing STOPS
+    * at the prior record's own adjudication footer: its flagged rows
+    * (`| name | prior min | min | ratio | adjusted |`) also match the
+    * table-row shape, and last-wins would silently replace a flagged
+    * query's recorded min with the footer's stale prior-PRIOR value —
+    * freezing a borderline query's baseline so it stays flagged forever. */
   private[graft] def prior(path: String): Option[(String, Map[String, Double])] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return None
     val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n")
+      .takeWhile(!_.startsWith("## Ambient adjudication"))
     val head = lines.collectFirst {
       case l if l.startsWith("Recorded at commit `") =>
         l.stripPrefix("Recorded at commit `").takeWhile(_ != '`')
