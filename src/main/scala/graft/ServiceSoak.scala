@@ -161,9 +161,13 @@ object ServiceSoak {
     minimumFileAgeMs = 0L,
     dedupDefault = DedupConfig(enable = true))
 
-  private def awaitPasses(svc: Service, counter: AtomicLong, k: Long): Unit = {
+  /** Shared with [[SoakBench]] (whose 10M-scale passes need the longer
+    * deadline) — both soaks poll the same way: wait for `k` MORE completed
+    * passes, failing fast on a captured service error. */
+  private[graft] def awaitPasses(svc: Service, counter: AtomicLong, k: Long,
+      deadlineMs: Long = 600000L): Unit = {
     val target = counter.get() + k
-    val deadline = System.currentTimeMillis() + 600000L
+    val deadline = System.currentTimeMillis() + deadlineMs
     while (counter.get() < target) {
       require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError.get}")
       require(System.currentTimeMillis() < deadline,
@@ -172,7 +176,7 @@ object ServiceSoak {
     }
   }
 
-  private def rmRf(f: File): Unit = {
+  private[graft] def rmRf(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmRf)
     require(f.delete(), s"could not delete $f")
   }

@@ -150,15 +150,8 @@ object SoakBench {
       restructureIntervalMs = 1000L,
       cleanerIntervalMs = 2000L)
 
-    def awaitPasses(counter: AtomicLong, k: Long): Unit = {
-      val target = counter.get() + k
-      val deadline = System.currentTimeMillis() + 1800000L
-      while (counter.get() < target) {
-        require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError.get}")
-        require(System.currentTimeMillis() < deadline, "soak stalled")
-        Thread.sleep(50L)
-      }
-    }
+    def awaitPasses(counter: AtomicLong, k: Long): Unit =
+      ServiceSoak.awaitPasses(svc, counter, k, deadlineMs = 1800000L)
 
     val wall0 = System.nanoTime()
     val perWave = nFiles / waves
@@ -173,15 +166,12 @@ object SoakBench {
           // the final waves have not arrived: plant the miss MID-WAVE
           awaitPasses(svc.cleanerPasses, 1)
           def firstDir(f: File, prefix: String): File = {
-            val ds = f.listFiles().filter(d => d.isDirectory && d.getName.startsWith(prefix))
+            val ds = Option(f.listFiles()).getOrElse(Array.empty[File])
+              .filter(d => d.isDirectory && d.getName.startsWith(prefix))
             require(ds.nonEmpty, s"no '$prefix*' under $f"); ds.minBy(_.getName)
           }
-          def rmRf(f: File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rmRf)
-            require(f.delete(), s"could not delete $f")
-          }
           val out = new File(dir, "out/sensor_topic")
-          rmRf(firstDir(firstDir(firstDir(out, "_project="), "_user="), "_bin="))
+          ServiceSoak.rmRf(firstDir(firstDir(firstDir(out, "_project="), "_user="), "_bin="))
           gate.set(true)
         }
         allFiles ++= (wv * perWave until (wv + 1) * perWave).map(writeFile)

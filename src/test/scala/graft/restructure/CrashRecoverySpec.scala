@@ -155,11 +155,7 @@ class CrashRecoverySpec extends SparkSpec {
     val bin = new File(cfg.outputDir,
       "crash_a/_project=STAGING_PROJECT/_user=user1/_bin=20200128_1300")
     assert(bin.exists())
-    def rmRf(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmRf)
-      f.delete()
-    }
-    rmRf(bin)
+    ServiceSoak.rmRf(bin)
     def names(ps: Seq[String]): Seq[String] =
       ps.map(p => p.substring(p.lastIndexOf('/') + 1))
 
@@ -200,11 +196,7 @@ class CrashRecoverySpec extends SparkSpec {
   test("service tick killed between write and commit: restart converges") {
     val (dir, cfg) = setupTwoTopics()
     // single-topic variant keeps the kill window unambiguous
-    def rmRf(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmRf)
-      f.delete()
-    }
-    rmRf(new File(cfg.inputDir, "crash_b"))
+    ServiceSoak.rmRf(new File(cfg.inputDir, "crash_b"))
     val job = new Restructure(spark, cfg)
     val inWindow = new CountDownLatch(1)
     val hold = new CountDownLatch(1)
