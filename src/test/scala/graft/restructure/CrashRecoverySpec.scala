@@ -134,6 +134,29 @@ class CrashRecoverySpec extends SparkSpec {
     assertConverged(dir, cfg, job)
   }
 
+  test("commit crash under a lock manager releases the topic lock") {
+    // multi-instance deployments wrap each topic in a remote lock; a
+    // crashed pass whose JVM survives must release via withLock's finally
+    // (a dead JVM is the lock TTL's job, LocksSpec) — otherwise the
+    // rerun below would block on its own stale lock until the TTL breaks
+    val (dir, cfg0) = setupTwoTopics()
+    ServiceSoak.rmRf(new File(cfg0.inputDir, "crash_b"))
+    val cfg = cfg0.copy(lockDir = Some(new File(dir, "locks").toString))
+    val job = new Restructure(spark, cfg)
+    job.beforeCommit = _ => throw new RuntimeException("injected crash after write")
+    intercept[RuntimeException](job.run())
+    assert(partFiles(cfg, "crash_a").nonEmpty, "write landed before the crash")
+    assert(!new File(cfg.stateFile).exists(), "crashed pass must not commit")
+    val lockDir = new File(dir, "locks")
+    val stale = Option(lockDir.listFiles()).getOrElse(Array.empty[File])
+    assert(stale.isEmpty, s"crashed pass left locks: ${stale.mkString(", ")}")
+
+    job.beforeCommit = _ => ()
+    val healed = job.run() // reacquires immediately — no TTL wait
+    assert(healed.records == 3)
+    assertConverged(dir, cfg, job)
+  }
+
   test("cleaner state-save crash: readmission re-derives, heal converges") {
     // the cleaner's own crash window, mirror-image of the restructure
     // seam: disk effects (deletes) land BEFORE the per-topic state save,
