@@ -67,6 +67,56 @@ class OffsetIntervalsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("structural equivalence with the naive coalesce model (incl. max-mtime merge)") {
+    // the full contract in one property: the incremental add algorithm
+    // must produce EXACTLY the intervals a naive model builds — sort all
+    // ranges, fold overlapping-OR-adjacent ones together, keep the max
+    // lastProcessed per merged group. This is the merge law the W5
+    // mtime-reprocessing semantics ride on (a rewritten file reprocesses
+    // iff its mtime exceeds the merged interval's), so it gets the model
+    // check, not just point probes.
+    val genTimed = Gen.listOfN(12, for {
+      r <- genRange
+      dt <- Gen.chooseNum(0L, 1000L)
+    } yield (r._1, r._2, t0.plusSeconds(dt)))
+    check("model", Prop.forAll(genTimed) { ranges =>
+      val iv = new OffsetIntervals
+      ranges.foreach { case (f, t, m) => iv.add(f, t, m) }
+      val model = ranges.sortBy(r => (r._1, r._2))
+        .foldLeft(List.empty[(Long, Long, Instant)]) {
+          case ((af, at, am) :: rest, (f, t, m)) if f <= at + 1 =>
+            (af, math.max(at, t), if (m.isAfter(am)) m else am) :: rest
+          case (acc, (f, t, m)) => (f, t, m) :: acc
+        }.reverse
+      iv.ranges.map(r => (r.from, r.to, r.lastProcessed)) == model
+    })
+  }
+
+  test("persistence round-trips: JSON and legacy CSV preserve every entry") {
+    // the on-disk contract crash recovery rides on (write -> crash ->
+    // reload must see the committed truth): arbitrary multi-topic states
+    // survive toJson/fromJson and toCsv/fromCsv byte-exactly at the
+    // entries level — ranges, partitions, topics, and Instant mtimes
+    // (ISO-8601 toString/parse is lossless at nanosecond precision)
+    val genState = Gen.listOfN(3, for {
+      topic <- Gen.oneOf("alpha_topic", "beta_topic")
+      part <- Gen.chooseNum(0, 3)
+      ranges <- Gen.nonEmptyListOf(for {
+        r <- genRange
+        dt <- Gen.chooseNum(0L, 1000L)
+      } yield (r._1, r._2, t0.plusSeconds(dt)))
+    } yield (TopicPartition(topic, part), ranges))
+    check("roundtrip", Prop.forAll(genState) { topics =>
+      val set = new OffsetRangeSet
+      topics.foreach { case (tp, rs) =>
+        rs.foreach { case (f, t, m) => set.add(tp, f, t, m) }
+      }
+      val viaJson = OffsetRangeSet.fromJson(set.toJson).entries
+      val viaCsv = OffsetRangeSet.fromCsv(OffsetRangeSet.toCsv(set)).entries
+      viaJson == set.entries && viaCsv == set.entries
+    })
+  }
+
   test("size is O(gaps): adding a covering range collapses to one interval") {
     check("collapse", Prop.forAll(genRanges) { ranges =>
       val iv = build(ranges)
