@@ -73,6 +73,13 @@ object SoakBench {
     require(nFiles % waves == 0 && (nFiles / waves) % nPartitions == 0,
       "nFiles must split into waves of whole per-partition file sets")
     require(waves >= 3, "need >= 3 waves: the plant lands before the final two")
+    // the exact-readmission set below assumes every file's idx range
+    // wraps the full day (all 24 hour bins, all users): below this, which
+    // proj0 files hold planted-bin records depends on where each file's
+    // range lands modulo 86400 and the expected set is no longer
+    // wave-count arithmetic (measured at 1M/40: only 3 of 8 readmit)
+    require(nRecords / nFiles >= 86460,
+      "perFile must span a full day of offsets (>= 86460) — scale nRecords up")
     val perFile = nRecords / nFiles
     val schema = new Schema.Parser().parse(schemaJson)
     val dir = Files.createTempDirectory("graft-soak-bench").toFile
@@ -195,7 +202,20 @@ object SoakBench {
       require(deletedPaths.size == deletables.size,
         s"deleted ${deletedPaths.size} != expected ${deletables.size}")
       require(newest.forall(_.exists()), "a P9-protected newest file was deleted")
-      require(!readmittedPaths.isEmpty, "planted miss readmitted nothing")
+      // readmission set is EXACT: the planted bin is proj0's earliest
+      // user0 hour, every pre-plant proj0 file (file index % 3 == 0 —
+      // projectId cycles with the global file number) has records there
+      // (perFile >> 86400 spans all bins/users), those records are seen
+      // so nothing rewrites them before readmission, and post-plant
+      // files write their rows into the recreated bin and verify clean
+      def names(s: java.util.Set[String]): Set[String] =
+        { import scala.jdk.CollectionConverters._
+          s.asScala.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet }
+      val expectReadmit = (0 until gateWave * perWave).filter(_ % 3 == 0)
+        .map(f => f"sensor_topic+${f % nPartitions}+${(f / nPartitions).toLong * perFile}%010d.avro")
+        .toSet
+      require(names(readmittedPaths) == expectReadmit,
+        s"readmitted ${names(readmittedPaths)} != expected $expectReadmit")
     } finally svc.stop()
     require(svc.lastError.isEmpty, s"service pass failed: ${svc.lastError}")
 
