@@ -18,13 +18,25 @@ import java.time.Instant
   *   records against the output's distinct (project, user, bin, time) set
   *   (J3/A5, cleaner/TimestampExtractionCheck.kt:50-78) — no per-file
   *   driver loops, one Spark job regardless of candidate count;
-  * - verified files are deleted (S11); unverified files have their range
-  *   removed from state so the next restructure pass reprocesses them
-  *   (cleaner/SourceDataCleaner.kt:103-106).
+  * - verified files are deleted (S11); files with unmatched records have
+  *   their range removed from state so the next restructure pass
+  *   reprocesses them (cleaner/SourceDataCleaner.kt:103-106); a candidate
+  *   whose verification read yielded NO rows at all (corrupt container
+  *   quarantined mid-read, or nothing readable) is SKIPPED — never delete
+  *   what was not verified — and re-evaluated next pass;
+  * - with a lock manager configured (config.lockDir), each topic cleans
+  *   under its topic lock and readmissions commit read-merge-write under
+  *   the shared `__state` lock — the same protocol as
+  *   [[Restructure]]'s commit, so the cleaner's removals and concurrent
+  *   restructure instances' additions both land (a whole-file save
+  *   outside the lock could overwrite a commit that landed between this
+  *   pass's load and its save).
   */
 final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long = 7L * 24 * 3600 * 1000) {
 
   private val job = new Restructure(spark, config)
+  private val lockMgr = config.lockDir.map(d =>
+    new FileRemoteLockManager(spark.sparkContext.hadoopConfiguration, new Path(d)))
 
   def candidates(topic: String, state: OffsetRangeSet, now: Long = System.currentTimeMillis): Seq[TopicFile] = {
     val files = job.listFiles(topic)
@@ -73,8 +85,9 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
     val df =
       try {
         config.format match {
-          case "csv"  => reader.csv(dir)
-          case "json" => reader.json(dir)
+          case "csv"     => reader.csv(dir)
+          case "json"    => reader.json(dir)
+          case "parquet" => reader.parquet(dir)
           case other  => throw new IllegalArgumentException(s"unknown format: $other")
         }
       } catch {
@@ -125,34 +138,76 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
 
   /** One cleaning pass. Returns (deleted paths, reprocess paths). */
   def run(now: Long = System.currentTimeMillis): (Seq[String], Seq[String]) = {
-    val state = job.loadState()
+    var state = job.loadState()
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     val reprocess = scala.collection.mutable.ArrayBuffer.empty[String]
     job.listTopics().foreach { topic =>
-      val cand = candidates(topic, state, now)
-      if (cand.nonEmpty) {
-        val unmatched = unmatchedCounts(topic, cand)
-        cand.foreach { f =>
-          if (unmatched.get(f.path).forall(_._1 == 0L)) {
-            val p = new Path(f.path)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
-            deleted += f.path
-          } else {
-            // remove the file's FULL range so every record is readmitted:
-            // the end comes from the filename when it carries one, else
-            // from the verification read's max offset — this branch is
-            // only reached when the file HAS unmatched rows, so the map
-            // entry always exists (the reference cannot learn the end and
-            // shrinks the removal to the start offset,
-            // accounting/OffsetRangeSet.kt:170)
-            val end = f.endOffset.getOrElse(unmatched(f.path)._2)
-            state.remove(TopicPartition(f.topic, f.partition), f.startOffset, end)
-            reprocess += f.path
+      def clean(): Unit = {
+        // with concurrent instances, candidacy must see the LATEST
+        // committed ranges once the topic lock is held (same re-check as
+        // the restructure pass)
+        if (lockMgr.isDefined) state.addAll(job.loadState())
+        val cand = candidates(topic, state, now)
+        if (cand.nonEmpty) {
+          val unmatched = unmatchedCounts(topic, cand)
+          val removals =
+            scala.collection.mutable.ArrayBuffer.empty[(TopicPartition, Long, Long)]
+          cand.foreach { f =>
+            unmatched.get(f.path) match {
+              case Some((0L, _)) => // every record verified in the output
+                val p = new Path(f.path)
+                p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+                deleted += f.path
+              case Some((_, maxOff)) =>
+                // unmatched rows: remove the file's FULL range so every
+                // record is readmitted — the end comes from the filename
+                // when it carries one, else from the verification read's
+                // max offset (the reference cannot learn the end and
+                // shrinks the removal to the start offset,
+                // accounting/OffsetRangeSet.kt:170)
+                removals += ((TopicPartition(f.topic, f.partition),
+                  f.startOffset, f.endOffset.getOrElse(maxOff)))
+                reprocess += f.path
+              case None => () // the verification read produced NO rows for
+                // this candidate (corrupt container quarantined mid-read,
+                // or nothing readable): deleting would bypass the
+                // verify-before-delete invariant, and readmitting would
+                // reprocess a file that may no longer be readable — skip;
+                // the fault-tolerance machinery owns the file and the next
+                // pass re-evaluates whatever remains on disk
+            }
           }
+          if (removals.nonEmpty) state = commitRemovals(state, removals.toSeq)
         }
-        job.saveState(state)
+      }
+      lockMgr match {
+        case Some(m) => m.withLock(topic)(clean()) // None -> another instance owns it
+        case None    => clean()
       }
     }
     (deleted.toSeq, reprocess.toSeq)
   }
+
+  /** Commit this pass's readmissions. With a lock manager: read-merge-write
+    * under the shared `__state` lock — reload the latest committed state,
+    * apply ONLY the removals, save — so a concurrent restructure commit
+    * that landed after this pass's load survives (mirror of
+    * [[Restructure]]'s commitState, which merges additions the same way).
+    * Returns the state later topics should plan against. */
+  private[restructure] def commitRemovals(
+      state: OffsetRangeSet,
+      removals: Seq[(TopicPartition, Long, Long)]): OffsetRangeSet =
+    lockMgr match {
+      case Some(m) =>
+        m.withLockRetrying("__state") {
+          val disk = job.loadState()
+          removals.foreach { case (tp, from, end) => disk.remove(tp, from, end) }
+          job.saveState(disk)
+          disk
+        }
+      case None =>
+        removals.foreach { case (tp, from, end) => state.remove(tp, from, end) }
+        job.saveState(state)
+        state
+    }
 }

@@ -264,4 +264,112 @@ class CleanerSpec extends SparkSpec {
     val r = job.run()
     assert(r.files == 1)
   }
+
+  test("parquet output verifies and cleans like csv/json") {
+    // the columnar sink is a supported format end to end
+    // (Restructure.write/readOutput) — the cleaner's verification read
+    // must handle it too, or every cleaner tick of a parquet deployment
+    // error-loops on 'unknown format'
+    val dir = Files.createTempDirectory("graft-cleaner-parquet").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000+0000000001.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000002.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219950.0, 3f)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      format = "parquet",
+      compression = None,
+      minimumFileAgeMs = 0L)
+    new Restructure(spark, cfg).run()
+    val cleaner = new Cleaner(spark, cfg, ageMs = 0L)
+    val (deleted, reprocess) = cleaner.run(now = System.currentTimeMillis + 60000)
+    assert(deleted.map(_.stripPrefix("file:")) == Seq(f1.toString))
+    assert(reprocess.isEmpty)
+    assert(!f1.exists() && f2.exists()) // P9: newest end-less file survives
+  }
+
+  test("a candidate whose verification read yields no rows is skipped, never deleted") {
+    // corrupt a ledgered file AFTER processing: the tolerant verification
+    // read quarantines it and produces zero rows for its path, so the
+    // file is absent from the unmatched map — the old forall(None)=true
+    // treated that as verified and DELETED the unverified file
+    val dir = Files.createTempDirectory("graft-cleaner-corrupt").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000+0000000001.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000002+0000000003.avro")
+    val f3 = new File(topicDir, "phone_light+0+0000000004.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219950.0, 3f), record(1580219951.0, 4f)))
+    writeAvro(f3, Seq(record(1580219960.0, 5f)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      compression = None,
+      minimumFileAgeMs = 0L)
+    val job = new Restructure(spark, cfg)
+    job.run()
+    // corrupt f2 in place PRESERVING its mtime (garbage bytes behind an
+    // intact avro magic: deterministic container corruption, not a
+    // transient short read). A newer mtime would make candidacy reject it
+    // under the W5 rewrite rule (recorded mtime < file mtime -> reprocess
+    // via restructure, not clean) before verification ever reads the
+    // bytes — the skip path under test needs a candidate whose READ fails
+    val mtime0 = f2.lastModified()
+    java.nio.file.Files.write(f2.toPath, ("Obj" + "x" * 64).getBytes("UTF-8"))
+    assert(f2.setLastModified(mtime0))
+
+    val cleaner = new Cleaner(spark, cfg, ageMs = 0L)
+    val (deleted, reprocess) = cleaner.run(now = System.currentTimeMillis + 60000)
+    // f1 verified and deleted; f2 skipped (quarantined by the read, its
+    // range untouched); f3 protected
+    assert(deleted.map(_.stripPrefix("file:")) == Seq(f1.toString))
+    assert(reprocess.isEmpty, "an unreadable candidate must not readmit")
+    assert(!f1.exists() && f3.exists())
+    assert(new File(topicDir, s"${f2.getName}.corrupted").exists(),
+      "the tolerant verification read should have quarantined the corrupt file")
+    // the ledger still covers f2's range: nothing replans it
+    assert(job.plan("phone_light", job.loadState()).isEmpty)
+  }
+
+  test("readmission commit preserves a concurrent instance's additions (lock protocol)") {
+    // multi-instance: the cleaner's removal commit must read-merge-write
+    // under the __state lock — a whole-file save of its stale snapshot
+    // would erase ranges another instance committed between the cleaner's
+    // load and its save (those files would silently reprocess)
+    val dir = Files.createTempDirectory("graft-cleaner-lock").toFile
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      lockDir = Some(new File(dir, "locks").toString),
+      minimumFileAgeMs = 0L)
+    val job = new Restructure(spark, cfg)
+    val tpA = graft.state.TopicPartition("topic_a", 0)
+    val tpB = graft.state.TopicPartition("topic_b", 0)
+    val t = java.time.Instant.parse("2024-01-01T00:00:00Z")
+
+    val disk0 = new graft.state.OffsetRangeSet
+    disk0.add(tpA, 0L, 10L, t)
+    job.saveState(disk0)
+    val cleaner = new Cleaner(spark, cfg, ageMs = 0L)
+    val snapshot = job.loadState() // the cleaner pass's stale view
+
+    // a concurrent restructure instance commits topic_b AFTER the load
+    val disk1 = job.loadState()
+    disk1.add(tpB, 0L, 5L, t)
+    job.saveState(disk1)
+
+    cleaner.commitRemovals(snapshot, Seq((tpA, 3L, 6L)))
+    val merged = job.loadState()
+    assert(merged.contains(tpB, 0L, 5L, t), "concurrent commit must survive")
+    assert(merged.contains(tpA, 0L, 2L, t) && merged.contains(tpA, 7L, 10L, t))
+    assert(!merged.contains(tpA, 3L, t) && !merged.contains(tpA, 6L, t),
+      "the readmitted range must be removed")
+    assert(new File(dir, "locks").listFiles().forall(!_.getName.endsWith(".lock")),
+      "the __state lock must be released")
+  }
 }
