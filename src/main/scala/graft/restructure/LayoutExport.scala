@@ -80,7 +80,11 @@ object LayoutExport {
              exportCompression: Option[Option[String]] = None,
              posix: Option[PosixSettings] = None): Seq[String] = {
     require(config.format == "csv", "layout export currently supports csv")
-    val gz = config.compression.contains("gzip")
+    // the merge below decompresses .gz parts and reads everything else as
+    // plain text — a passthrough codec the csv sink accepts (bzip2, zstd)
+    // would merge raw compressed bytes line-wise with no error
+    require(config.compression.forall(Set("gzip", "none").contains),
+      s"layout export reads gzip or plain csv parts, not ${config.compression.getOrElse("")}")
     val outComp = exportCompression.getOrElse(config.compression).getOrElse("none")
     require(Seq("none", "gzip", "zip").contains(outComp), s"unknown compression: $outComp")
     val topicDir = new Path(s"${config.outputDir}/$topic")

@@ -188,7 +188,11 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
           Option(p.getProperty("endOffset")).flatMap(_.trim.toLongOption)
         } finally in.close()
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: Properties.load throws
+      // IllegalArgumentException on a malformed \uXXXX escape, and the
+      // documented contract is that a broken sidecar falls back to the
+      // filename, never kills the pass
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** P5/P6/P8/O1 — prune the file list against age, zero length, and the

@@ -37,7 +37,17 @@ final class Service(
     def guard(f: () => Unit, counter: AtomicLong,
         set: Option[Throwable] => Unit): Runnable = () =>
       try { f(); counter.incrementAndGet(); set(None) }
-      catch { case e: Throwable => set(Some(e)) } // next tick retries
+      catch {
+        // a killed tick (stop past the drain deadline) records its
+        // spurious interrupt — the executor is already dying
+        case e: InterruptedException        => set(Some(e))
+        case e if scala.util.control.NonFatal(e) => set(Some(e)) // next tick retries
+        case e: Throwable =>
+          // fatal (OutOfMemoryError, LinkageError): record for lastError,
+          // then rethrow — the fixed-rate schedule cancels on a thrown
+          // task, so a broken JVM does not keep ticking against itself
+          set(Some(e)); throw e
+      }
     executor.scheduleAtFixedRate(
       guard(restructure, restructurePasses, restructureError = _),
       restructureIntervalMs / 4, restructureIntervalMs, TimeUnit.MILLISECONDS)

@@ -135,6 +135,10 @@ object Timers {
     entries.clear()
     stagePhase.clear()
     jobStages.clear()
+    // a mid-job reset orphans the in-flight job's positive refcounts —
+    // without clearing, a later job sharing a stage id would decrement to
+    // 1 instead of 0 and its stagePhase entry would never prune
+    stageRefs.clear()
   }
 
   /** Sorted per-label report, same overall shape as the reference's

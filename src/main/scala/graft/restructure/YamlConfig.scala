@@ -135,6 +135,11 @@ object YamlConfig {
       })
     val dedupDefault = dedupOf(format.child("deduplication"), DedupConfig())
     val formatType = format.str("type").getOrElse("csv").toLowerCase
+    // fail at load time like ConfigLoader does — a typo'd format otherwise
+    // survives planning and reading and dies inside the first write,
+    // error-looping a service deployment
+    if (formatType != "csv" && formatType != "json" && formatType != "parquet")
+      throw new IllegalArgumentException(s"unknown format: $formatType")
 
     // ---- topics ----------------------------------------------------------
     val topics = root.child("topics")

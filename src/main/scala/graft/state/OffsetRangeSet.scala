@@ -43,12 +43,23 @@ final class OffsetRangeSet {
 
   def isEmpty: Boolean = map.values.forall(_.isEmpty)
 
+  // topics are raw directory names (Restructure.listTopics), so the
+  // persistence layer must not trust them: a quote or backslash emitted
+  // verbatim would commit an unparseable state file and wedge every
+  // later pass at loadState
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
   def toJson: String = {
     val sb = new StringBuilder("{\"partitions\":[")
     val parts = map.toSeq.sortBy { case (tp, _) => (tp.topic, tp.partition) }
     parts.zipWithIndex.foreach { case ((tp, iv), i) =>
       if (i > 0) sb.append(',')
-      sb.append("{\"topic\":\"").append(tp.topic)
+      sb.append("{\"topic\":\"").append(jsonEscape(tp.topic))
         .append("\",\"partition\":").append(tp.partition)
         .append(",\"ranges\":[")
       iv.ranges.zipWithIndex.foreach { case (r, j) =>
@@ -73,6 +84,11 @@ object OffsetRangeSet {
   def toCsv(set: OffsetRangeSet): String = {
     val sb = new StringBuilder("offsetFrom,offsetTo,partition,topic,lastModified\n")
     set.entries.foreach { case (tp, r) =>
+      // the legacy format has no quoting discipline (fromCsv splits on
+      // bare commas, reference OffsetFilePersistence.kt) — refuse topics
+      // it cannot represent instead of silently corrupting the file
+      require(!tp.topic.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'),
+        s"legacy CSV offsets cannot represent topic name '${tp.topic}' — use JSON")
       sb.append(r.from).append(',').append(r.to).append(',')
         .append(tp.partition).append(',').append(tp.topic).append(',')
         .append(r.lastProcessed.toString).append('\n')

@@ -235,6 +235,15 @@ class RestructureSpec extends SparkSpec {
     val withMeta = new Restructure(spark, cfg.copy(endOffsetFromMetadata = true))
       .listFiles("application_server_status").sortBy(_.startOffset)
     assert(withMeta.map(_.endOffset) == Seq(Some(20L), Some(23L)))
+
+    // a MALFORMED sidecar must fall back to the filename, not kill the
+    // pass: Properties.load throws IllegalArgumentException (not
+    // IOException) on a broken \uXXXX escape from a corrupted write
+    Files.write(f.toPath.resolveSibling(f.getName + ".meta"),
+      "endOffset=\\u00zz\n".getBytes)
+    val broken = new Restructure(spark, cfg.copy(endOffsetFromMetadata = true))
+      .listFiles("application_server_status").sortBy(_.startOffset)
+    assert(broken.map(_.endOffset) == Seq(Some(20L), None))
   }
 
   test("a second input root contributes topics and files (paths.inputs list)") {

@@ -38,4 +38,25 @@ class ServiceSpec extends AnyFunSuite {
       assert(svc.lastError.isEmpty, s"recovered pass left lastError: ${svc.lastError}")
     } finally svc.stop()
   }
+
+  test("a FATAL error cancels the schedule instead of ticking a broken JVM") {
+    // NonFatal failures retry next tick (above); a VirtualMachineError
+    // must be recorded for lastError and then escape the guard — a thrown
+    // task cancels its fixed-rate schedule, so the service stops driving
+    // work through a heap-exhausted JVM
+    val calls = new java.util.concurrent.atomic.AtomicLong(0)
+    val svc = new Service(
+      restructure = () => { calls.incrementAndGet(); throw new OutOfMemoryError("test") },
+      restructureIntervalMs = 40L)
+    svc.start()
+    try {
+      val deadline = System.currentTimeMillis() + 10000
+      while (svc.lastError.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(svc.lastError.exists(_.isInstanceOf[OutOfMemoryError]))
+      val after = calls.get()
+      Thread.sleep(300) // several would-be intervals
+      assert(calls.get() == after, "fatal error must cancel the schedule, not retry")
+    } finally svc.stop()
+  }
 }

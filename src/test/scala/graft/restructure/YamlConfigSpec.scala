@@ -86,6 +86,15 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(c.redisUri.contains("redis://cache.example:6379"))
   }
 
+  test("an unknown format fails at load time, not inside the first write") {
+    // parity with ConfigLoader's whitelist: a typo'd format must not
+    // survive planning and reading only to error-loop a service
+    // deployment at its first write
+    val bad = yaml.replace("format:\n  type: csv", "format:\n  type: avro")
+    val e = intercept[IllegalArgumentException](YamlConfig.fromString(bad))
+    assert(e.getMessage.contains("unknown format"))
+  }
+
   test("environment overrides win over file values for the reference's keys") {
     val env = Map(
       "SOURCE_S3_ACCESS_TOKEN" -> "env-access",

@@ -104,4 +104,19 @@ class OffsetIntervalsSpec extends AnyFunSuite {
     assert(back.entries == set.entries)
     assert(set.toJson.contains("\"partitions\""))
   }
+
+  test("hostile topic names: JSON escapes and round-trips; legacy CSV refuses") {
+    // topics are raw directory names, so the persistence layer cannot
+    // trust them — an unescaped quote would commit an unparseable state
+    // file and wedge every later loadState
+    val set = new OffsetRangeSet
+    set.add(TopicPartition("""web"logs\2024""", 0), 0, 10, t(5))
+    val back = OffsetRangeSet.fromJson(set.toJson)
+    assert(back.entries == set.entries)
+    // the legacy CSV shape splits on bare commas: refuse what it cannot
+    // represent instead of silently corrupting the export
+    val bad = new OffsetRangeSet
+    bad.add(TopicPartition("a,b", 0), 0, 1, t(1))
+    intercept[IllegalArgumentException](OffsetRangeSet.toCsv(bad))
+  }
 }
