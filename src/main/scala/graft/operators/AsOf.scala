@@ -82,7 +82,13 @@ object AsOf {
         col(leftTsCol).as("__ts"), lit(1).as("__side"),
         lit(null).cast(payloadType).as("__payload")) ++
         leftData.map(col): _*)
-    val rightSide = right.select(
+    // a right row with a NULL timestamp can never be a valid as-of match
+    // (every comparison with it is undefined), but left in the union it
+    // sorts nulls-FIRST in the ascending backward frame and its non-null
+    // payload struct would become the running `last` for left rows that
+    // should have no match at all (pandas merge_asof refuses null keys;
+    // dropping matches ASOF JOIN semantics)
+    val rightSide = right.filter(col(rightTsCol).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as("__ts"), lit(rightSideTag).as("__side"),
         payloadExpr.as("__payload")) ++
@@ -125,7 +131,13 @@ object AsOf {
               .when(dist(col("__f")) < dist(col("__b")), col("__f"))
               .otherwise(col("__b")))
           .drop("__b", "__f")
-    }).filter(col("__side") === 1)
+    })
+      // a left row with a NULL timestamp has no defined as-of position: it
+      // sorts nulls-last in the DESCENDING forward frame, where the running
+      // `last` would hand it the minimum-ts right row as a bogus match —
+      // mask it to unmatched instead (when() without otherwise = null)
+      .withColumn("__matched", when(col("__ts").isNotNull, col("__matched")))
+      .filter(col("__side") === 1)
     val inTolerance = toleranceSeconds match {
       case Some(tol) =>
         matched.withColumn("__matched",

@@ -48,6 +48,34 @@ class AsOfSpec extends SparkSpec {
     assert(out(1).getAs[java.lang.Long]("a") == 0L && out(1).getAs[java.lang.Long]("b") == 7L)
   }
 
+  test("null timestamps: right rows never match, left rows stay unmatched") {
+    // a null right ts sorts nulls-first in the ascending backward frame —
+    // without the guard its non-null payload struct becomes the running
+    // `last` for left rows that precede every REAL right row; a null left
+    // ts sorts last in the descending forward frame and would pick up the
+    // minimum-ts right row as a bogus forward match (pandas merge_asof
+    // refuses null keys outright)
+    val left = Seq(
+      ("k", Option(ts(5)), 1L),            // before the only real right row -> no match
+      ("k", Option.empty[java.sql.Timestamp], 2L)) // null ts -> no match, either direction
+      .toDF("k", "ts", "event_id")
+    val right = Seq(
+      ("k", Option.empty[java.sql.Timestamp], 666L), // must never match anything
+      ("k", Option(ts(10)), 901L))
+      .toDF("k", "ts", "ref_id")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts", direction = dir)
+        .orderBy("event_id").collect()
+      assert(out.length == 2, s"$dir: row count")
+      val refs = out.map(r => Option(r.getAs[java.lang.Long]("ref_id")).map(_.toLong)).toSeq
+      val expect = dir match {
+        case "backward" => Seq(None, None) // nothing at-or-before either row
+        case _          => Seq(Some(901L), None) // ts=5 forward-matches ts=10; null ts never
+      }
+      assert(refs == expect, s"$dir: $refs")
+    }
+  }
+
   test("joinAsOf tolerance discards matches older than the lookback window") {
     val left = Seq(("k", ts(100), 1L), ("k", ts(500), 2L)).toDF("k", "ts", "event_id")
     val right = Seq(("k", ts(90), 7L)).toDF("k", "ts", "ref_id")
