@@ -48,6 +48,9 @@ object Flatten {
   private def leaf(c: Column, dt: DataType, name: String): Column = dt match {
     case BinaryType               => Strings.base64Unpadded(c).as(name)
     case _: MapType | _: ArrayType => to_json(c).as(name)
+    // a null-only avro union maps to NullType; a raw void column cannot be
+    // written to CSV (csvColumns' twin already casts — keep them aligned)
+    case NullType                 => c.cast(StringType).as(name)
     case _                        => c.as(name)
   }
 
@@ -205,7 +208,12 @@ object Flatten {
         val n = math.max(maxLens.getAs[Int](f.name), 0)
         val elem = f.dataType.asInstanceOf[ArrayType].elementType
         val cols = (0 until n).map { i =>
-          val c = element_at(col(quote(f.name)), i + 1)
+          // try_element_at, not element_at: under ANSI mode (Spark 4's
+          // default) element_at THROWS past the end, and a ragged array
+          // shorter than the data-wide max is exactly the case this
+          // null-padding expansion exists for (csvColumns' twin already
+          // uses it)
+          val c = try_element_at(col(quote(f.name)), lit(i + 1))
           (elem match {
             case _: StructType => c
             case BinaryType    => Strings.base64Unpadded(c)

@@ -199,6 +199,31 @@ class FlattenCsvSpec extends SparkSpec {
     assert(lines.exists(_ == "p,u,s,1.580219941E9,m2,,2,2.5,3.5"))
   }
 
+  test("explodeArraysByIndex null-pads ragged arrays (ANSI-safe past the end)") {
+    // Spark 4 runs ANSI mode by default, where element_at THROWS past the
+    // array end — and arrays shorter than the data-wide max are exactly
+    // the case this null-padding expansion exists for
+    import spark.implicits._
+    val df = Seq((1L, Seq("x", "y")), (2L, Seq("z")), (3L, Seq.empty[String]))
+      .toDF("id", "arr")
+    val out = Flatten.explodeArraysByIndex(df).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "arr.0", "arr.1"))
+    val rows = out.collect()
+    assert(rows(0).getString(1) == "x" && rows(0).getString(2) == "y")
+    assert(rows(1).getString(1) == "z" && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("flatten casts a void (null-only avro union) column to string for csv") {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.StringType
+    val df = spark.range(1).select(
+      col("id"), lit(null).as("v")) // NullType leaf, as a null-only union maps
+    val out = Flatten.flatten(df)
+    assert(out.schema("v").dataType == StringType,
+      "a raw void column cannot be written to CSV — csvColumns' twin casts")
+  }
+
   test("container-free schema needs no layout pass") {
     assert(!Flatten.needsCsvLayout(
       org.apache.spark.sql.types.StructType(Seq(
