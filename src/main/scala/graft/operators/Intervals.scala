@@ -134,6 +134,12 @@ object Intervals {
         case _                                        => col(c).cast("long")
       }
     }.getOrElse(lit(0L))
-    records.filter(!seen(col(topicCol), col(partitionCol), col(offsetCol), mtime))
+    // coalesce, not a bare NOT: the primitive-typed UDF null-skips when any
+    // input is null (a null mtime or partition makes `seen` NULL, and
+    // filter(!NULL) DROPS the row — treating an unknown record as seen is
+    // silent data loss). The anti-join twin above keeps null-keyed rows as
+    // unseen; this filter must agree.
+    records.filter(
+      !coalesce(seen(col(topicCol), col(partitionCol), col(offsetCol), mtime), lit(false)))
   }
 }

@@ -56,6 +56,25 @@ class IntervalsSpec extends SparkSpec {
     assert(kept == Seq(5L, 15L))
   }
 
+  test("unseenByState keeps null-keyed records (the anti-join twin's semantics)") {
+    import graft.state.{OffsetRangeSet, TopicPartition}
+    // the primitive-typed UDF null-skips: `seen` evaluates to NULL for a
+    // null mtime/partition and filter(!NULL) would DROP the record —
+    // treating an unknown row as seen is silent data loss, and the
+    // anti-join twin (unseen) keeps null-keyed rows as unseen
+    val state = new OffsetRangeSet
+    state.add(TopicPartition("t", 0), 0L, 9L, java.time.Instant.ofEpochMilli(1000L))
+    val records = Seq(
+      ("t", Option(0), 5L, Option(new java.sql.Timestamp(500L))), // covered -> dropped
+      ("t", Option(0), 6L, Option.empty[java.sql.Timestamp]),     // null mtime -> KEPT
+      ("t", Option.empty[Int], 7L, Option(new java.sql.Timestamp(500L)))) // null partition -> KEPT
+      .toDF("topic", "partition", "offset", "mtime")
+    val kept = Intervals
+      .unseenByState(spark, records, state, "topic", "partition", "offset", Some("mtime"))
+      .select("offset").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(6L, 7L))
+  }
+
   test("toRanges round-trips through the driver state set") {
     val df = Seq(("t", 0, 3L), ("t", 0, 4L), ("t", 0, 9L))
       .toDF("topic", "partition", "offset")
