@@ -280,7 +280,18 @@ object AvroSource {
         if (len <= 0) Iterator.empty
         else if (!tolerant) {
           val (stream, in, it) = openRows()
-          new AutoCloseIterator(it, () => { stream.close(); in.close() })
+          val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val close = () =>
+            if (closed.compareAndSet(false, true)) { stream.close(); in.close() }
+          // close on task completion too: AutoCloseIterator only closes on
+          // exhaustion, so an early-terminating consumer (limit, failed or
+          // killed task) would otherwise leak the container stream and its
+          // storage connection — Spark's own file sources register the
+          // same listener
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try close() catch { case _: Exception => () }))
+          new AutoCloseIterator(it, close)
         } else {
           try {
             faultTolerant(backoffMs = backoffMs) { _ =>

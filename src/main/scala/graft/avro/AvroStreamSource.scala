@@ -90,7 +90,13 @@ object AvroStreamSource {
     val p = files.head._3.getPath
     val fs = p.getFileSystem(hadoopConf)
     val avro = AvroSource.writerSchema(() => fs.open(p))
-    val fields = AvroSchemas.toSparkType(avro).asInstanceOf[StructType].fields
+    // payload fields FORCED nullable: the schema comes from ONE file's
+    // writer schema, but the partition reader resolves drifted files by
+    // name and emits null for fields a file's own writer schema lacks —
+    // a non-nullable field Catalyst trusts would then carry injected
+    // nulls straight into codegen that skips the null checks
+    val fields = AvroSchemas.toSparkType(avro).asInstanceOf[StructType]
+      .fields.map(f => f.copy(nullable = true))
     StructType(
       StructField("_file", StringType, nullable = false) +:
         StructField("_row_index", LongType, nullable = false) +: fields)

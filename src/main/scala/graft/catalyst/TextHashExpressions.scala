@@ -29,10 +29,18 @@ abstract class TextHashUnary extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.catalyst.TextHashKernels.$kernel($c)")
 }
 
-/** graft_minhash_sig(text) -> array<bigint> of Hashing.K minhashes. */
+/** graft_minhash_sig(text) -> array<bigint> of Hashing.K minhashes.
+  * The only two-arg kernel in the family: the base contract's `kernel`
+  * (a 1-arg static) does not apply, so BOTH overrides bind the real
+  * 2-arg `minhashSig(text, K)` directly — there is deliberately no
+  * `kernel` value to keep stale (a name of a non-existent static would
+  * compile today and fail janino at runtime the moment someone removed
+  * the doGenCode override trusting it). */
 case class MinHashSig(child: Expression) extends TextHashUnary {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def kernel: String = "minhashSigK"
+  override protected def kernel: String =
+    throw new UnsupportedOperationException(
+      "MinHashSig binds the 2-arg minhashSig kernel in its own overrides")
   override protected def nullSafeEval(input: Any): Any =
     TextHashKernels.minhashSig(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], Hashing.K)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -27,8 +27,18 @@ object Bucketing {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
-  /** True iff the executed plan of `df` contains a shuffle exchange. */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+  /** True iff the executed plan of `df` contains a shuffle exchange.
+    * AQE-aware: under adaptive execution (the engine session's default)
+    * the executed plan is an AdaptiveSparkPlanExec LEAF — a blind
+    * `.exists` would never traverse into the real plan and report false
+    * for any query, letting a bucketing regression pass silently. */
+  def hasShuffle(df: DataFrame): Boolean = {
+    def scan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scan(a.executedPlan)
+      case _ => false
+    }
+    scan(df.queryExecution.executedPlan)
+  }
 }

@@ -156,5 +156,13 @@ class AvroStreamSourceSpec extends SparkSpec {
       .as[(String, Double, String)].collect().sortBy(_._1).toSeq
     // the drifted record's fields landed under their NAMES, not positions
     assert(rows == Seq(("u1", 1.0, "A"), ("u2", 2.0, "B")))
+
+    // the inferred schema must declare every payload field NULLABLE: it
+    // comes from ONE file's writer schema, but drifted files lacking a
+    // field emit null for it — a non-nullable field Catalyst trusts would
+    // carry injected nulls into codegen that skips the null checks
+    val inferred = graft.avro.AvroStreamSource.schemaFor(s"$dir/t")
+    assert(inferred.fields.drop(2).forall(_.nullable),
+      s"payload fields must be nullable: ${inferred.treeString}")
   }
 }

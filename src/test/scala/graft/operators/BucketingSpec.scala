@@ -8,6 +8,27 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  test("hasShuffle sees exchanges through AdaptiveSparkPlanExec (AQE on)") {
+    // under AQE the executed plan is an AdaptiveSparkPlanExec LEAF — a
+    // blind .exists returned false for every query, letting a bucketing
+    // regression (shuffle reintroduced) pass the check silently
+    val dir = "/root/testdata/sf0.001"
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(
+        Bucketing.hasShuffle(
+          lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))),
+        "an adaptive-wrapped plan with a genuine exchange must report a shuffle")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucketed equi-join is shuffle-free and result-identical") {
     val dir = "/root/testdata/sf0.001"
     val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
