@@ -185,7 +185,7 @@ object Oracles {
   /** The cleanup chain (stripHtml -> stripUrls -> normalizeWs) in SQL. */
   private def cleanOf(c: String) =
     s"trim(regexp_replace(regexp_replace(regexp_replace($c, " +
-      "'<[^>]*>', '', 'g'), 'https?://[^ ]+', '', 'g'), ' +', ' ', 'g'))"
+      "'<[^>]*>', '', 'g'), 'https?://[^ ]+', '', 'g'), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
 
   /** 3-word shingle hashes over a `codes` list column. */
   private val shinglesE =
@@ -1497,7 +1497,7 @@ object Oracles {
         | FROM documents),
         |c AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(regexp_replace(
-        |   noisy, '<[^>]*>', '', 'g'), 'https?://[^ ]+', '', 'g'), ' +', ' ', 'g')) AS clean
+        |   noisy, '<[^>]*>', '', 'g'), 'https?://[^ ]+', '', 'g'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS clean
         | FROM n)
         |SELECT doc_id,
         | CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_clean_tokens,

@@ -111,9 +111,14 @@ object Text {
     regexp_replace(text, "https?://[^ ]+", "")
 
   /** Collapses whitespace runs to single spaces and trims — restores the
-    * single-space token model after stripping. */
+    * single-space token model after stripping. The class is ALL ASCII
+    * whitespace, spelled explicitly (not `\s`): scraped text carries
+    * tabs/newlines that a space-only collapse would leave as merged
+    * tokens (undercounting n_tokens, hiding lang-id markers), and Java's
+    * `\s` includes \x0B where RE2's (the oracle engine's) does not — the
+    * shared explicit class keeps both engines byte-identical. */
   def normalizeWs(text: Column): Column =
-    trim(regexp_replace(text, " +", " "))
+    trim(regexp_replace(text, "[ \\t\\n\\r\\f\\x0B]+", " "))
 
   /** First `maxTokens` whitespace tokens re-joined — the context-window
     * truncation step. Pure array ops, stays in codegen. */
