@@ -230,9 +230,16 @@ object Streaming {
       .parquet(inputDir)
     graft.pipelines.CorpusPipeline
       .rowLocalGate(graft.pipelines.CorpusPipeline.annotate(in, textCol), cfg)
-      .withColumn("__fp", graft.text.Text.fingerprint(col("clean_text")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__fp")
+      // dedup on clean_text ITSELF, the batch twin's exact-dedup key
+      // (CorpusPipeline.exactDedup groups on clean_text): a hash
+      // fingerprint here would silently DROP real documents on collision
+      // — Text.fingerprint's word codes are (length, first char) pairs, so
+      // distinct docs collide routinely — and batch/stream curation would
+      // diverge by losing data. The state stores the text for the
+      // watermark horizon; that memory is the price of exactness, same as
+      // the batch group-by key
+      .dropDuplicatesWithinWatermark("clean_text")
       .select(col(idCol), col(tsCol), col("clean_text"), col("n_tokens"), col("pred_lang"))
       .writeStream
       .outputMode("append")
@@ -289,8 +296,16 @@ object Streaming {
     * feeds each micro-batch of new sink files through the same derive ->
     * dedup -> partitioned-write chain as the batch job, with the streaming
     * checkpoint replacing the offset-range state file. Each AvailableNow
-    * call is one incremental pass (the reference's service tick, W2),
-    * exactly-once at file granularity via the checkpointed source offset. */
+    * call is one incremental pass (the reference's service tick, W2).
+    * Delivery is AT-LEAST-ONCE into the output files: a crash between the
+    * foreachBatch write and the checkpoint commit replays the batch and
+    * APPENDS the same records again — exactly the batch job's own
+    * write->commit crash window (W3, CrashRecoverySpec), and absorbed the
+    * same way, by [[graft.restructure.Restructure.readOutput]]'s read-time
+    * dedup (J4). The sibling streams here get idempotent replay from
+    * batch-keyed overwrite directories; this one inherits the production
+    * writer's layout (no batch= level), so it inherits the batch job's
+    * crash semantics instead. */
   /** Streaming PQ index maintenance: each arriving micro-batch of vectors
     * is encoded against the PERSISTED codebooks (loaded once at stream
     * start — codebooks are KBs and training is the offline step, exactly

@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 5L))
   }
 
+  test("curateStream keeps DISTINCT docs whose tokens share (length, first char)") {
+    // the batch twin dedups on clean_text itself; a hash-fingerprint key
+    // here once collapsed docs whose word codes collide — 'hello world'
+    // and 'happy wings' agree pairwise in token length and first char —
+    // silently deleting real data from the curated stream
+    val dir = Files.createTempDirectory("graft-stream-collide").toFile
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val ts0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    Seq(
+      (1L, ts0, "hello world fills enough tokens here today"),
+      (2L, ts0, "happy wings fills enough tokens here today"))
+      .toDF("doc_id", "ts", "text")
+      .write.parquet(in)
+    Streaming.curateStream(spark, in, out, cp).awaitTermination()
+    val kept = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L), "word-code-colliding distinct docs must BOTH survive")
+  }
+
   test("curateStream applies the batch pipeline's language gate (keepLangs)") {
     val dir = Files.createTempDirectory("graft-stream-curate-lang").toFile
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
