@@ -179,18 +179,25 @@ object CorpusPipeline {
     }
   }
 
+  /** Basis-point share of a document's most frequent token — the single
+    * owner of the formula [[qualityFilter]] gates on and [[ensembleScore]]
+    * scores with (two drifting copies of the same floor arithmetic is how
+    * an engine and its oracle part ways). Returns (idCol, __top_bp). */
+  private[graft] def topTokenShareBp(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = df
+    .select(col(idCol), explode(Text.tokens(col(textCol))).as("__w"))
+    .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    .groupBy(col(idCol))
+    .agg(floor(max(col("__c")).cast(DoubleType) * 10000d /
+      sum(col("__c")).cast(DoubleType)).cast(LongType).as("__top_bp"))
+
   /** Row-local quality gate (fuses with annotate). The repetition signal
     * needs a per-doc aggregation, so it joins back only when enabled. */
   def qualityFilter(df: DataFrame, idCol: String, cfg: Config): DataFrame = {
     val langGated = rowLocalGate(df, cfg)
     if (cfg.maxTopTokenBp >= 10000L) langGated
     else {
-      val rep = langGated
-        .select(col(idCol), explode(Text.tokens(col("clean_text"))).as("__w"))
-        .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
-        .groupBy(col(idCol))
-        .agg(floor(max(col("__c")).cast(DoubleType) * 10000d /
-          sum(col("__c")).cast(DoubleType)).cast(LongType).as("__top_bp"))
+      val rep = topTokenShareBp(langGated, idCol, "clean_text")
         .filter(col("__top_bp") <= cfg.maxTopTokenBp)
         .select(col(idCol))
       langGated.join(rep, idCol) // semi-join shape; rep is id-only
@@ -252,12 +259,7 @@ object CorpusPipeline {
     * three 1000-point gates on stopword ratio, top-token share, and mean
     * token length. Returns (idCol, __score). */
   private[graft] def ensembleScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val rep = df
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("__w"))
-      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(floor(max(col("__c")).cast(DoubleType) * 10000d /
-        sum(col("__c")).cast(DoubleType)).cast(LongType).as("__top_bp"))
+    val rep = topTokenShareBp(df, idCol, textCol)
     df.select(col(idCol),
         Text.tokenCount(col(textCol)).cast(LongType).as("__nt"),
         Text.stopRatioBp(col(textCol), graft.Queries.Stopwords).as("__sr"),
@@ -310,9 +312,20 @@ object CorpusPipeline {
     df.join(drop.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
-  /** Deterministic split column from the shared integer hash. */
+  /** Deterministic split column from the shared integer hash. Integral ids
+    * only, REQUIRED loudly: a string id would make `id % P` null and send
+    * every document to 'test' (empty train set, no error), and a negative
+    * id's negative bucket would send everything to 'train' — pmod keeps
+    * the negative domain correct, the require keeps the unsupported one
+    * from failing silently. Non-negative ids (the testdata and every
+    * oracle) bucket exactly as before. */
   def withSplit(df: DataFrame, idCol: String, cfg: Config): DataFrame = {
-    val bucket = (col(idCol) % Hashing.P * Hashing.TokenHashA) % Hashing.P % 100
+    require(df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"withSplit needs an integral id column, got ${df.schema(idCol).dataType}")
+    val bucket = pmod(col(idCol) % Hashing.P * Hashing.TokenHashA % Hashing.P, lit(100))
     df.withColumn("split",
       when(bucket < cfg.trainPct, "train")
         .when(bucket < cfg.trainPct + cfg.valPct, "val")
