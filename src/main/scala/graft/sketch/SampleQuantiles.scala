@@ -43,12 +43,20 @@ object SampleQuantiles {
   val K = 64
 
   /** Deterministic uniform bottom-k sample per group: input columns of
-    * `cols` plus `h` (the sample hash). `idCol` must be unique per row. */
+    * `cols` plus `h` (the sample hash). `idCol` must be unique per row.
+    * An input frame that ALREADY carries an `h` column is refused loudly:
+    * withColumn would silently replace the caller's data with the internal
+    * hash and the trailing select would project `h` twice — a duplicate-
+    * named output whose downstream resolution is ambiguous at best
+    * (streaming's read-time merge drops its own prior `h` before calling
+    * back in for exactly this reason). */
   def bottomK(
       df: DataFrame,
       groupCols: Seq[String],
       idCol: String,
       k: Int = K): DataFrame = {
+    require(!df.columns.contains("h"),
+      "bottomK emits its sample hash as 'h'; rename or drop the input's h column")
     val withH = df.withColumn("h", HLL.mix(col(idCol)))
     val winners = graft.similarity.Similarity
       .bottomKIds(withH, groupCols, idCol, "h", k)

@@ -29,7 +29,14 @@ object LinearModel {
     * Tokens map to feature ids by word code mod `buckets` (the hashing
     * trick; collisions are part of the model, exactly as in training).
     * Output: (idCol, n_tokens, logit, keep) with keep = logit >= 0.
-    * Documents whose tokens all miss the weights table score 0. */
+    * Documents whose tokens all miss the weights table score 0.
+    * PRECONDITION shared with [[train]]: feed single-space-token-model
+    * text (the pipeline's clean_text). Raw text with doubled/leading
+    * whitespace contributes empty tokens that hash to feature 0 — the
+    * DuckDB twin replays the identical behavior (string_split keeps
+    * empties), so the engines agree, but a scoring corpus whose
+    * whitespace hygiene differs from the training corpus would shift
+    * logits through that phantom feature. */
   def score(
       docs: DataFrame,
       idCol: String,

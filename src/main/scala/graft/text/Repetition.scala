@@ -44,6 +44,13 @@ object Repetition {
       textCol: String,
       dupN: Int = 5): DataFrame = {
     require(dupN >= 2, s"dupN must be >= 2, got $dupN")
+    // `toks` feeds every consumer leg UNMATERIALIZED, so the tokenization
+    // recomputes per leg — deliberate: the split is a cheap codegen'd
+    // projection, while forcing one shared exchange (repartition on id,
+    // the curate pipeline's trick for its expensive annotate lineage)
+    // shuffles the materialized token ARRAYS and measured 0.30 -> 1.10 s
+    // warm at sf0.1 — at corpus scale the array shuffle only gets worse
+    // relative to re-splitting strings the scan already delivers
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__ts"))
       .withColumn("__L",
         aggregate(col("__ts"), lit(0L), (a, x) => a + length(x)))
