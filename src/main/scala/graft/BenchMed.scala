@@ -34,6 +34,14 @@ object BenchMed {
   val SubSecondFloor = 1.0
   val SubSecondReps = 8
 
+  /** Locale-pinned 2-decimal format for every number [[prior]]'s row regex
+    * must re-read: the f"" interpolator honors the JVM default locale, so a
+    * comma-decimal locale would emit '1,23', the `[0-9.]+` row pattern
+    * would silently parse zero rows, and the ambient-adjudication footer
+    * would vanish instead of erroring (BenchMedPriorSpec pins this). */
+  private[graft] def fmt2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
   /** Parse the PRIOR committed record at `path` (the file this run will
     * overwrite): its provenance hash and each query's min. Returns None
     * when there is no prior record (first run, renamed output) or it has
@@ -97,7 +105,7 @@ object BenchMed {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    def f(d: Double): String = f"$d%.2f"
+    def f(d: Double): String = fmt2(d)
 
     // commit provenance: the warm table adjudicates plan changes, so it
     // must say WHICH code it measured — staleness is then checkable by
@@ -157,15 +165,15 @@ object BenchMed {
           .filter(_._5 > 1.3)
           .sortBy(-_._5)
         sb ++= s"\n## Ambient adjudication vs prior record (`$priorHead`)\n\n"
-        sb ++= f"Ambient level = median per-query min ratio over ${ratios.size}%d shared\n"
-        sb ++= f"queries: **${ambient}%.2fx** (a level shift moves every row together;\n"
+        sb ++= s"Ambient level = median per-query min ratio over ${ratios.size} shared\n"
+        sb ++= s"queries: **${f(ambient)}x** (a level shift moves every row together;\n"
         sb ++= "a regression moves one row against it). Queries whose ambient-adjusted\n"
         sb ++= "ratio (ratio / ambient) exceeds 1.3x:\n\n"
         if (flagged.isEmpty) sb ++= "(none — every delta is within the ambient envelope)\n"
         else {
           sb ++= "| query | prior min (s) | min (s) | ratio | adjusted |\n|---|---|---|---|---|\n"
           flagged.foreach { case (n, p, m, r, a) =>
-            sb ++= f"| $n | ${f(p)} | ${f(m)} | ${r}%.2fx | ${a}%.2fx |\n"
+            sb ++= s"| $n | ${f(p)} | ${f(m)} | ${f(r)}x | ${f(a)}x |\n"
           }
         }
       }

@@ -38,6 +38,13 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
   private val lockMgr = config.lockDir.map(d =>
     new FileRemoteLockManager(spark.sparkContext.hadoopConfiguration, new Path(d)))
 
+  /** Test seam (CleanerSpec lock-protocol pin): invoked once per topic
+    * AFTER the topic lock is acquired and BEFORE the under-lock state
+    * reload — lets a spec land a concurrent instance's commit inside the
+    * [initial load .. lock acquired] window deterministically. Production
+    * never sets it; the default is a no-op. */
+  private[restructure] var beforeTopicClean: String => Unit = _ => ()
+
   def candidates(topic: String, state: OffsetRangeSet, now: Long = System.currentTimeMillis): Seq[TopicFile] = {
     val files = job.listFiles(topic)
     // P9 for END-LESS file names: with no end offset (neither in the
@@ -143,10 +150,16 @@ final class Cleaner(spark: SparkSession, config: RestructureConfig, ageMs: Long 
     val reprocess = scala.collection.mutable.ArrayBuffer.empty[String]
     job.listTopics().foreach { topic =>
       def clean(): Unit = {
+        beforeTopicClean(topic)
         // with concurrent instances, candidacy must see the LATEST
-        // committed ranges once the topic lock is held (same re-check as
-        // the restructure pass)
-        if (lockMgr.isDefined) state.addAll(job.loadState())
+        // committed state once the topic lock is held (same re-check as
+        // the restructure pass). A fresh reload, not an additive merge:
+        // merging would resurrect ranges a concurrent cleaner REMOVED
+        // between our load and this lock, re-admitting an
+        // already-readmitted file as a candidate. Nothing in-memory is
+        // lost — this pass's own removals were committed to disk by
+        // commitRemovals before the next topic runs.
+        if (lockMgr.isDefined) state = job.loadState()
         val cand = candidates(topic, state, now)
         if (cand.nonEmpty) {
           val unmatched = unmatchedCounts(topic, cand)

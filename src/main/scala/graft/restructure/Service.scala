@@ -39,8 +39,11 @@ final class Service(
       try { f(); counter.incrementAndGet(); set(None) }
       catch {
         // a killed tick (stop past the drain deadline) records its
-        // spurious interrupt — the executor is already dying
-        case e: InterruptedException        => set(Some(e))
+        // spurious interrupt; restore the flag so anything the pool
+        // thread blocks on AFTER this point still sees the pending
+        // cancellation instead of stalling the drain deadline
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); set(Some(e))
         case e if scala.util.control.NonFatal(e) => set(Some(e)) // next tick retries
         case e: Throwable =>
           // fatal (OutOfMemoryError, LinkageError): record for lastError,

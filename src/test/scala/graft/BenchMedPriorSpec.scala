@@ -49,4 +49,17 @@ class BenchMedPriorSpec extends AnyFunSuite {
     assert(BenchMed.prior("/tmp/definitely-not-there-benchmed.md").isEmpty)
     assert(BenchMed.prior(write("# empty\n\nno table here\n")).isEmpty)
   }
+
+  test("row numbers format dot-decimal under a comma-decimal default locale") {
+    // round-19 advisory: f"$d%.2f" honors the default locale; under e.g.
+    // de_DE it emits '1,23', which prior()'s `[0-9.]+` row regex silently
+    // fails to parse — the next run's ambient footer would vanish instead
+    // of erroring. fmt2 is what every parser-read number goes through.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(BenchMed.fmt2(1.234) == "1.23")
+      assert(BenchMed.fmt2(0.5) == "0.50")
+    } finally java.util.Locale.setDefault(saved)
+  }
 }

@@ -372,4 +372,48 @@ class CleanerSpec extends SparkSpec {
     assert(new File(dir, "locks").listFiles().forall(!_.getName.endsWith(".lock")),
       "the __state lock must be released")
   }
+
+  test("under-lock state reload is FRESH: a concurrent readmission is not resurrected") {
+    // round-19 advisory: the old additive merge (state.addAll(loadState()))
+    // resurrected ranges a concurrent cleaner REMOVED between this pass's
+    // initial load and its topic-lock acquisition, so an already-readmitted
+    // file was re-evaluated as a candidate and could be deleted instead of
+    // left for the restructure pass to reprocess. The seam lands the
+    // concurrent removal inside that exact window.
+    val dir = Files.createTempDirectory("graft-cleaner-fresh").toFile
+    val topicDir = new File(dir, "in/phone_light/partition=0")
+    val f1 = new File(topicDir, "phone_light+0+0000000000+0000000001.avro")
+    val f2 = new File(topicDir, "phone_light+0+0000000004.avro")
+    writeAvro(f1, Seq(record(1580219940.0, 1f), record(1580219941.0, 2f)))
+    writeAvro(f2, Seq(record(1580219960.0, 5f)))
+    val cfg = RestructureConfig(
+      inputDir = new File(dir, "in").toString,
+      outputDir = new File(dir, "out").toString,
+      stateFile = new File(dir, "state/offsets.json").toString,
+      lockDir = Some(new File(dir, "locks").toString),
+      compression = None,
+      minimumFileAgeMs = 0L)
+    val job = new Restructure(spark, cfg)
+    job.run()
+
+    val cleaner = new Cleaner(spark, cfg, ageMs = 0L)
+    val tp = graft.state.TopicPartition("phone_light", 0)
+    cleaner.beforeTopicClean = _ => {
+      // a concurrent instance readmits f1 AFTER our initial load, BEFORE
+      // our topic lock: its range leaves the committed state
+      val disk = job.loadState()
+      disk.remove(tp, 0L, 2L)
+      job.saveState(disk)
+    }
+    val (deleted, reprocess) = cleaner.run(now = System.currentTimeMillis + 60000)
+    // fresh reload under the lock sees the removal: f1 is no candidate —
+    // neither deleted (it belongs to the restructure pass now) nor
+    // readmitted again
+    assert(deleted.isEmpty && reprocess.isEmpty,
+      s"readmitted file must be left alone, got deleted=$deleted reprocess=$reprocess")
+    assert(f1.exists(), "a concurrently-readmitted file must survive the pass")
+    // and the next restructure pass heals the readmission
+    job.run()
+    assert(job.plan("phone_light", job.loadState()).isEmpty)
+  }
 }
