@@ -471,9 +471,221 @@ object ServiceSoak {
       deletedPaths, readmittedPaths, t0)
   }
 
+  private[graft] val InjectedCrash = "injected crash (W3 window)"
+
+  /** TWO real instances against ONE shared tree (round-19 directive): the
+    * reference's actual deployment is N concurrent app instances sharding
+    * topics via remote locks (worker/RadarKafkaRestructure.kt:100,
+    * integrationTest RedisRemoteLockManagerTest) — until this round the
+    * lock protocol was proven only by single-JVM interleavings of its
+    * pieces. Here two complete Restructure+Cleaner loops (separate
+    * scheduler threads, separate Restructure/Cleaner objects, one shared
+    * input/output/state tree and lock dir) run the SAME corpus and
+    * convergence contract as [[runFromStartup]], with the W3 crash landed
+    * in the most adversarial spot the deployment model allows:
+    *
+    *  - instance A processes the first wave and CRASHES mid-window — after
+    *    its output write, before its state commit (the [[Restructure]]
+    *    `beforeCommit` seam) — and stays down. The seam HOLDS the window
+    *    open, topic lock held, until instance B has completed two full
+    *    passes around it: B must tick during the window, skip the locked
+    *    topic gracefully, and commit nothing. On-disk evidence is
+    *    collected inside the window (part files present, batch absent
+    *    from the ledger) while the lock makes the check race-free.
+    *  - instance B then HEALS the crash: A's lock is gone (the in-JVM
+    *    throw releases it; hard process death without a finally is the
+    *    TTL stale-break path, pinned separately in LocksSpec and the
+    *    crash-under-lock CrashRecoverySpec window), the batch is still
+    *    unledgered, so B's next pass reprocesses it and the read-time
+    *    dedup (J4) absorbs A's orphan part files.
+    *  - instance A RESTARTS (fresh Service + Restructure + Cleaner over
+    *    the same config — an orchestrator restart) and both instances run
+    *    the remaining waves: late file, in-place rewrite, the planted
+    *    output miss mid-wave, readmission, reprocessing, re-deletion.
+    *    Tick intervals are coprime-ish (10:13 restructure, and offset
+    *    cleaner periods), so the relative phase SWEEPS instead of
+    *    repeating one alignment.
+    *
+    * Convergence must equal the one-shot run exactly as in the
+    * single-instance soaks, PLUS: no double-delete and no double-readmit
+    * (each path reported by exactly one instance's tick — delete events ==
+    * distinct deleted paths), and no lost commit (both instances' ranges
+    * all present: plan residue 0 and interval structure equal, despite
+    * every commit being a concurrent read-merge-write under the shared
+    * `__state` lock). Inter-wave barriers poll plan()-emptiness of the
+    * SHARED state rather than either instance's tick counter — with locks
+    * a completed pass no longer implies progress (the pass may have
+    * skipped the locked topic). */
+  def runTwoInstance(spark: SparkSession, dir: File, perFile: Int,
+      tickMs: Long = 200L): Report = {
+    requirePerFile(perFile)
+    val corpus = new Corpus(dir)
+    val cfg = cfgFor(dir).copy(lockDir = Some(s"$dir/locks"))
+    val t0 = System.nanoTime()
+
+    val deleteEvents = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readmitEvents = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val deletedPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val readmittedPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val gate = new AtomicBoolean(false)
+    def cleanerTick(c: Cleaner): () => Unit = () => {
+      val now = if (gate.get()) System.currentTimeMillis() else 0L
+      val (d, r) = c.run(now)
+      d.foreach { p => deleteEvents.add(p); deletedPaths.add(p) }
+      r.foreach { p => readmitEvents.add(p); readmittedPaths.add(p) }
+    }
+
+    // ---- instance B: the survivor; ticks from before the crash to the end
+    val jobB = new Restructure(spark, cfg)
+    val recB = new AtomicLong(0)
+    val svcB = new Service(
+      restructure = () => recB.addAndGet(jobB.run().records),
+      cleaner = Some(cleanerTick(new Cleaner(spark, cfg, ageMs = -3600000L))),
+      restructureIntervalMs = tickMs * 13 / 10,
+      cleanerIntervalMs = 2 * tickMs + 70)
+
+    // ---- instance A: crashes mid-window on its first commit, then dies.
+    // The seam runs on A's scheduler thread with the topic lock held: it
+    // records the on-disk crash evidence (race-free — nobody else can
+    // commit this topic), then keeps the window open until B has ticked
+    // twice around it, then throws.
+    val jobA = new Restructure(spark, cfg)
+    val inWindow = new AtomicBoolean(false)
+    val crashedOnce = new AtomicBoolean(false)
+    val bTicksInWindow = new AtomicLong(-1L)
+    val evidence = new java.util.concurrent.atomic.AtomicReference[String]("window never entered")
+    def countParts(f: File): Int =
+      if (f.isFile) { if (f.getName.startsWith("part-")) 1 else 0 }
+      else Option(f.listFiles()).getOrElse(Array.empty[File]).map(countParts).sum
+    jobA.beforeCommit = topic => {
+      if (crashedOnce.compareAndSet(false, true)) {
+        val unledgered = jobA.plan(topic, jobA.loadState()).size
+        val parts = countParts(new File(dir, s"out/$topic"))
+        evidence.set(
+          if (parts == 0) "no part files on disk inside the crash window"
+          else if (unledgered == 0) "batch already ledgered inside the crash window"
+          else "")
+        inWindow.set(true)
+        val b0 = svcB.restructurePasses.get()
+        val deadline = System.currentTimeMillis() + 120000L
+        while (svcB.restructurePasses.get() < b0 + 2 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20L)
+        bTicksInWindow.set(svcB.restructurePasses.get() - b0)
+      }
+      // EVERY commit attempt throws — the Service retries NonFatal
+      // failures next tick, so a once-only throw would let A self-heal
+      // before B ever sees the orphan; A stays dead until stop()
+      throw new RuntimeException(InjectedCrash)
+    }
+    val svcA = new Service(restructure = () => { jobA.run(); () },
+      restructureIntervalMs = tickMs)
+
+    def awaitCond(what: String, deadlineMs: Long = 120000L)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + deadlineMs
+      while (!cond) {
+        require(System.currentTimeMillis() < deadline, s"soak stalled: $what")
+        Thread.sleep(20L)
+      }
+    }
+    def awaitNoPlan(svcs: Seq[Service], deadlineMs: Long = 600000L): Unit = {
+      val deadline = System.currentTimeMillis() + deadlineMs
+      while (jobB.plan("soak_topic", jobB.loadState()).nonEmpty) {
+        svcs.foreach(s => require(s.lastError.isEmpty,
+          s"service pass failed: ${s.lastError.get}"))
+        require(System.currentTimeMillis() < deadline,
+          "soak stalled waiting for the shared plan to drain")
+        Thread.sleep(50L)
+      }
+    }
+
+    val waveA0 = corpus.writeFile(0, 0L, perFile)
+    val p1High = corpus.writeFile(1, 48800L, perFile)
+    var fB: File = null
+    var p1Late: File = null
+    var fD: File = null
+    var fE: File = null
+    var svcA2: Service = null
+    try {
+      svcA.start()
+      awaitCond("crash window never opened")(inWindow.get())
+      svcB.start() // B ticks WHILE A sits mid-window holding the topic lock
+      awaitCond("injected crash never recorded")(
+        svcA.lastError.exists(_.getMessage == InjectedCrash))
+      svcA.stop() // instance A is dead
+      require(evidence.get().isEmpty, s"crash-window evidence: ${evidence.get()}")
+      require(bTicksInWindow.get() >= 2,
+        s"instance B completed ${bTicksInWindow.get()} passes inside the window, expected >= 2")
+      // B heals the crash: the batch is unledgered, the lock is free
+      awaitNoPlan(Seq(svcB))
+      require(recB.get() > 0, "instance B never processed the orphaned batch")
+
+      // instance A restarts: fresh Service + job + cleaner, same config
+      val jobA2 = new Restructure(spark, cfg)
+      svcA2 = new Service(
+        restructure = () => { jobA2.run(); () },
+        cleaner = Some(cleanerTick(new Cleaner(spark, cfg, ageMs = -3600000L))),
+        restructureIntervalMs = tickMs,
+        cleanerIntervalMs = 2 * tickMs)
+      svcA2.start()
+      val both = Seq(svcA2, svcB)
+
+      fB = corpus.writeFile(0, perFile + 1L, perFile)
+      p1Late = corpus.writeFile(1, 0L, perFile)
+      awaitNoPlan(both)
+      // wave C rewrite — gate still closed, so no cleaner can delete
+      // waveA0 out from under the in-place rewrite
+      val origMtime = waveA0.lastModified()
+      corpus.writeFile(0, 0L, perFile + 1)
+      require(waveA0.setLastModified(math.max(System.currentTimeMillis(), origMtime + 2000L)),
+        "mtime rewrite failed")
+      awaitNoPlan(both)
+      fD = corpus.writeFile(0, 2L * perFile + 500L, perFile)
+      awaitNoPlan(both)
+      // each instance's cleaner verifiably ticking before the gate opens
+      awaitPasses(svcB, svcB.cleanerPasses, 1)
+      awaitPasses(svcA2, svcA2.cleanerPasses, 1)
+      plantMiss(dir)
+      fE = corpus.writeFile(0, 3L * perFile + 1000L, perFile)
+      gate.set(true)
+      val deletables = Seq(waveA0, fB, fD, p1Late)
+      val deadline = System.currentTimeMillis() + 600000L
+      while (deletables.exists(_.exists())) {
+        both.foreach(s => require(s.lastError.isEmpty,
+          s"service pass failed: ${s.lastError.get}"))
+        require(System.currentTimeMillis() < deadline,
+          s"soak stalled waiting for cleaner convergence; still present: " +
+            deletables.filter(_.exists()).mkString(", "))
+        Thread.sleep(25L)
+      }
+      awaitNoPlan(both)
+    } finally {
+      svcA.stop() // idempotent — already stopped on the success path
+      if (svcA2 != null) svcA2.stop()
+      svcB.stop()
+    }
+    require(svcA2.lastError.isEmpty && svcB.lastError.isEmpty,
+      s"service pass failed: ${svcA2.lastError.orElse(svcB.lastError)}")
+
+    // no double-delete / double-readmit: every path was reported by
+    // exactly ONE instance's tick (a path deleted or readmitted twice
+    // would appear as more events than distinct paths)
+    require(deleteEvents.size() == deletedPaths.size(),
+      s"double-delete: ${deleteEvents.size()} events over ${deletedPaths.size()} paths")
+    require(readmitEvents.size() == readmittedPaths.size(),
+      s"double-readmit: ${readmitEvents.size()} events over ${readmittedPaths.size()} paths")
+
+    verifyConverged(spark, dir, cfg, jobB, perFile,
+      Waves(waveA0, p1High, fB, p1Late, fD, fE),
+      ticks = svcA.restructurePasses.get() + svcA2.restructurePasses.get() +
+        svcB.restructurePasses.get(),
+      cleanerTicks = svcA2.cleanerPasses.get() + svcB.cleanerPasses.get(),
+      deletedPaths, readmittedPaths, t0)
+  }
+
   /** Usage: runMain graft.ServiceSoak [perFile] [tickMs] [mode] — mode
-    * `phased` (default) runs [[run]], `startup` runs [[runFromStartup]];
-    * the spec twin runs both bodies at a small perFile. */
+    * `phased` (default) runs [[run]], `startup` runs [[runFromStartup]],
+    * `two` runs [[runTwoInstance]]; the spec twins run all three bodies
+    * at a small perFile. */
   def main(args: Array[String]): Unit = {
     val perFile = if (args.nonEmpty) args(0).toInt else 20000
     val tickMs = if (args.length > 1) args(1).toLong else 500L
@@ -483,6 +695,7 @@ object ServiceSoak {
     val r = mode match {
       case "phased"  => run(spark, dir, perFile, tickMs)
       case "startup" => runFromStartup(spark, dir, perFile, tickMs)
+      case "two"     => runTwoInstance(spark, dir, perFile, tickMs)
       case other     => throw new IllegalArgumentException(s"unknown mode: $other")
     }
     println(

@@ -420,7 +420,7 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
       Timers.enabled = true
       Timers.attach(spark)
     }
-    val state = loadState()
+    var state = loadState()
     val lockMgr = config.lockDir.map(d =>
       new FileRemoteLockManager(spark.sparkContext.hadoopConfiguration, new Path(d)))
     var filesProcessed = 0L
@@ -430,8 +430,13 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
       def process(): Unit = {
         // with concurrent instances, re-check the plan against the LATEST
         // committed state once the topic lock is held — another instance
-        // may have finished this topic between our load and our lock
-        if (lockMgr.isDefined) state.addAll(loadState())
+        // may have finished this topic between our load and our lock. A
+        // fresh reload, not an additive merge: merging would resurrect
+        // ranges a concurrent cleaner REMOVED (readmission) in that
+        // window, hiding the readmitted file from this pass's plan.
+        // Nothing in-memory is lost — earlier topics' ranges were
+        // committed to disk by commitState before this topic runs.
+        if (lockMgr.isDefined) state = loadState()
         val files = Timers.time(spark, "restructure.plan")(plan(topic, state))
         if (files.nonEmpty) {
           filesProcessed += files.size
@@ -494,6 +499,25 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
     }
   }
 
+  /** The state file on a LOCAL filesystem must bypass Hadoop's
+    * ChecksumFileSystem: its rename moves the data file and the `.crc`
+    * sidecar as TWO renames, so a concurrent reader between them fails
+    * with ChecksumException — exactly the atomic-visibility contract the
+    * multi-instance deployment relies on (a peer's plan re-check and the
+    * soak's progress polls read while another instance commits;
+    * TwoInstanceSoak caught this live). java.nio's single rename(2) IS
+    * atomic; non-local stores keep the FileContext path (HDFS rename is
+    * atomic server-side and carries no client sidecar). Returns the raw
+    * local path when the resolved filesystem is local. */
+  private def localStatePath(p: Path,
+      fs: org.apache.hadoop.fs.FileSystem): Option[java.nio.file.Path] =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        Some(java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath))
+      case _ => None
+    }
+
   /** Load state; a legacy reference deployment's CSV offsets file
     * (`offsetFrom,offsetTo,partition,topic[,lastModified]` header,
     * accounting/OffsetFilePersistence.kt:95-121) is detected by its header
@@ -501,31 +525,52 @@ final class Restructure(spark: SparkSession, config: RestructureConfig) {
   def loadState(): OffsetRangeSet = {
     val p = new Path(config.stateFile)
     val sfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!sfs.exists(p)) new OffsetRangeSet
-    else {
-      val in = sfs.open(p)
-      val text =
+    val text = localStatePath(p, sfs) match {
+      case Some(lp) =>
+        if (!java.nio.file.Files.exists(lp)) return new OffsetRangeSet
+        new String(java.nio.file.Files.readAllBytes(lp), "UTF-8")
+      case None =>
+        if (!sfs.exists(p)) return new OffsetRangeSet
+        val in = sfs.open(p)
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
         finally in.close()
-      if (text.startsWith("offsetFrom,")) OffsetRangeSet.fromCsv(text)
-      else OffsetRangeSet.fromJson(text)
     }
+    if (text.startsWith("offsetFrom,")) OffsetRangeSet.fromCsv(text)
+    else OffsetRangeSet.fromJson(text)
   }
 
-  /** Atomic state write: temp file in the same directory, then rename —
-    * rename is atomic on local (rename(2)) and HDFS filesystems, so a
-    * concurrent reader sees either the old or the new state, never a
-    * truncated file. */
+  /** Atomic state write: temp file in the same directory, then ONE
+    * rename — atomic on local (rename(2), see [[localStatePath]]) and
+    * HDFS filesystems, so a concurrent reader sees either the old or the
+    * new state, never a truncated file and never a torn data/checksum
+    * pair. */
   def saveState(state: OffsetRangeSet): Unit = {
     val p = new Path(config.stateFile)
     val sfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (p.getParent != null) sfs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val os = sfs.create(tmp, true)
-    try os.write(state.toJson.getBytes("UTF-8")) finally os.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val bytes = state.toJson.getBytes("UTF-8")
+    localStatePath(p, sfs) match {
+      case Some(lp) =>
+        if (lp.getParent != null) java.nio.file.Files.createDirectories(lp.getParent)
+        val tmp = lp.resolveSibling(
+          s".${lp.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, lp,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // a .crc left by a pre-fix Hadoop save would desync from raw
+        // writes; readers above bypass verification, but keep the dir
+        // clean so no other tool trips over it
+        java.nio.file.Files.deleteIfExists(
+          lp.resolveSibling(s".${lp.getFileName}.crc"))
+      case None =>
+        if (p.getParent != null) sfs.mkdirs(p.getParent)
+        val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+        val os = sfs.create(tmp, true)
+        try os.write(bytes) finally os.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+          spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 }
 
