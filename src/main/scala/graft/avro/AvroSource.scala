@@ -90,25 +90,28 @@ object AvroSource {
     }
   }
 
-  /** Per-JVM cache of container-validation verdicts keyed by
-    * (path, mtime, length): the restructure write path executes the read
-    * plan several times (layout measurement, the write itself, the ranges
-    * pass), and without the cache every execution re-streams every file's
-    * bytes just to re-prove the same verdict. A rewritten file changes its
-    * key, so stale verdicts never apply; the size cap just bounds a
-    * long-running service's footprint. */
-  private val validationCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
-
-  def validateCached(fs: org.apache.hadoop.fs.FileSystem,
-                     hp: org.apache.hadoop.fs.Path): Boolean = {
-    val st = fs.getFileStatus(hp)
-    val key = (hp.toString, st.getModificationTime, st.getLen)
-    if (validationCache.size > 65536) validationCache.clear()
-    // a transient short stream THROWS out of the lambda (retried by the
-    // caller, nothing cached) — only deterministic verdicts are memoized
-    validationCache.computeIfAbsent(key,
-      _ => validateContainer(() => fs.open(hp), expectedLen = st.getLen))
+  /** Fetch a file's COMPLETE bytes, length-verified: a stream that ends
+    * short of the file's stat'd length throws IOException (retried by
+    * [[faultTolerant]]), so a returned array is proof the storage
+    * delivered the whole object. That proof is what lets the tolerant
+    * read classify EVERY later failure as deterministic: once the bytes
+    * are complete and in memory, validation and decode are pure functions
+    * of them — a failure cannot be transient IO, so quarantining is safe
+    * (the failure mode the reference's corrupt-file handling covers,
+    * worker/FileCache.kt:172-201). A file rewritten between stat and read
+    * shows up as a length mismatch and simply retries against the new
+    * stat. */
+  private[graft] def readFullyVerified(fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val len = fs.getFileStatus(hp).getLen
+    val in = fs.open(hp)
+    try {
+      val buf = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      if (buf.length != len)
+        throw new java.io.IOException(
+          s"stream delivered ${buf.length} of $len bytes: $hp")
+      buf
+    } finally in.close()
   }
 
   /** Structural validation of an Avro object-container: walk the blocks
@@ -181,12 +184,20 @@ object AvroSource {
   }
 
   /** Writer schema of one container file, read from its header (driver or
-    * executor side; only the header block is consumed). */
+    * executor side; only the header block is consumed). STRICT: the
+    * schema is round-tripped through a validating parser, because
+    * DataFileStream parses header schemas leniently (name validation
+    * off) — a damaged-but-JSON-valid schema (e.g. a flipped byte turning
+    * a field name into `ti}e`) would otherwise pass planning here and
+    * then kill the read tasks, whose per-task re-parse is strict
+    * (AvroFuzzPropertySpec caught this live). The throw surfaces as a
+    * deterministic header failure, which the tolerant path arbitrates
+    * into quarantine. */
   def writerSchema(open: () => java.io.InputStream): Schema = {
     val in = open()
     try {
       val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
-      try s.getSchema finally s.close()
+      try new Schema.Parser().parse(s.getSchema.toString) finally s.close()
     } finally in.close()
   }
 
@@ -209,13 +220,16 @@ object AvroSource {
           catch {
             case _: java.io.FileNotFoundException => None // raced deletion: skip
             case e: Exception if isCorruption(e) => quarantine(fs, hp); None
-            case e: Exception =>
+            case _: Exception =>
               // ambiguous failure (header decode errors wrap transient IO
-              // and real corruption alike): let the length-aware validator
-              // arbitrate — only its deterministic false quarantines,
-              // anything else re-raises so the pass fails loudly
-              val corrupt = try !validateCached(fs, hp) catch { case _: Exception => false }
-              if (corrupt) { quarantine(fs, hp); None } else throw e
+              // and real corruption alike): arbitrate on COMPLETE bytes —
+              // fetch length-verified (retried), then re-derive the header
+              // purely. Any failure on complete bytes is deterministic
+              // corruption (invalid structure OR an unparseable
+              // header/schema) and quarantines; a fetch that cannot
+              // complete re-raises so the pass fails loudly instead of
+              // silently dropping a healthy file.
+              arbitrateHeader(fs, hp, backoffMs)
           }
       schema.foreach { s =>
         val fp = AvroSchemas.fingerprint(s)
@@ -224,6 +238,25 @@ object AvroSource {
     }
     grouped.values.map { case (s, ps) => (s, ps.toSeq) }.toSeq
   }
+
+  /** Header arbitration on complete bytes (see [[schemaGroups]]): returns
+    * the parsed writer schema when the earlier failure was transient after
+    * all, None after quarantining a deterministically corrupt file, None
+    * without quarantine for a file that vanished (raced deletion).
+    * Transient fetch failures that exhaust their retries PROPAGATE. */
+  private def arbitrateHeader(fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path, backoffMs: Long): Option[Schema] =
+    try {
+      val bytes = faultTolerant(backoffMs = backoffMs)(_ => readFullyVerified(fs, hp))
+      val parsed =
+        if (!validateContainer(() => new java.io.ByteArrayInputStream(bytes), bytes.length))
+          None
+        else
+          try Some(writerSchema(() => new java.io.ByteArrayInputStream(bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+      if (parsed.isEmpty) quarantine(fs, hp)
+      parsed
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Read a set of same-schema container files into a DataFrame with
     * `_file` and `_row_index` metadata columns prepended.
@@ -294,15 +327,42 @@ object AvroSource {
           new AutoCloseIterator(it, close)
         } else {
           try {
-            faultTolerant(backoffMs = backoffMs) { _ =>
-              // structural check first: DataFileStream reads a truncated
-              // container as a clean short file, so corruption must be
-              // detected at the byte level to be distinguishable
-              if (!validateCached(fs, hp))
-                throw new CorruptContainerException(s"invalid avro container: $path")
-              val (stream, in, it) = openRows()
-              try it.toVector.iterator // all-or-nothing: buffer before emitting
-              finally { stream.close(); in.close() }
+            // FETCH-then-decode: transient IO is confined to the byte
+            // fetch (length-verified, retried). Everything after operates
+            // on complete in-memory bytes, so any failure — structural
+            // invalidity (truncated container, bad sync) OR an
+            // undecodable datum inside a structurally valid block (the
+            // case a stream-based read could not tell apart from a
+            // connection reset) — is a deterministic property of the
+            // bytes and quarantines, the reference's posture
+            // (FileCache.kt:172-201). Buffering one file per task is the
+            // all-or-nothing contract this path already had.
+            val bytes = faultTolerant(backoffMs = backoffMs)(_ => readFullyVerified(fs, hp))
+            // structural check first: DataFileStream reads a truncated
+            // container as a clean short file, so corruption must be
+            // detected at the byte level to be distinguishable. It also
+            // bounds every declared block size by the real file length,
+            // so the decode below cannot be driven into huge allocations
+            if (!validateContainer(() => new java.io.ByteArrayInputStream(bytes), bytes.length))
+              throw new CorruptContainerException(s"invalid avro container: $path")
+            try {
+              val stream = new DataFileStream(new java.io.ByteArrayInputStream(bytes),
+                new GenericDatumReader[GenericRecord](schema))
+              try {
+                var i = -1L
+                stream.iterator.asScala.map { rec =>
+                  i += 1
+                  Row.fromSeq(
+                    path +: i +: sparkType.fields.indices.map { f =>
+                      AvroSchemas.toSparkValue(rec.get(f), avroFieldSchema(schema, f))
+                    })
+                }.toVector.iterator // all-or-nothing: buffer before emitting
+              } finally stream.close()
+            } catch {
+              case e if isCorruption(e) => throw e
+              case scala.util.control.NonFatal(e) =>
+                throw new CorruptContainerException(
+                  s"undecodable avro container: $path (${e.getMessage})")
             }
           } catch {
             case _: java.io.FileNotFoundException => Iterator.empty // raced deletion
