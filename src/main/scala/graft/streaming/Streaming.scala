@@ -615,21 +615,32 @@ object Streaming {
       .headOption
   }
 
+  /** Crash-window test seams (StreamingCrashSpec — the streaming analog
+    * of [[graft.restructure.Restructure]]'s `beforeCommit`): `batchSeam`
+    * transforms the incoming micro-batch before derivation, so a spec can
+    * plant a task-killing expression INSIDE the write epoch; `afterWrite`
+    * runs after the sink write and before foreachBatch returns — a throw
+    * there lands exactly in the written-but-checkpoint-uncommitted window
+    * the docstring's at-least-once contract describes. Production callers
+    * pass neither; the defaults are identity/no-op. */
   def restructureStream(
       spark: SparkSession,
       config: graft.restructure.RestructureConfig,
       topic: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      batchSeam: DataFrame => DataFrame = identity,
+      afterWrite: Long => Unit = _ => ()): StreamingQuery = {
     val job = new graft.restructure.Restructure(spark, config)
     spark.readStream
       .format("graft.avro.AvroStreamSource")
       .load(s"${config.inputDir}/$topic")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val derived = job.deriveStream(topic, batch)
+          val derived = job.deriveStream(topic, batchSeam(batch))
           job.writeSidecar(topic, derived)
           job.write(topic, job.dedup(topic, derived))
+          afterWrite(batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
