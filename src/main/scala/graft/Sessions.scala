@@ -11,6 +11,46 @@ object Sessions {
 
   def build(appName: String): SparkSession = build(appName, cpus)
 
+  /** The SQLConf subset of [[build]] that shapes query PLANS — one owner,
+    * shared by the builder below and by PlansFreshnessSpec, whose
+    * regeneration of PLANS.md inside the shared test JVM must see exactly
+    * the session shape `runMain graft.Plans` pins (these are all
+    * per-session runtime confs, so a `newSession()` can adopt them even
+    * though the test SparkContext runs local[4]). */
+  def planConf(pinnedCpus: String): Seq[(String, String)] = Seq(
+    // one shuffle partition per core in local mode; a real cluster would
+    // size this to 2-3x total cores (or lean on AQE coalescing)
+    "spark.sql.shuffle.partitions" -> pinnedCpus,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // The InferFilters* rules inline aliased expressions into derived
+    // isnotnull/size>0 filters below the defining projection. Higher-order
+    // array functions (transform/aggregate) are interpreted, so inlining
+    // our shingle/minhash pipelines that way turns O(n) projections into
+    // O(n^2)-per-row filters (measured 8x on the ngram-jaccard query and
+    // 10x on explode via InferFiltersFromGenerate). Both rules only add
+    // redundant pre-filters for this workload.
+    "spark.sql.optimizer.excludedRules" ->
+      ("org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints," +
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"),
+    // graft_topk (TypedImperativeAggregate -> ObjectHashAggregateExec)
+    // holds O(k) state per group, and per-task group counts are
+    // queries-per-task — thousands, not millions. The default 128-key
+    // fallback would flip the ranking aggregate to SORT-based
+    // aggregation, i.e. re-introduce the candidate-stream sort the
+    // aggregate exists to remove. Worst-case pre-fallback task
+    // footprint is bounded by the LARGEST k the catalog runs —
+    // the shortlist=100 rerank paths (~1.7 KB/buffer), so 1M keys x
+    // ~1.7 KB ~= 1.7 GB per task at the bound. Real group counts per
+    // task are queries-per-task (thousands), so actual state is MBs;
+    // a workload that truly held 1M distinct 100-entry groups per task
+    // should lower this bound or raise task memory.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1048576",
+    // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no native
+    // nanos type — read as long, Tables.load converts to micros
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   /** `build` with the core count pinned by the CALLER instead of the
     * environment — for mains whose OUTPUT is a committed artifact that
     * must not vary with the box it was produced on (Plans: partition
@@ -18,41 +58,14 @@ object Sessions {
     * env-driven core count rewrites all 5,000+ lines on regen from a
     * differently-sized machine and buries real plan regressions). */
   def build(appName: String, pinnedCpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .appName(appName)
       .master(s"local[$pinnedCpus]")
       // native codegen'd text-hash expressions (graft_minhash_sig, ...)
       .withExtensions(new graft.catalyst.GraftExtensions)
-      // one shuffle partition per core in local mode; a real cluster would
-      // size this to 2-3x total cores (or lean on AQE coalescing)
-      .config("spark.sql.shuffle.partitions", pinnedCpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // The InferFilters* rules inline aliased expressions into derived
-      // isnotnull/size>0 filters below the defining projection. Higher-order
-      // array functions (transform/aggregate) are interpreted, so inlining
-      // our shingle/minhash pipelines that way turns O(n) projections into
-      // O(n^2)-per-row filters (measured 8x on the ngram-jaccard query and
-      // 10x on explode via InferFiltersFromGenerate). Both rules only add
-      // redundant pre-filters for this workload.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints," +
-          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      // graft_topk (TypedImperativeAggregate -> ObjectHashAggregateExec)
-      // holds O(k) state per group, and per-task group counts are
-      // queries-per-task — thousands, not millions. The default 128-key
-      // fallback would flip the ranking aggregate to SORT-based
-      // aggregation, i.e. re-introduce the candidate-stream sort the
-      // aggregate exists to remove. Worst-case pre-fallback task
-      // footprint is bounded by the LARGEST k the catalog runs —
-      // the shortlist=100 rerank paths (~1.7 KB/buffer), so 1M keys x
-      // ~1.7 KB ~= 1.7 GB per task at the bound. Real group counts per
-      // task are queries-per-task (thousands), so actual state is MBs;
-      // a workload that truly held 1M distinct 100-entry groups per task
-      // should lower this bound or raise task memory.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1048576")
+    // the plan-shaping SQLConfs (rationale on [[planConf]])
+    val spark = planConf(pinnedCpus)
+      .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       // reliable-checkpoint janitor: when a graft-owned session runs the
       // curate pipeline in checkpointDir mode (CorpusPipeline
       // .truncateLineage), the ContextCleaner deletes a checkpoint's
@@ -63,9 +76,6 @@ object Sessions {
       // deterministic complement for operators who want the data gone
       // at a known point.
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no native
-      // nanos type — read as long, Tables.load converts to micros
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
