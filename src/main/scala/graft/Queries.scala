@@ -24,6 +24,26 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Materialize a SMALL frame whose lineage is expensive and which the
+    * downstream plan consumes more than once (r19; guide §3.3/§5 —
+    * materializing an intermediate truncates the plan). Use SPARINGLY:
+    * AQE's runtime exchange reuse already deduplicates consumers whose
+    * subtrees are identical up to their last exchange, so truncation only
+    * pays when the consumers re-execute REAL compute below that point —
+    * measured on the r19 A/B: the recall gates' shared exact baseline and
+    * lsh_recall's bucketed pairs got SLOWER with truncation (the reused
+    * exchange already carried the expensive work; the checkpoint just
+    * added an eager job), while dsir_resample (histogram + admission join
+    * both re-scoring the corpus, −0.24 s) and ppl_buckets (3 consumers
+    * re-running the bigram pipeline, −0.27 s) got faster. Only for frames
+    * that are provably bounded (per-doc scalars, score slivers) — the
+    * corpus itself is never checkpointed here. Runs eagerly at
+    * DataFrame-construction time, inside the same run that consumes it:
+    * nothing persists across runs. `-Dgraft.reuse=off` is the measurement
+    * escape hatch (A/B inside one JVM; production default is ON). */
+  private def reuse(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.reuse").contains("off")) df else df.localCheckpoint()
+
   /** Stopword set shared with the oracle SQL. */
   val Stopwords: Seq[String] = Seq("the", "a")
 
@@ -1738,7 +1758,12 @@ object Queries {
       .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
     val exploded = sets.select(col("doc_id"), explode(col("sh")).as("x"))
       .repartition(col("x"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
+    // sizes from the exploded rows (sh is already distinct), NOT size(sh):
+    // counting rides the reused explode exchange instead of re-running the
+    // scan+shingle lineage a second time (r19; the dfCappedPairBackbone
+    // discipline). Docs with an empty set drop out, but they can appear in
+    // no pair, and sizes only ever inner-joins onto pairs.
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val exact = exploded.as("a")
       .join(exploded.as("b"),
         col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
@@ -2875,8 +2900,10 @@ object Queries {
     * in one task; same `cum <= budget` convention as token_budget_mix. */
   def dsirResample(s: SparkSession, dir: String): DataFrame = {
     val B = 8000L
-    val w = dsirWeights(s, dir)
-      .select(col("doc_id"), col("n_tokens"), col("millis_per_token").as("wgt"))
+    // reuse: the histogram and the admission join both consume the DSIR
+    // scores — without truncation the scoring pipeline executes twice
+    val w = reuse(dsirWeights(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("millis_per_token").as("wgt")))
     val hist = w.groupBy(col("wgt")).agg(sum(col("n_tokens")).as("bt"))
     // histogram window: unpartitioned but over distinct weight VALUES only
     val cum = hist
@@ -2955,8 +2982,10 @@ object Queries {
     * bucket by construction (threshold semantics, the CCNet form), so
     * the split is deterministic on any partitioning. */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
-    val scores = bigramSurprisal(s, dir)
-      .select(col("doc_id"), col("millibits_per_bigram").as("mbpb"))
+    // reuse: the histogram, the total, and the final bucketing all consume
+    // the surprisal scores — without truncation the pipeline executes 3x
+    val scores = reuse(bigramSurprisal(s, dir)
+      .select(col("doc_id"), col("millibits_per_bigram").as("mbpb")))
     val hist = scores.groupBy(col("mbpb")).agg(count(lit(1)).as("__c"))
     // the window input is the histogram (O(distinct scores)), not the corpus
     val w = Window.orderBy(col("mbpb"))

@@ -11,10 +11,11 @@ import graft.text.{Hashing, Text}
 
 /** The composed training-data curation pipeline: the individual operators
   * (cleanup scalars, quality signals, exact and near dedup, deterministic
-  * splitting) chained the way a real corpus build runs them, as ONE lazy
-  * plan per stage — no intermediate materialization, every scalar stage
-  * fuses into whole-stage codegen, and the only shuffles are the two
-  * dedups' (hash-group and LSH band join).
+  * splitting) chained the way a real corpus build runs them. Scalar
+  * stages fuse into whole-stage codegen; the shuffles are the two dedups'
+  * (hash-group and LSH band join); lineage is truncated ONCE, at the
+  * exact-dedup survivors, because everything below that seam consumes the
+  * chain more than once (see the note in [[curate]]).
   *
   * Stage order matters and is the standard one: cheap row-local filters
   * first (they shrink everything downstream), exact dedup before near-dup
@@ -39,8 +40,9 @@ object CorpusPipeline {
       trainPct: Int = 80,
       valPct: Int = 10)
 
-  /** Lineage truncation for the bounded slivers the pipeline re-consumes
-    * (the near-dup cluster membership): `localCheckpoint` by default —
+  /** Lineage truncation for the frames the pipeline re-consumes (the
+    * near-dup cluster membership sliver, and — since r19 — the exact-dedup
+    * survivor corpus): `localCheckpoint` by default —
     * right for local mode and single-JVM services, where its
     * executor-pinned, NON-replicated blocks are the same process — or a
     * reliable `checkpoint` into `cfg.checkpointDir` for cluster runs,
@@ -349,7 +351,20 @@ object CorpusPipeline {
     // once per branch (same exchange-reuse trick as the ngram query)
     val annotated = annotate(urlGated, textCol).repartition(col(idCol))
     val filtered = qualityFilter(annotated, idCol, cfg)
-    val exact = exactDedup(filtered, idCol)
+    // Truncate lineage at the exact-dedup survivors (r19): every consumer
+    // below this seam re-executes the whole cleanup+gate+dedup chain
+    // otherwise — the near-dup pair graph is materialized EAGERLY (the
+    // components gate collects it), and the final anti-join plus the span
+    // stage each traverse the chain again, so one curate run pays the
+    // upstream 2-3x. Truncating once costs one write of the survivor
+    // corpus and makes every re-read a checkpoint scan: measured warm
+    // mins on the catalog entries 2.50->1.32 s (corpus_curate),
+    // 2.90->1.85 s (corpus_curate_best), 2.36->2.04 s (corpus_curate_span)
+    // at sf0.1, identical outputs. At cluster scale the same trade holds
+    // harder — the chain is 2 joins + a full-text group-by per pass — and
+    // cfg.checkpointDir swaps in the reliable checkpoint exactly as for
+    // the member sliver (see truncateLineage's fault-tolerance notes).
+    val exact = truncateLineage(exactDedup(filtered, idCol), cfg)
     // Jaccard is capped at 10000bp, so a threshold above it disables
     // doc-level near-dedup; skip the whole LSH pipeline rather than
     // building signatures and bands whose pairs all fail verification
