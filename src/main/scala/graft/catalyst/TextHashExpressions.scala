@@ -99,6 +99,30 @@ case class Fingerprint(child: Expression) extends TextHashUnary {
   override def prettyName: String = "graft_fingerprint"
 }
 
+/** graft_winnow(text, w) -> array<struct<pos:bigint, fp:bigint>>: plain
+  * winnowing fingerprints over the 3-gram shingle stream, one O(n)
+  * deque pass in place of the interpreted transform/slice/array_min
+  * window pipeline (r19; semantics pinned kernel == HOF by
+  * WinnowKernelPropertySpec). */
+case class WinnowFingerprints(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.types.StructField
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(text: Any, w: Any): Any =
+    TextHashKernels.winnow(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) => s"graft.catalyst.TextHashKernels.winnow($t, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowFingerprints =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_winnow"
+}
+
 /** graft_psl_labels(host) -> int: label count of the host's public
   * suffix per the PSL algorithm over [[PslKernels]]' process-static rule
   * sets — ONE static call in codegen instead of the former ~200 KB InSet
@@ -135,6 +159,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_fingerprint", c => Fingerprint(c.head))
     register("graft_nfc", c => NfcNormalize(c.head))
     register("graft_psl_labels", c => PslLabels(c.head))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo("graft.catalyst.TextHashExpressions", "graft_winnow"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_winnow expects two arguments")
+        WinnowFingerprints(Cast(children(0), StringType),
+          Cast(children(1), IntegerType))
+      }))
     // vector functions coerce their own argument shapes
     ext.injectFunction((
       FunctionIdentifier("graft_quantize"),

@@ -149,6 +149,60 @@ object TextHashKernels {
     h
   }
 
+  /** Plain winnowing fingerprints (r19 native kernel): for each length-`w`
+    * window over the 3-gram shingle stream (ONE clamped window when the
+    * stream is shorter than `w`), select (pos = 1-based absolute index of
+    * the FIRST minimal shingle in the window, fp = that minimal value),
+    * deduplicated in first-occurrence order.
+    *
+    * Exactly the output of the former higher-order-function formulation
+    * (transform+slice+array_min+array_position+array_distinct), which was
+    * interpreted per window element — this is one O(n) pass with a
+    * monotonic deque (ties keep the EARLIEST index, matching
+    * array_position's first-match rule). Dedup note: the windows that
+    * select one position form a contiguous run (once a strictly smaller —
+    * or equal-and-earlier is impossible rightward — shingle enters, the
+    * old position never wins again), so skipping repeats of the LAST
+    * emitted position equals array_distinct's global dedup;
+    * WinnowKernelPropertySpec pins kernel == HOF on random inputs.
+    * Returns array<struct<pos:bigint, fp:bigint>>; empty array for docs
+    * with no shingles (the explode then yields no rows, same as the old
+    * size>0 filter). */
+  def winnow(text: UTF8String, w: Int): ArrayData = {
+    require(w > 0, s"window must be positive, got $w")
+    val sh = shingleHashes(wordCodes(text.toString))
+    val n = sh.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (n <= w) {
+      var m = Long.MaxValue; var mi = 0; var i = 0
+      while (i < n) { if (sh(i) < m) { m = sh(i); mi = i }; i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.sql.catalyst.InternalRow(mi + 1L, m)))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0
+    var lastPos = -1L
+    var i = 0
+    while (i < n) {
+      // pop strictly-greater values so the front stays the earliest index
+      // among the window's minima (array_position's first-match rule)
+      while (tail > head && sh(dq(tail - 1)) > sh(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (i >= w - 1) {
+        while (dq(head) < i - w + 1) head += 1
+        val pos = dq(head) + 1L
+        if (pos != lastPos) {
+          out += org.apache.spark.sql.catalyst.InternalRow(pos, sh(dq(head)))
+          lastPos = pos
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Unicode NFC normalization (java.text.Normalizer), the canonical-
     * composition pass web-crawled text needs before any byte- or
     * char-keyed dedup (decomposed "é" and precomposed "é"

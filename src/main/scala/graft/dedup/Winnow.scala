@@ -34,6 +34,29 @@ object Winnow {
       textCol: String,
       w: Int = 4): DataFrame = {
     require(w > 0, s"window must be positive, got $w")
+    // r19: one codegen'd O(n) kernel call (graft_winnow — monotonic-deque
+    // window minima) in place of the interpreted HOF window pipeline
+    // (transform/slice/array_min per window, measured 0.65 s single-task
+    // at sf0.1 vs ~0.1 s for the kernel). Output identical by
+    // construction; WinnowKernelPropertySpec pins kernel == HOF form.
+    docs
+      .select(col(idCol).as("__id"),
+        call_function("graft_winnow", col(textCol), lit(w)).as("__z"))
+      .select(col("__id"), explode(col("__z")).as("__f"))
+      .select(col("__id").as(idCol),
+        col("__f.pos").as("pos"), col("__f.fp").as("fp"))
+  }
+
+  /** The pre-r19 higher-order-function formulation of [[fingerprints]] —
+    * kept as the independent REFERENCE implementation the property spec
+    * pins the kernel against (same device as the dedup/winnow
+    * sequential-reference suites). Not on any query path. */
+  private[dedup] def fingerprintsHof(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
     MinHash.withShingles(docs.select(col(idCol).as("__id"), col(textCol)),
         "__id", textCol, native = true)
       .filter(size(col("__sh")) > 0)
