@@ -42,7 +42,13 @@ object Queries {
     * nothing persists across runs. `-Dgraft.reuse=off` is the measurement
     * escape hatch (A/B inside one JVM; production default is ON). */
   private def reuse(df: DataFrame): DataFrame =
-    if (sys.props.get("graft.reuse").contains("off")) df else df.localCheckpoint()
+    if (sys.props.get("graft.reuse").contains("off")) df
+    // r20 (r19 advisory): route through Lineage.truncate so cluster
+    // sessions with a checkpoint dir take a RELIABLE checkpoint —
+    // localCheckpoint's executor-pinned blocks would otherwise make an
+    // executor loss unrecoverable for the truncated lineage. Local mode
+    // behavior (localCheckpoint) is unchanged.
+    else Lineage.truncate(df)
 
   /** Stopword set shared with the oracle SQL. */
   val Stopwords: Seq[String] = Seq("the", "a")
@@ -3278,9 +3284,15 @@ object Queries {
     * equi-join, never a quadratic interval compare. Each pair is emitted
     * exactly once from the later start's bucket. */
   def intervalOverlapSessions(s: SparkSession, dir: String): DataFrame = {
-    val sess = Sessionize.sessions(
+    // reuse(): the session table (a bounded per-user rollup, ~9.5k rows at
+    // sf0.1) is BOTH sides of the self-join, and the two sides only share
+    // the user_id exchange — the window + rollup + bucket-explode above it
+    // re-ran once per side, and the final orderBy's range-partition
+    // sampling pass re-ran them again (guide §5: materialize a
+    // multiply-consumed sliver; measured −0.4 s warm at sf0.1)
+    val sess = reuse(Sessionize.sessions(
       t(s, dir, "events").filter(col("event_type") === "click"),
-      Seq("user_id"), "ts", "event_id", 172800L)
+      Seq("user_id"), "ts", "event_id", 172800L))
     val a = sess.select(col("user_id").as("user_1"), col("session_id").as("session_1"),
       col("session_start_us").as("start_1"), col("session_end_us").as("end_1"))
     val b = sess.select(col("user_id").as("user_2"), col("session_id").as("session_2"),

@@ -123,6 +123,45 @@ case class WinnowFingerprints(left: Expression, right: Expression)
   override def prettyName: String = "graft_winnow"
 }
 
+/** graft_token_grams(text, k) -> array<string>: space-joined k-token
+  * sliding grams of the single-space split of `text` (r20 native kernel
+  * for the span-dedup anchor extraction; semantics pinned kernel == HOF
+  * by TokenGramsPropertySpec). */
+case class TokenGrams(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(text: Any, k: Any): Any =
+    TextHashKernels.tokenGrams(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.catalyst.TextHashKernels.tokenGrams($t, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenGrams =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_token_grams"
+}
+
+/** graft_token_chunks(text, w) -> array<string>: space-joined
+  * fixed-width token chunks of the single-space split of `text` (the
+  * last chunk may be shorter; always >= 1 chunk). r20 native kernel for
+  * the chunk-dedup frames; pinned kernel == HOF by
+  * TokenGramsPropertySpec. */
+case class TokenChunks(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(text: Any, w: Any): Any =
+    TextHashKernels.tokenChunks(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) => s"graft.catalyst.TextHashKernels.tokenChunks($t, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenChunks =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_token_chunks"
+}
+
 /** graft_psl_labels(host) -> int: label count of the host's public
   * suffix per the PSL algorithm over [[PslKernels]]' process-static rule
   * sets — ONE static call in codegen instead of the former ~200 KB InSet
@@ -166,6 +205,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_winnow expects two arguments")
         WinnowFingerprints(Cast(children(0), StringType),
           Cast(children(1), IntegerType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_grams"),
+      new ExpressionInfo("graft.catalyst.TextHashExpressions", "graft_token_grams"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_token_grams expects two arguments")
+        TokenGrams(Cast(children(0), StringType), Cast(children(1), IntegerType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_chunks"),
+      new ExpressionInfo("graft.catalyst.TextHashExpressions", "graft_token_chunks"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_token_chunks expects two arguments")
+        TokenChunks(Cast(children(0), StringType), Cast(children(1), IntegerType))
       }))
     // vector functions coerce their own argument shapes
     ext.injectFunction((

@@ -215,4 +215,78 @@ object TextHashKernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
+
+  /** Byte offsets of the n+1 token boundaries of a single-space split:
+    * starts(t) = first byte of token t, starts(n) = numBytes + 1 (a
+    * virtual boundary one past a virtual trailing space, so every
+    * token's end is uniformly starts(t+1) - 1). A space (0x20) never
+    * occurs inside a multi-byte UTF-8 sequence, so the byte scan is an
+    * exact replica of split(text, ' ', -1)'s token boundaries (empty
+    * tokens kept). */
+  private def tokenStarts(text: UTF8String): Array[Int] = {
+    val nb = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < nb) { if (text.getByte(i) == 0x20) spaces += 1; i += 1 }
+    val starts = new Array[Int](spaces + 2)
+    var t = 1
+    i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(t) = nb + 1
+    starts
+  }
+
+  /** Space-joined k-token sliding grams of the single-space split of
+    * `text`: exactly `transform(sequence(0, n - k), p ->
+    * array_join(slice(split(text, ' '), p + 1, k), ' '))`, empty array
+    * when the split has fewer than k tokens.
+    *
+    * The interpreted HOF pipeline above evaluates a lambda expression
+    * tree per window and allocates a slice copy per gram; this kernel
+    * uses the identity that, with single-space separators, gram p IS the
+    * byte substring of `text` from the start of token p to the end of
+    * token p+k-1 — one boundary scan, then n-k+1 substrings WRAPPING one
+    * shared byte array (UTF8String.fromBytes(bytes, offset, len) does
+    * not copy). TokenGramsPropertySpec pins kernel == HOF. */
+  def tokenGrams(text: UTF8String, k: Int): ArrayData = {
+    require(k > 0, s"gram width must be positive, got $k")
+    val starts = tokenStarts(text)
+    val n = starts.length - 1
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val out = new Array[Any](n - k + 1)
+    var p = 0
+    while (p <= n - k) {
+      val from = starts(p)
+      out(p) = UTF8String.fromBytes(bytes, from, starts(p + k) - 1 - from)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Space-joined fixed-width token chunks of the single-space split of
+    * `text`: exactly `transform(sequence(0, (n - 1) div w), i ->
+    * array_join(slice(split(text, ' '), i * w + 1, w), ' '))` — the last
+    * chunk may be shorter; a split always has >= 1 token (empty text is
+    * one empty token), so there is always >= 1 chunk. Same shared-byte
+    * substring identity as [[tokenGrams]]. */
+  def tokenChunks(text: UTF8String, w: Int): ArrayData = {
+    require(w > 0, s"chunk width must be positive, got $w")
+    val starts = tokenStarts(text)
+    val n = starts.length - 1
+    val bytes = text.getBytes
+    val out = new Array[Any]((n - 1) / w + 1)
+    var c = 0
+    while (c < out.length) {
+      val from = starts(c * w)
+      val endTok = math.min((c + 1) * w, n)
+      out(c) = UTF8String.fromBytes(bytes, from, starts(endTok) - 1 - from)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

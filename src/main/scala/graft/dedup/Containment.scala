@@ -115,7 +115,10 @@ object Containment {
       collapseSiblings: Boolean = true,
       positionalFilter: Boolean = true): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    pairsFromSets(Jaccard.cappedSets(df, idCol, textCol, native, maxDf),
+    // truncate the multiply-consumed sets lineage — rationale on
+    // [[Jaccard.pairs]]; the auto dispatch materializes via its own seam
+    pairsFromSets(
+      graft.Lineage.truncate(Jaccard.cappedSets(df, idCol, textCol, native, maxDf)),
       minBp, collapseSiblings, positionalFilter)
   }
 
@@ -187,7 +190,13 @@ object Containment {
       collapseSiblings: Boolean = true,
       positionalFilter: Boolean = false): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    val capped = Jaccard.cappedSets(df, idCol, textCol, native, maxDf)
+    // truncate the multiply-consumed sets lineage — rationale on
+    // [[Jaccard.pairs]]. The plain (no-collapse) body re-ran the scan +
+    // shingle chain FOUR times before this (prefix explode + the
+    // direction probe + both verification builds — none meet at a
+    // reusable exchange); the collapsed body re-plans it per consumer.
+    val capped =
+      graft.Lineage.truncate(Jaccard.cappedSets(df, idCol, textCol, native, maxDf))
     if (collapseSiblings) subsetsCollapsed(capped, minBp, positionalFilter)
     else subsetsPlain(capped, minBp, positionalFilter)
   }

@@ -38,8 +38,11 @@ object Jaccard {
   /** Distinct 3-gram shingle sets per id, optionally redefined as
     * {x : df(x) <= maxDf} (the stop-shingle guard). Shared by the
     * prefix-filtered Jaccard and containment joins: (__id, __set) with
-    * __set sorted and non-empty. */
-  private[dedup] def cappedSets(
+    * __set sorted and non-empty. (private[graft], not [dedup]: the
+    * plan-marker pins that used to read this chain off the full query
+    * plan assert on it directly now that [[pairs]]/[[Containment.pairs]]
+    * truncate the lineage above the downstream consumers.) */
+  private[graft] def cappedSets(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -171,7 +174,19 @@ object Jaccard {
       maxDf: Long = Long.MaxValue,
       collapseSiblings: Boolean = true): DataFrame = {
     require(minBp >= 1 && minBp <= 10000, "minBp in [1, 10000]")
-    pairsFromSets(cappedSets(df, idCol, textCol, native, maxDf),
+    // Truncate the capped-sets lineage before fanning out (guide §5): the
+    // sets frame feeds the collapse window, the prefix/rank explode, and
+    // BOTH verification build sides, and only SOME of those consumers meet
+    // at a reusable exchange — the rest re-run the scan + shingle kernel +
+    // cap chain (measured: 2-5 full kernel passes per query at sf0.1, plus
+    // the optimizer re-planning the replicated lineage each time). One
+    // eager materialization makes every consumer read the (compact:
+    // id + shingle array) sets frame instead. The auto dispatches
+    // ([[pairsAuto]]) already materialize through their probe seam and are
+    // untouched. Footprint note: this checkpoints a corpus-scale frame —
+    // in cluster mode set a checkpoint dir ([[graft.Lineage.truncate]])
+    // so it lands on reliable storage rather than executor memory.
+    pairsFromSets(graft.Lineage.truncate(cappedSets(df, idCol, textCol, native, maxDf)),
       minBp, collapseSiblings)
   }
 

@@ -67,12 +67,14 @@ object ChunkDedup {
       textCol: String,
       chunkTokens: Int = 32): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    // r20: chunk extraction is the native graft_token_chunks kernel (one
+    // boundary scan + shared-byte substrings) in place of the interpreted
+    // transform/slice/array_join pipeline, retained as [[chunksOfHof]]
+    // for the TokenGramsPropertySpec pin
     val chunks = docs
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
-      .select(col("__id"), posexplode(expr(
-        s"""transform(sequence(0, (size(__tk) - 1) div $chunkTokens),
-           | i -> array_join(slice(__tk, i * $chunkTokens + 1, $chunkTokens), ' '))"""
-          .stripMargin)).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol).as("__id"),
+        posexplode(call_function("graft_token_chunks", col(textCol), lit(chunkTokens)))
+          .as(Seq("chunk_idx", "chunk")))
     withKeepFirst(chunks, integralId(docs, idCol), "chunk_idx")
       .groupBy(col("__id").as(idCol))
       .agg(
@@ -83,6 +85,16 @@ object ChunkDedup {
             "x -> x.keep)), x -> x.chunk)"),
           " ").as("dedup_text"))
   }
+
+  /** The higher-order-function twin of [[dedupChunks]]' chunk array — the
+    * reference implementation TokenGramsPropertySpec pins the kernel
+    * against (kept verbatim from the pre-r20 pipeline). */
+  private[graft] def chunksOfHof(docs: DataFrame, textCol: String, w: Int): DataFrame =
+    docs.select(split(col(textCol), " ").as("__tk"))
+      .select(expr(
+        s"""transform(sequence(0, (size(__tk) - 1) div $w),
+           | i -> array_join(slice(__tk, i * $w + 1, $w), ' '))""".stripMargin)
+        .as("__gr"))
 
   /** Content-defined chunking dedup: chunk boundaries fall AFTER any token
     * whose word code divides `divisor` (a rolling-content condition, not a

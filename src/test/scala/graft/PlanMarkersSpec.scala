@@ -190,18 +190,29 @@ class PlanMarkersSpec extends SparkSpec {
       "kept positions must rebuild via array_except over the original tokens")
   }
 
-  test("jaccard_ppjoin: df-cap aggregates HEAVY members only; verification is shuffle-hash") {
-    val p = plan("jaccard_ppjoin")
+  test("prefix-join capped sets: df-cap aggregates HEAVY members only") {
     // the round-13 cappedSets rewrite: collect only each doc's
     // over-the-cap shingles (inner join with the heavy side) and rebuild
     // the capped set via array_except. The former shape — anti-join the
     // occurrence stream, re-collect every doc's WHOLE set — held full
     // documents as aggregate state; its plan signature was a LeftAnti
-    // join feeding the collect.
+    // join feeding the collect. Since r20 the fixed-knob prefix joins
+    // truncate the sets lineage before fanning out (Lineage.truncate), so
+    // these markers are pinned on the sets-builder plan itself — the
+    // chain every prefix join's checkpoint job executes — rather than on
+    // the (now checkpoint-rooted) full query plans.
+    val docs = Tables.load(engineSpark, dir, "documents")
+    val p = graft.dedup.Jaccard
+      .cappedSets(docs, "doc_id", "text", native = true, maxDf = 2000L)
+      .queryExecution.executedPlan.toString
     assert(p.contains("array_except"),
       "capped sets must rebuild via array_except of the heavy members")
     assert(!p.contains("LeftAnti"),
       "an anti-join feeding the re-collect means whole-set aggregate state")
+  }
+
+  test("jaccard_ppjoin: verification is shuffle-hash") {
+    val p = plan("jaccard_ppjoin")
     // round-14: verification attaches full shingle arrays via
     // shuffle-hash builds on the sets side — SMJ would externally sort
     // the array-carrying candidate stream (the 133 GiB 100x spill)
@@ -218,11 +229,9 @@ class PlanMarkersSpec extends SparkSpec {
     // 428-588 s vs 10-13 s collapsed on the 500k sibling corpus)
     assert(p.contains("__fp"),
       "the set-identity collapse (its __fp fingerprint window) must be in the plan")
-    // mirrors the jaccard_ppjoin pins: df-capped sets rebuild via
-    // array_except (never the LeftAnti + whole-set re-collect shape), and
-    // verification attaches full shingle arrays via shuffle-hash builds
-    assert(p.contains("array_except") && !p.contains("LeftAnti"),
-      "capped sets must rebuild via array_except of the heavy members")
+    // the capped-sets chain markers (array_except, no LeftAnti) moved to
+    // the shared sets-builder pin above: the chain sits above this
+    // query's lineage truncation since r20
     assert(p.contains("ShuffledHashJoin"),
       "set verification must build shuffle-hash on the sets side")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
@@ -236,8 +245,7 @@ class PlanMarkersSpec extends SparkSpec {
     // default flip shows up as __fp appearing here
     assert(!p.contains("__fp"),
       "subset_ppjoin pins the PLAIN plan: no set-identity collapse window")
-    assert(p.contains("array_except") && !p.contains("LeftAnti"),
-      "capped sets must rebuild via array_except of the heavy members")
+    // capped-sets chain markers: see the shared sets-builder pin above
     assert(p.contains("ShuffledHashJoin"),
       "containment verification must build shuffle-hash on the sets side")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
